@@ -1,0 +1,4 @@
+from persian_rag_tpu.ops.flat_topk import flat_topk, flat_topk_ref
+from persian_rag_tpu.ops.sparse_scores import sparse_scores, sparse_scores_ref
+
+__all__ = ["flat_topk", "flat_topk_ref", "sparse_scores", "sparse_scores_ref"]

@@ -1,0 +1,225 @@
+"""Lexical (BM25 / TF-IDF) scoring as a padded sparse match-accumulate kernel.
+
+Replaces the reference's rank_bm25 `BM25Okapi.get_scores` NumPy scan and
+scikit-learn's sparse TF-IDF cosine (reference: src/retrieval.py:117-172)
+with a TPU-native formulation.
+
+Representation (built host-side by persian_rag_tpu.index.lexical):
+
+* The corpus is doc-major padded-ELL: ``doc_ids (N, L) int32`` holds each
+  document's unique term ids (-1 padding) and ``doc_vals (N, L) float32``
+  holds the *fully precomputed* per-(doc, term) score contribution:
+    - BM25:   idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    - TF-IDF: l2-normalized tf-idf weight
+* A query is ``q_ids (B, T) int32`` (-1 padding) and ``q_vals (B, T)``
+  (BM25: token multiplicity; TF-IDF: l2-normalized query weight).
+
+Then for both methods
+    scores[b, n] = sum_t q_vals[b,t] * sum_l [doc_ids[n,l] == q_ids[b,t]]
+                                             * doc_vals[n,l]
+
+which is branch-free, gather-free, static-shape VPU work: TPUs dislike
+scatter/gather, so the "inverted index" is replaced by an equality-match
+dense scan tiled over corpus rows. The fused variant keeps a running
+top-k per query so the (B, N) score matrix never hits HBM.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from persian_rag_tpu.ops._merge import NEG_INF, merge_topk
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _pad_axis(x: jnp.ndarray, size: int, axis: int, value) -> jnp.ndarray:
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX reference.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=())
+def sparse_scores_ref(
+    doc_ids: jnp.ndarray,
+    doc_vals: jnp.ndarray,
+    q_ids: jnp.ndarray,
+    q_vals: jnp.ndarray,
+) -> jnp.ndarray:
+    """Dense (B, N) lexical scores; reference for parity tests."""
+
+    def per_term(carry, qt):
+        qid, qval = qt  # (B,), (B,)
+        match = doc_ids[None, :, :] == qid[:, None, None]  # (B, N, L)
+        contrib = jnp.sum(
+            jnp.where(match, doc_vals[None, :, :], 0.0), axis=-1
+        )  # (B, N)
+        return carry + qval[:, None] * contrib, None
+
+    init = jnp.zeros((q_ids.shape[0], doc_ids.shape[0]), jnp.float32)
+    out, _ = jax.lax.scan(per_term, init, (q_ids.T, q_vals.T))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels.
+# ---------------------------------------------------------------------------
+
+
+def _score_tile(doc_ids, doc_vals, q_ids_ref, q_vals_ref, b, t):
+    """(B, TN) scores for one corpus tile.
+
+    fori_loop over query-term slots (not a Python unroll) so Mosaic
+    allocates the (B, TN, L) match intermediate once, keeping VMEM
+    footprint independent of T. Query slots are read from the ref with a
+    dynamic slice (Mosaic supports dynamic indexing on refs, not arrays).
+    """
+    tn = doc_ids.shape[0]
+    q_ids = q_ids_ref[:]
+    q_vals = q_vals_ref[:]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
+
+    def body(ti, scores):
+        # One-hot select slot ti (Mosaic forbids dynamic lane indexing;
+        # a masked reduction over the small T dim is free on the VPU).
+        # Padded slots are harmless either way: query pad vals are 0 and
+        # doc pad vals are 0, so any spurious id match contributes 0.
+        sel = slot == ti
+        qid = jnp.sum(jnp.where(sel, q_ids, 0), axis=1, keepdims=True)
+        qval = jnp.sum(jnp.where(sel, q_vals, 0.0), axis=1, keepdims=True)
+        match = doc_ids[None, :, :] == qid[:, :, None]  # (B, TN, L)
+        contrib = jnp.sum(jnp.where(match, doc_vals[None, :, :], 0.0), axis=-1)
+        return scores + qval * contrib
+
+    return jax.lax.fori_loop(0, t, body, jnp.zeros((b, tn), jnp.float32))
+
+
+def _sparse_topk_kernel(
+    q_ids_ref,
+    q_vals_ref,
+    doc_ids_ref,
+    doc_vals_ref,
+    out_s_ref,
+    out_i_ref,
+    *,
+    k: int,
+    n_actual: int,
+    tile_n: int,
+):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
+        out_i_ref[:] = jnp.full_like(out_i_ref, -1)
+
+    b, t = q_ids_ref.shape
+    scores = _score_tile(
+        doc_ids_ref[:], doc_vals_ref[:], q_ids_ref, q_vals_ref, b, t
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1) + j * tile_n
+    scores = jnp.where(col < n_actual, scores, NEG_INF)
+
+    cand_s = jnp.concatenate([out_s_ref[:], scores], axis=1)
+    cand_i = jnp.concatenate([out_i_ref[:], col], axis=1)
+    out_s_ref[:], out_i_ref[:] = merge_topk(cand_s, cand_i, k)
+
+
+def sparse_topk_pallas(
+    doc_ids: jnp.ndarray,
+    doc_vals: jnp.ndarray,
+    q_ids: jnp.ndarray,
+    q_vals: jnp.ndarray,
+    k: int,
+    tile_n: int = 512,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused lexical scores + top-k. Returns ((B, k) scores, (B, k) ids)."""
+    n, el = doc_ids.shape
+    b, t = q_ids.shape
+    tile_n = min(tile_n, _round_up(n, 128))
+    n_pad = _round_up(n, tile_n)
+    el_pad = _round_up(el, 128)
+    b_pad = _round_up(b, 8)
+
+    doc_ids_p = _pad_axis(_pad_axis(doc_ids, el_pad, 1, -1), n_pad, 0, -1)
+    doc_vals_p = _pad_axis(_pad_axis(doc_vals, el_pad, 1, 0.0), n_pad, 0, 0.0)
+    t_pad = _round_up(t, 8)
+    q_ids_p = _pad_axis(_pad_axis(q_ids, t_pad, 1, -2), b_pad, 0, -2)
+    q_vals_p = _pad_axis(_pad_axis(q_vals, t_pad, 1, 0.0), b_pad, 0, 0.0)
+
+    kernel = functools.partial(
+        _sparse_topk_kernel, k=k, n_actual=n, tile_n=tile_n
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((b_pad, t_pad), lambda j: (0, 0)),
+            pl.BlockSpec((b_pad, t_pad), lambda j: (0, 0)),
+            pl.BlockSpec((tile_n, el_pad), lambda j: (j, 0)),
+            pl.BlockSpec((tile_n, el_pad), lambda j: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_pad, k), lambda j: (0, 0)),
+            pl.BlockSpec((b_pad, k), lambda j: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_ids_p, q_vals_p, doc_ids_p, doc_vals_p)
+    return out_s[:b], out_i[:b]
+
+
+def sparse_scores(
+    doc_ids: jnp.ndarray,
+    doc_vals: jnp.ndarray,
+    q_ids: jnp.ndarray,
+    q_vals: jnp.ndarray,
+) -> jnp.ndarray:
+    """Dense (B, N) lexical scores (jitted; XLA fuses the scan)."""
+    return sparse_scores_ref(doc_ids, doc_vals, q_ids, q_vals)
+
+
+def sparse_topk(
+    doc_ids: jnp.ndarray,
+    doc_vals: jnp.ndarray,
+    q_ids: jnp.ndarray,
+    q_vals: jnp.ndarray,
+    k: int,
+    use_pallas: Optional[bool] = None,
+    tile_n: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    k = min(k, doc_ids.shape[0])
+    backend = jax.default_backend()
+    if use_pallas is None:
+        use_pallas = backend == "tpu"
+    if use_pallas:
+        return sparse_topk_pallas(
+            doc_ids,
+            doc_vals,
+            q_ids,
+            q_vals,
+            k,
+            tile_n=tile_n,
+            interpret=backend != "tpu",
+        )
+    scores = sparse_scores_ref(doc_ids, doc_vals, q_ids, q_vals)
+    top_s, top_i = jax.lax.top_k(scores, k)
+    return top_s, top_i.astype(jnp.int32)

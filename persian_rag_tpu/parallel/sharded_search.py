@@ -1,0 +1,116 @@
+"""Multi-chip sharded flat search.
+
+The reference has no distributed layer at all (its one cross-process link is
+HTTP to llama.cpp — reference: src/llama_client.py:108-175). Here, corpora
+beyond one chip's HBM shard row-wise over the ``corpus`` mesh axis:
+
+  1. each shard runs the fused flat_topk kernel over its local rows,
+  2. local indices are offset to global ids,
+  3. the k candidates per shard ride ICI via ``all_gather`` (k*n_shards
+     values per query — tiny payload), and
+  4. every shard redundantly computes the global top-k merge, leaving the
+     result replicated.
+
+Exactness: the global top-k of a union of per-shard top-k sets equals the
+global top-k of all rows, so sharded search returns identical ids to a
+single-chip scan (asserted by tests on a 1- vs 8-device mesh).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from persian_rag_tpu.core.mesh import CORPUS_AXIS, corpus_sharding
+from persian_rag_tpu.ops._merge import NEG_INF
+from persian_rag_tpu.ops.flat_topk import flat_topk
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def shard_corpus(corpus: jnp.ndarray, mesh: Mesh) -> Tuple[jnp.ndarray, int]:
+    """Pad an (N, d) corpus to a shard multiple and place it row-sharded.
+
+    Returns (sharded array, original N). Padded rows are masked out of
+    search results by `sharded_flat_topk`.
+    """
+    n = corpus.shape[0]
+    n_shards = mesh.shape[CORPUS_AXIS]
+    n_pad = _round_up(max(n, n_shards), n_shards)
+    if n_pad != n:
+        corpus = jnp.pad(corpus, ((0, n_pad - n), (0, 0)))
+    return jax.device_put(corpus, corpus_sharding(mesh)), n
+
+
+def sharded_flat_topk(
+    queries: jnp.ndarray,
+    corpus_sharded: jnp.ndarray,
+    k: int,
+    n_actual: int,
+    mesh: Mesh,
+    metric: str = "dot",
+    use_pallas: Optional[bool] = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Search a row-sharded corpus; results identical to a single-chip scan.
+
+    Returns ((Q, k) scores, (Q, k) global ids), replicated on every device.
+    For metric="l2" scores are squared distances ascending.
+    """
+    n_shards = mesh.shape[CORPUS_AXIS]
+    k = min(k, n_actual)
+    descending = metric != "l2"
+
+    def local_search(q, c_local):
+        shard = jax.lax.axis_index(CORPUS_AXIS)
+        local_n = c_local.shape[0]
+        s, i = flat_topk(
+            q,
+            c_local,
+            k,
+            metric=metric,
+            use_pallas=use_pallas,
+            compute_dtype=compute_dtype,
+        )
+        if s.shape[1] < k:  # shard smaller than k: pad with sentinels
+            pad = k - s.shape[1]
+            fill = NEG_INF if descending else -NEG_INF
+            s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=fill)
+            i = jnp.pad(i, ((0, 0), (0, pad)), constant_values=local_n)
+        gid = i + shard * local_n
+        # Mask padded rows so they never win the global merge.
+        invalid = gid >= n_actual
+        if descending:
+            s = jnp.where(invalid, NEG_INF, s)
+        else:
+            s = jnp.where(invalid, -NEG_INF, s)
+        gid = jnp.where(invalid, -1, gid)
+
+        # (n_shards, Q, k) candidates over ICI; merge redundantly per shard.
+        all_s = jax.lax.all_gather(s, CORPUS_AXIS)
+        all_i = jax.lax.all_gather(gid, CORPUS_AXIS)
+        q_n = q.shape[0]
+        cand_s = jnp.moveaxis(all_s, 0, 1).reshape(q_n, n_shards * k)
+        cand_i = jnp.moveaxis(all_i, 0, 1).reshape(q_n, n_shards * k)
+        if descending:
+            top_s, pos = jax.lax.top_k(cand_s, k)
+        else:
+            neg_s, pos = jax.lax.top_k(-cand_s, k)
+            top_s = -neg_s
+        top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return top_s, top_i.astype(jnp.int32)
+
+    fn = shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(P(), P(CORPUS_AXIS, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(queries, corpus_sharded)
