@@ -1,0 +1,209 @@
+"""HBM-resident dense flat index.
+
+Replaces the reference's FAISS ``IndexFlatL2`` usage (reference:
+src/create_embeddings.py:125-136 build; src/retrieval.py:52-59 load,
+:92-115 search) with a device-resident matrix searched by the fused
+Pallas matmul+top-k kernel. Corpora larger than one chip shard row-wise
+across the mesh's ``corpus`` axis with an ICI-merged per-shard top-k.
+
+Semantics preserved for parity:
+* metric="l2" returns squared L2 distances ascending (FAISS convention);
+* tie-breaking prefers the lower row id;
+* ids are insertion order (0..ntotal-1).
+
+Additional metrics: "ip" (inner product, FAISS IndexFlatIP) and "cosine"
+(vectors L2-normalized once at commit; search is then a dot product).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from persian_rag_tpu.index import faiss_io
+from persian_rag_tpu.ops.flat_topk import flat_topk
+from persian_rag_tpu.parallel.sharded_search import shard_corpus, sharded_flat_topk
+
+_METRICS = ("l2", "ip", "cosine")
+
+
+def _l2_normalize(x: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.maximum(norms, 1e-12)
+
+
+class DenseIndex:
+    """Flat exact-search index over an (N, d) embedding matrix."""
+
+    def __init__(
+        self,
+        dim: int,
+        metric: str = "l2",
+        mesh: Optional[Mesh] = None,
+        compute_dtype: jnp.dtype = jnp.float32,
+        use_pallas: Optional[bool] = None,
+    ):
+        if metric not in _METRICS:
+            raise ValueError(f"metric must be one of {_METRICS}, got {metric}")
+        self.dim = dim
+        self.metric = metric
+        self.mesh = mesh
+        self.compute_dtype = compute_dtype
+        self.use_pallas = use_pallas
+        self._pending: list[np.ndarray] = []
+        self._device_corpus: Optional[jnp.ndarray] = None
+        self._ntotal = 0
+
+    # -- construction -------------------------------------------------------
+
+    @property
+    def ntotal(self) -> int:
+        return self._ntotal + sum(v.shape[0] for v in self._pending)
+
+    @property
+    def d(self) -> int:  # FAISS-compatible alias
+        return self.dim
+
+    def add(self, vectors: np.ndarray) -> None:
+        """Stage vectors host-side; `commit()` moves them to HBM."""
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise ValueError(f"expected (n, {self.dim}), got {vectors.shape}")
+        self._pending.append(vectors)
+
+    def commit(self) -> None:
+        """Materialize the index in device HBM (sharded if a mesh is set)."""
+        if not self._pending and self._device_corpus is not None:
+            return
+        parts = []
+        if self._device_corpus is not None:
+            existing = np.asarray(self._device_corpus)[: self._ntotal]
+            parts.append(existing)
+        parts.extend(self._pending)
+        if not parts:
+            raise ValueError("index is empty")
+        corpus = np.concatenate(parts, axis=0)
+        if self.metric == "cosine":
+            corpus = _l2_normalize(corpus)
+        self._pending.clear()
+        self._ntotal = corpus.shape[0]
+        arr = jnp.asarray(corpus)
+        if self.mesh is not None:
+            arr, _ = shard_corpus(arr, self.mesh)
+        else:
+            arr = jax.device_put(arr)
+        self._device_corpus = arr
+
+    # -- search -------------------------------------------------------------
+
+    def search(
+        self, queries: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batch exact search.
+
+        Returns (scores, ids), each (Q, k):
+        * l2      -> squared distances, ascending (FAISS IndexFlatL2)
+        * ip      -> inner products, descending  (FAISS IndexFlatIP)
+        * cosine  -> cosine similarities, descending
+        """
+        if self._pending:
+            self.commit()
+        if self._device_corpus is None:
+            raise ValueError("index is empty; add() + commit() first")
+        queries = np.asarray(queries, dtype=np.float32)
+        squeeze = False
+        if queries.ndim == 1:
+            queries = queries[None, :]
+            squeeze = True
+        if self.metric == "cosine":
+            queries = _l2_normalize(queries)
+        q = jnp.asarray(queries)
+        metric = "l2" if self.metric == "l2" else "dot"
+        k = min(k, self._ntotal)
+        if self.mesh is not None:
+            scores, ids = sharded_flat_topk(
+                q,
+                self._device_corpus,
+                k,
+                self._ntotal,
+                self.mesh,
+                metric=metric,
+                use_pallas=self.use_pallas,
+                compute_dtype=self.compute_dtype,
+            )
+        else:
+            scores, ids = flat_topk(
+                q,
+                self._device_corpus,
+                k,
+                metric=metric,
+                use_pallas=self.use_pallas,
+                compute_dtype=self.compute_dtype,
+            )
+        scores = np.asarray(scores)
+        ids = np.asarray(ids)
+        if squeeze:
+            return scores[0], ids[0]
+        return scores, ids
+
+    # -- persistence --------------------------------------------------------
+
+    def vectors(self) -> np.ndarray:
+        """Host copy of the committed corpus (cosine: normalized form)."""
+        if self._pending:
+            self.commit()
+        return np.asarray(self._device_corpus)[: self._ntotal]
+
+    def save(self, path: str) -> None:
+        """Native format: .npz payload + .json sidecar metadata."""
+        if self._pending:
+            self.commit()
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(path if path.endswith(".npz") else path + ".npz",
+                 vectors=self.vectors())
+        meta = {"dim": self.dim, "metric": self.metric, "ntotal": self._ntotal}
+        with open(_meta_path(path), "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(
+        cls,
+        path: str,
+        mesh: Optional[Mesh] = None,
+        **kwargs,
+    ) -> "DenseIndex":
+        npz = path if path.endswith(".npz") else path + ".npz"
+        with open(_meta_path(path), "r", encoding="utf-8") as f:
+            meta = json.load(f)
+        vectors = np.load(npz)["vectors"]
+        index = cls(meta["dim"], metric=meta["metric"], mesh=mesh, **kwargs)
+        index.add(vectors)
+        index.commit()
+        return index
+
+    def export_faiss(self, path: str) -> None:
+        """Write a faiss-loadable flat index file."""
+        metric = "l2" if self.metric == "l2" else "ip"
+        faiss_io.write_faiss_flat(path, self.vectors(), metric=metric)
+
+    @classmethod
+    def from_faiss(
+        cls, path: str, mesh: Optional[Mesh] = None, **kwargs
+    ) -> "DenseIndex":
+        """Import a FAISS IndexFlatL2/IndexFlatIP file (e.g. the
+        reference's shipped results/faiss/*.index artifacts)."""
+        vectors, metric = faiss_io.read_faiss_flat(path)
+        index = cls(vectors.shape[1], metric=metric, mesh=mesh, **kwargs)
+        index.add(vectors)
+        index.commit()
+        return index
+
+
+def _meta_path(path: str) -> str:
+    base = path[:-4] if path.endswith(".npz") else path
+    return base + ".meta.json"

@@ -1,0 +1,333 @@
+"""Lexical indexes: BM25 (Okapi) and TF-IDF, device-resident.
+
+Replaces the reference's rank_bm25 ``BM25Okapi`` (reference:
+src/retrieval.py:62-71 build, :117-143 query) and scikit-learn
+``TfidfVectorizer(max_features=10000, ngram_range=(1,2))`` + cosine
+(reference: src/retrieval.py:74-87, :145-172) with first-party builders
+whose scoring runs on device through the padded-ELL match-accumulate
+kernel (persian_rag_tpu.ops.sparse_scores).
+
+Score parity:
+* BM25 reproduces the Okapi formula with rank_bm25's exact constants and
+  idf floor: k1=1.5, b=0.75, idf(t) = ln((N-df+0.5)/(df+0.5)), negative
+  idfs replaced by epsilon(=0.25) * mean(raw idf).
+* TF-IDF reproduces sklearn defaults: lowercase, token_pattern
+  (?u)\\b\\w\\w+\\b, 1-2 grams, smooth_idf (ln((1+N)/(1+df))+1), l2 row
+  normalization; query transform likewise, so cosine == dot.
+
+All per-(doc, term) contributions are precomputed at build time into the
+ELL value matrix, so a query is: hash terms host-side -> (ids, vals)
+arrays -> one fused device kernel -> top-k ids.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+from collections import Counter
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from persian_rag_tpu.ops.sparse_scores import sparse_scores_ref, sparse_topk
+
+_TOKEN_RE = re.compile(r"(?u)\b\w\w+\b")
+
+
+def whitespace_tokenize(text: str) -> List[str]:
+    """The reference's BM25 tokenization (src/retrieval.py:66, :124)."""
+    return text.split()
+
+
+def sklearn_analyzer(text: str, ngram_range: Tuple[int, int] = (1, 2)) -> List[str]:
+    """sklearn TfidfVectorizer's default analyzer: lowercase word
+    tokens (>=2 chars), plus space-joined n-grams."""
+    tokens = _TOKEN_RE.findall(text.lower())
+    lo, hi = ngram_range
+    out: List[str] = []
+    for n in range(lo, hi + 1):
+        if n == 1:
+            out.extend(tokens)
+        else:
+            out.extend(
+                " ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)
+            )
+    return out
+
+
+class _EllIndex:
+    """Shared padded-ELL storage + device search."""
+
+    def __init__(self) -> None:
+        self.vocab: Dict[str, int] = {}
+        self.doc_ids: Optional[np.ndarray] = None  # (N, L) int32, -1 pad
+        self.doc_vals: Optional[np.ndarray] = None  # (N, L) float32
+        self._dev_ids: Optional[jnp.ndarray] = None
+        self._dev_vals: Optional[jnp.ndarray] = None
+
+    @property
+    def ntotal(self) -> int:
+        return 0 if self.doc_ids is None else self.doc_ids.shape[0]
+
+    def _build_ell(self, per_doc: List[List[Tuple[int, float]]]) -> None:
+        n = len(per_doc)
+        ell = max(1, max((len(d) for d in per_doc), default=1))
+        ids = np.full((n, ell), -1, np.int32)
+        vals = np.zeros((n, ell), np.float32)
+        for di, entries in enumerate(per_doc):
+            for li, (tid, v) in enumerate(entries):
+                ids[di, li] = tid
+                vals[di, li] = v
+        self.doc_ids, self.doc_vals = ids, vals
+        self._dev_ids = jnp.asarray(ids)
+        self._dev_vals = jnp.asarray(vals)
+
+    def _encode_queries(
+        self, queries_terms: Sequence[List[Tuple[int, float]]], t_max: int = 64
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        b = len(queries_terms)
+        t = max(1, min(t_max, max((len(q) for q in queries_terms), default=1)))
+        qids = np.full((b, t), -1, np.int32)
+        qvals = np.zeros((b, t), np.float32)
+        for bi, terms in enumerate(queries_terms):
+            for ti, (tid, v) in enumerate(terms[:t]):
+                qids[bi, ti] = tid
+                qvals[bi, ti] = v
+        return jnp.asarray(qids), jnp.asarray(qvals)
+
+    def _search_encoded(
+        self,
+        queries_terms: Sequence[List[Tuple[int, float]]],
+        k: int,
+        use_pallas: Optional[bool] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        qids, qvals = self._encode_queries(queries_terms)
+        s, i = sparse_topk(self._dev_ids, self._dev_vals, qids, qvals, k, use_pallas=use_pallas)
+        return np.asarray(s), np.asarray(i)
+
+    def _scores_encoded(
+        self, queries_terms: Sequence[List[Tuple[int, float]]]
+    ) -> np.ndarray:
+        qids, qvals = self._encode_queries(queries_terms)
+        return np.asarray(
+            sparse_scores_ref(self._dev_ids, self._dev_vals, qids, qvals)
+        )
+
+    def _save_arrays(self, path: str, extra: Dict) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(
+            path if path.endswith(".npz") else path + ".npz",
+            doc_ids=self.doc_ids,
+            doc_vals=self.doc_vals,
+        )
+        meta = dict(extra)
+        meta["vocab"] = self.vocab
+        base = path[:-4] if path.endswith(".npz") else path
+        with open(base + ".meta.json", "w", encoding="utf-8") as f:
+            json.dump(meta, f, ensure_ascii=False)
+
+    def _load_arrays(self, path: str) -> Dict:
+        npz = path if path.endswith(".npz") else path + ".npz"
+        data = np.load(npz)
+        self.doc_ids = data["doc_ids"]
+        self.doc_vals = data["doc_vals"]
+        self._dev_ids = jnp.asarray(self.doc_ids)
+        self._dev_vals = jnp.asarray(self.doc_vals)
+        base = path[:-4] if path.endswith(".npz") else path
+        with open(base + ".meta.json", "r", encoding="utf-8") as f:
+            meta = json.load(f)
+        self.vocab = meta.pop("vocab")
+        return meta
+
+
+class BM25Index(_EllIndex):
+    """Okapi BM25 with rank_bm25-identical scores."""
+
+    def __init__(self, k1: float = 1.5, b: float = 0.75, epsilon: float = 0.25):
+        super().__init__()
+        self.k1 = k1
+        self.b = b
+        self.epsilon = epsilon
+
+    def build(self, texts: Sequence[str]) -> "BM25Index":
+        tokenized = [whitespace_tokenize(t) for t in texts]
+        n = len(tokenized)
+        if n == 0:
+            raise ValueError("empty corpus")
+        doc_lens = np.array([len(t) for t in tokenized], np.float64)
+        avgdl = doc_lens.mean() if n else 0.0
+
+        doc_counters = [Counter(tokens) for tokens in tokenized]
+        df: Counter = Counter()
+        for c in doc_counters:
+            df.update(c.keys())
+        self.vocab = {term: i for i, term in enumerate(df.keys())}
+
+        raw_idf = {}
+        idf_sum = 0.0
+        negative = []
+        for term, freq in df.items():
+            idf = np.log(n - freq + 0.5) - np.log(freq + 0.5)
+            raw_idf[term] = idf
+            idf_sum += idf
+            if idf < 0:
+                negative.append(term)
+        average_idf = idf_sum / max(len(raw_idf), 1)
+        eps = self.epsilon * average_idf
+        for term in negative:
+            raw_idf[term] = eps
+        self.idf = raw_idf
+
+        per_doc: List[List[Tuple[int, float]]] = []
+        for di, counter in enumerate(doc_counters):
+            dl = doc_lens[di]
+            denom_norm = self.k1 * (1.0 - self.b + self.b * dl / max(avgdl, 1e-12))
+            entries = []
+            for term, tf in counter.items():
+                contrib = raw_idf[term] * tf * (self.k1 + 1.0) / (tf + denom_norm)
+                entries.append((self.vocab[term], float(contrib)))
+            per_doc.append(entries)
+        self._build_ell(per_doc)
+        self._avgdl = float(avgdl)
+        return self
+
+    def _query_terms(self, query: str) -> List[Tuple[int, float]]:
+        counts = Counter(whitespace_tokenize(query))
+        # Out-of-vocabulary query terms contribute 0 (rank_bm25 behavior).
+        return [
+            (self.vocab[t], float(m)) for t, m in counts.items() if t in self.vocab
+        ]
+
+    def get_scores(self, query: str) -> np.ndarray:
+        """(N,) BM25 scores, equal to rank_bm25.BM25Okapi.get_scores."""
+        return self._scores_encoded([self._query_terms(query)])[0]
+
+    def search(
+        self, queries: Sequence[str], k: int, use_pallas: Optional[bool] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        terms = [self._query_terms(q) for q in queries]
+        return self._search_encoded(terms, min(k, self.ntotal), use_pallas)
+
+    def save(self, path: str) -> None:
+        self._save_arrays(
+            path,
+            {
+                "type": "bm25",
+                "k1": self.k1,
+                "b": self.b,
+                "epsilon": self.epsilon,
+                "avgdl": self._avgdl,
+                "idf": self.idf,
+            },
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "BM25Index":
+        index = cls()
+        meta = index._load_arrays(path)
+        index.k1 = meta["k1"]
+        index.b = meta["b"]
+        index.epsilon = meta["epsilon"]
+        index._avgdl = meta["avgdl"]
+        index.idf = meta["idf"]
+        return index
+
+
+class TfidfIndex(_EllIndex):
+    """TF-IDF retrieval with sklearn-identical weighting and cosine scores."""
+
+    def __init__(
+        self,
+        max_features: Optional[int] = 10000,
+        ngram_range: Tuple[int, int] = (1, 2),
+    ):
+        super().__init__()
+        self.max_features = max_features
+        self.ngram_range = tuple(ngram_range)
+
+    def build(self, texts: Sequence[str]) -> "TfidfIndex":
+        analyzed = [sklearn_analyzer(t, self.ngram_range) for t in texts]
+        n = len(analyzed)
+        if n == 0:
+            raise ValueError("empty corpus")
+        doc_counters = [Counter(terms) for terms in analyzed]
+
+        term_freq: Counter = Counter()
+        df: Counter = Counter()
+        for c in doc_counters:
+            term_freq.update(c)
+            df.update(c.keys())
+
+        terms = sorted(df.keys())
+        if self.max_features is not None and len(terms) > self.max_features:
+            # sklearn _limit_features keeps the max_features terms with the
+            # highest total count, using np.argsort(-tfs) over the
+            # alphabetically-sorted vocabulary. Replicate with the same
+            # (unstable) argsort so tie resolution matches bit-for-bit.
+            tfs = np.array([term_freq[t] for t in terms], dtype=np.int64)
+            keep = np.argsort(-tfs)[: self.max_features]
+            terms = sorted(terms[i] for i in keep)
+        self.vocab = {t: i for i, t in enumerate(terms)}
+
+        idf = np.zeros(len(terms), np.float64)
+        for t, i in self.vocab.items():
+            idf[i] = np.log((1.0 + n) / (1.0 + df[t])) + 1.0
+        self._idf = idf
+
+        per_doc: List[List[Tuple[int, float]]] = []
+        for counter in doc_counters:
+            entries = [
+                (self.vocab[t], tf * idf[self.vocab[t]])
+                for t, tf in counter.items()
+                if t in self.vocab
+            ]
+            norm = np.sqrt(sum(v * v for _, v in entries))
+            if norm > 0:
+                entries = [(tid, float(v / norm)) for tid, v in entries]
+            per_doc.append(entries)
+        self._build_ell(per_doc)
+        return self
+
+    def _query_terms(self, query: str) -> List[Tuple[int, float]]:
+        counts = Counter(sklearn_analyzer(query, self.ngram_range))
+        entries = [
+            (self.vocab[t], tf * self._idf[self.vocab[t]])
+            for t, tf in counts.items()
+            if t in self.vocab
+        ]
+        norm = np.sqrt(sum(v * v for _, v in entries))
+        if norm > 0:
+            entries = [(tid, float(v / norm)) for tid, v in entries]
+        return entries
+
+    def get_scores(self, query: str) -> np.ndarray:
+        """(N,) cosine similarities, equal to sklearn cosine_similarity
+        over TfidfVectorizer rows."""
+        return self._scores_encoded([self._query_terms(query)])[0]
+
+    def search(
+        self, queries: Sequence[str], k: int, use_pallas: Optional[bool] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        terms = [self._query_terms(q) for q in queries]
+        return self._search_encoded(terms, min(k, self.ntotal), use_pallas)
+
+    def save(self, path: str) -> None:
+        self._save_arrays(
+            path,
+            {
+                "type": "tfidf",
+                "max_features": self.max_features,
+                "ngram_range": list(self.ngram_range),
+                "idf": self._idf.tolist(),
+            },
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "TfidfIndex":
+        index = cls()
+        meta = index._load_arrays(path)
+        index.max_features = meta["max_features"]
+        index.ngram_range = tuple(meta["ngram_range"])
+        index._idf = np.asarray(meta["idf"])
+        return index

@@ -1,0 +1,139 @@
+"""BM25 / TF-IDF parity tests.
+
+TF-IDF is checked against actual scikit-learn (available in this env).
+BM25 is checked against an independent in-test implementation of the
+published Okapi/rank_bm25 algorithm (rank_bm25 itself is not installed).
+"""
+import math
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from persian_rag_tpu.index.lexical import BM25Index, TfidfIndex, sklearn_analyzer
+
+CORPUS_EN = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast brown fox leaps over a sleepy cat",
+    "the dog sleeps all day long in the sun",
+    "cats and dogs are common household animals",
+    "the fox is a wild animal unlike the domestic dog",
+    "quick reflexes help the fox hunt at dawn",
+]
+
+CORPUS_FA = [
+    "دارو برای درمان بیماری استفاده می شود",
+    "این دارو عوارض جانبی کمی دارد",
+    "بیماری قلبی نیاز به درمان فوری دارد",
+    "مصرف دارو باید طبق دستور پزشک باشد",
+    "پزشک متخصص بیماری های قلبی است",
+]
+
+
+def rank_bm25_reference(corpus_tokens, query_tokens, k1=1.5, b=0.75, epsilon=0.25):
+    """Independent reimplementation of rank_bm25.BM25Okapi.get_scores."""
+    n = len(corpus_tokens)
+    doc_lens = [len(d) for d in corpus_tokens]
+    avgdl = sum(doc_lens) / n
+    doc_freqs = [Counter(d) for d in corpus_tokens]
+    nd = Counter()
+    for c in doc_freqs:
+        nd.update(c.keys())
+    idf = {}
+    idf_sum = 0.0
+    negative = []
+    for word, freq in nd.items():
+        v = math.log(n - freq + 0.5) - math.log(freq + 0.5)
+        idf[word] = v
+        idf_sum += v
+        if v < 0:
+            negative.append(word)
+    eps = epsilon * (idf_sum / len(idf))
+    for word in negative:
+        idf[word] = eps
+    scores = np.zeros(n)
+    for q in query_tokens:
+        q_freq = np.array([df.get(q, 0) for df in doc_freqs], dtype=float)
+        scores += idf.get(q, 0.0) * (
+            q_freq * (k1 + 1) / (q_freq + k1 * (1 - b + b * np.array(doc_lens) / avgdl))
+        )
+    return scores
+
+
+@pytest.mark.parametrize("corpus", [CORPUS_EN, CORPUS_FA])
+def test_bm25_scores_match_reference_formula(corpus):
+    index = BM25Index().build(corpus)
+    queries = [corpus[0].split()[0] + " " + corpus[1].split()[1], "fox dog", "دارو درمان"]
+    for q in queries:
+        want = rank_bm25_reference([c.split() for c in corpus], q.split())
+        got = index.get_scores(q)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_bm25_repeated_query_terms_accumulate():
+    index = BM25Index().build(CORPUS_EN)
+    once = index.get_scores("fox")
+    twice = index.get_scores("fox fox")
+    np.testing.assert_allclose(twice, 2 * once, rtol=1e-6)
+
+
+def test_bm25_search_topk_order():
+    index = BM25Index().build(CORPUS_EN)
+    scores, ids = index.search(["quick brown fox"], k=3)
+    dense = index.get_scores("quick brown fox")
+    want = np.argsort(-dense, kind="stable")[:3]
+    np.testing.assert_array_equal(ids[0], want)
+
+
+def test_bm25_save_load(tmp_path):
+    index = BM25Index().build(CORPUS_FA)
+    index.save(str(tmp_path / "bm25"))
+    loaded = BM25Index.load(str(tmp_path / "bm25"))
+    q = "دارو پزشک"
+    np.testing.assert_allclose(loaded.get_scores(q), index.get_scores(q))
+
+
+@pytest.mark.parametrize("corpus", [CORPUS_EN, CORPUS_FA])
+@pytest.mark.parametrize("max_features", [None, 10])
+def test_tfidf_matches_sklearn(corpus, max_features):
+    from sklearn.feature_extraction.text import TfidfVectorizer
+    from sklearn.metrics.pairwise import cosine_similarity
+
+    vec = TfidfVectorizer(
+        max_features=max_features, stop_words=None, ngram_range=(1, 2)
+    )
+    matrix = vec.fit_transform(corpus)
+
+    index = TfidfIndex(max_features=max_features, ngram_range=(1, 2)).build(corpus)
+
+    for query in [corpus[0], corpus[-1][:20], "unseen words entirely"]:
+        qv = vec.transform([query])
+        want = cosine_similarity(qv, matrix).flatten()
+        got = index.get_scores(query)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_tfidf_vocab_matches_sklearn():
+    from sklearn.feature_extraction.text import TfidfVectorizer
+
+    vec = TfidfVectorizer(stop_words=None, ngram_range=(1, 2))
+    vec.fit(CORPUS_EN)
+    index = TfidfIndex(max_features=None).build(CORPUS_EN)
+    assert index.vocab == {t: int(i) for t, i in vec.vocabulary_.items()}
+
+
+def test_tfidf_analyzer_matches_sklearn_analyzer():
+    from sklearn.feature_extraction.text import TfidfVectorizer
+
+    vec = TfidfVectorizer(stop_words=None, ngram_range=(1, 2))
+    analyzer = vec.build_analyzer()
+    for text in CORPUS_EN + CORPUS_FA + ["Mixed CASE text, with punct!"]:
+        assert sklearn_analyzer(text) == analyzer(text)
+
+
+def test_tfidf_save_load(tmp_path):
+    index = TfidfIndex().build(CORPUS_EN)
+    index.save(str(tmp_path / "tfidf"))
+    loaded = TfidfIndex.load(str(tmp_path / "tfidf"))
+    q = "brown fox"
+    np.testing.assert_allclose(loaded.get_scores(q), index.get_scores(q))
