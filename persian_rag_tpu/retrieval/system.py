@@ -1,0 +1,383 @@
+"""Unified retrieval system: dense | bm25 | tfidf | hybrid.
+
+API- and semantics-compatible rebuild of the reference's RetrievalSystem
+(reference: src/retrieval.py:12-336) on the TPU-native index stack:
+
+* dense    — DenseIndex (fused Pallas flat search) with the reference's
+             1/(1+L2) similarity mapping (src/retrieval.py:108),
+* bm25     — BM25Index, raw Okapi scores descending (:117-143),
+* tfidf    — TfidfIndex, cosine descending (:145-172),
+* hybrid   — dense & bm25 each at 2*k, per-method max-normalization and a
+             0.6/0.4 weighted sum (:174-216).
+
+Beyond the reference: `retrieve_batch` answers many queries in one device
+round-trip (the reference is strictly one-query-at-a-time), and a mesh
+shards the dense corpus across chips.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from jax.sharding import Mesh
+
+from persian_rag_tpu.index.dense import DenseIndex
+from persian_rag_tpu.index.lexical import BM25Index, TfidfIndex
+
+Chunk = Dict
+Result = Tuple[Chunk, float]
+
+
+class RetrievalSystem:
+    def __init__(
+        self,
+        method: str = "dense",
+        encoder=None,
+        model_path: Optional[str] = None,
+        mesh: Optional[Mesh] = None,
+        dense_metric: str = "l2",
+        query_prefix: str = "",
+        passage_prefix: str = "",
+    ):
+        """
+        Args:
+          method: "dense" | "bm25" | "tfidf" | "hybrid"
+          encoder: a SentenceEncoder (or None for lexical-only methods)
+          model_path: local sentence-transformers dir, loaded lazily when
+            no encoder instance is passed (reference keeps this argument)
+          mesh: optional device mesh for corpus sharding
+          dense_metric: "l2" (FAISS-parity scores) or "cosine"
+          query_prefix/passage_prefix: e5-style instruction prefixes
+        """
+        self.method = method
+        self.mesh = mesh
+        self.dense_metric = dense_metric
+        self.query_prefix = query_prefix
+        self.passage_prefix = passage_prefix
+        self.embedding_model = encoder
+        if encoder is None and model_path and method in ("dense", "hybrid"):
+            from persian_rag_tpu.models.sentence_encoder import SentenceEncoder
+
+            self.embedding_model = SentenceEncoder.from_pretrained(
+                model_path, mesh=mesh
+            )
+        self.chunks: Optional[List[Chunk]] = None
+        self.dense_index: Optional[DenseIndex] = None
+        self.bm25_index: Optional[BM25Index] = None
+        self.tfidf_index: Optional[TfidfIndex] = None
+        self.is_ready = False
+
+    # -- setup ---------------------------------------------------------------
+
+    def load_chunks_and_index(
+        self,
+        chunk_file,
+        faiss_index_file: Optional[str] = None,
+        embeddings: Optional[np.ndarray] = None,
+    ) -> bool:
+        """Load chunks (CSV path or list of dicts) and build/load indexes.
+
+        Dense vectors come from, in priority order: `embeddings`, a FAISS
+        or native index file, or encoding the chunks with the embedding
+        model (the reference requires a prebuilt FAISS file — reference:
+        src/retrieval.py:52-59).
+        """
+        if isinstance(chunk_file, str):
+            import pandas as pd
+
+            df = pd.read_csv(chunk_file, encoding="utf-8")
+            self.chunks = df.to_dict("records")
+        else:
+            self.chunks = list(chunk_file)
+        texts = [str(c["text"]) for c in self.chunks]
+
+        if self.method in ("dense", "hybrid"):
+            if embeddings is not None:
+                self._build_dense(np.asarray(embeddings, np.float32))
+            elif faiss_index_file:
+                if faiss_index_file.endswith(".npz"):
+                    self.dense_index = DenseIndex.load(
+                        faiss_index_file, mesh=self.mesh
+                    )
+                else:
+                    self.dense_index = DenseIndex.from_faiss(
+                        faiss_index_file, mesh=self.mesh
+                    )
+                self.dense_metric = self.dense_index.metric
+            elif self.embedding_model is not None:
+                vectors = self.embedding_model.encode(
+                    [self.passage_prefix + t for t in texts]
+                )
+                self._build_dense(vectors)
+            else:
+                print("dense retrieval needs embeddings, an index file, or an encoder")
+                return False
+            if self.dense_index.ntotal != len(self.chunks):
+                print(
+                    f"warning: index has {self.dense_index.ntotal} vectors "
+                    f"but {len(self.chunks)} chunks"
+                )
+
+        if self.method in ("bm25", "hybrid"):
+            self.bm25_index = BM25Index().build(texts)
+
+        if self.method in ("tfidf", "hybrid"):
+            self.tfidf_index = TfidfIndex().build(texts)
+
+        self.is_ready = True
+        return True
+
+    def _build_dense(self, vectors: np.ndarray) -> None:
+        self.dense_index = DenseIndex(
+            vectors.shape[1], metric=self.dense_metric, mesh=self.mesh
+        )
+        self.dense_index.add(vectors)
+        self.dense_index.commit()
+
+    # -- single-query paths (reference-compatible API) -------------------------
+
+    def retrieve_dense(self, query: str, top_k: int = 10) -> List[Result]:
+        results = self.retrieve_dense_batch([query], top_k)
+        return results[0]
+
+    def retrieve_bm25(self, query: str, top_k: int = 10) -> List[Result]:
+        return self.retrieve_bm25_batch([query], top_k)[0]
+
+    def retrieve_tfidf(self, query: str, top_k: int = 10) -> List[Result]:
+        return self.retrieve_tfidf_batch([query], top_k)[0]
+
+    def retrieve_hybrid(
+        self,
+        query: str,
+        top_k: int = 10,
+        dense_weight: float = 0.6,
+        bm25_weight: float = 0.4,
+    ) -> List[Result]:
+        return self.retrieve_hybrid_batch(
+            [query], top_k, dense_weight, bm25_weight
+        )[0]
+
+    def retrieve(self, query: str, top_k: int = 10) -> List[Result]:
+        """Dispatch on the configured method (reference:
+        src/retrieval.py:222-238)."""
+        return self.retrieve_batch([query], top_k)[0]
+
+    # -- batched paths ---------------------------------------------------------
+
+    def retrieve_batch(
+        self, queries: Sequence[str], top_k: int = 10
+    ) -> List[List[Result]]:
+        if not self.is_ready:
+            raise RuntimeError(
+                "Retrieval system is not ready; load_chunks_and_index first"
+            )
+        if self.method == "dense":
+            return self.retrieve_dense_batch(queries, top_k)
+        if self.method == "bm25":
+            return self.retrieve_bm25_batch(queries, top_k)
+        if self.method == "tfidf":
+            return self.retrieve_tfidf_batch(queries, top_k)
+        if self.method == "hybrid":
+            return self.retrieve_hybrid_batch(queries, top_k)
+        raise ValueError(f"unknown retrieval method: {self.method}")
+
+    def _encode_queries(self, queries: Sequence[str]) -> np.ndarray:
+        if self.embedding_model is None:
+            raise RuntimeError("no embedding model configured for dense retrieval")
+        return self.embedding_model.encode(
+            [self.query_prefix + q for q in queries]
+        )
+
+    def retrieve_dense_batch(
+        self, queries: Sequence[str], top_k: int = 10
+    ) -> List[List[Result]]:
+        if self.dense_index is None:
+            return [[] for _ in queries]
+        q = self._encode_queries(queries)
+        scores, ids = self.dense_index.search(q, top_k)
+        out: List[List[Result]] = []
+        for qi in range(len(queries)):
+            row: List[Result] = []
+            for score, idx in zip(scores[qi], ids[qi]):
+                if 0 <= idx < len(self.chunks):
+                    if self.dense_metric == "l2":
+                        # similarity mapping from reference src/retrieval.py:108
+                        similarity = 1.0 / (1.0 + float(score))
+                    else:
+                        similarity = float(score)
+                    row.append((self.chunks[idx], similarity))
+            out.append(row)
+        return out
+
+    def _lexical_batch(
+        self, index, queries: Sequence[str], top_k: int
+    ) -> List[List[Result]]:
+        if index is None:
+            return [[] for _ in queries]
+        scores, ids = index.search(list(queries), top_k)
+        out: List[List[Result]] = []
+        for qi in range(len(queries)):
+            row = [
+                (self.chunks[idx], float(score))
+                for score, idx in zip(scores[qi], ids[qi])
+                if 0 <= idx < len(self.chunks)
+            ]
+            out.append(row)
+        return out
+
+    def retrieve_bm25_batch(self, queries, top_k: int = 10):
+        return self._lexical_batch(self.bm25_index, queries, top_k)
+
+    def retrieve_tfidf_batch(self, queries, top_k: int = 10):
+        return self._lexical_batch(self.tfidf_index, queries, top_k)
+
+    def retrieve_hybrid_batch(
+        self,
+        queries: Sequence[str],
+        top_k: int = 10,
+        dense_weight: float = 0.6,
+        bm25_weight: float = 0.4,
+    ) -> List[List[Result]]:
+        """Over-retrieve both channels at 2*k, max-normalize per channel,
+        weighted-sum, re-rank (reference: src/retrieval.py:174-216)."""
+        dense = self.retrieve_dense_batch(queries, top_k * 2)
+        bm25 = self.retrieve_bm25_batch(queries, top_k * 2)
+        out: List[List[Result]] = []
+        for qi in range(len(queries)):
+            combined: Dict[str, Dict] = {}
+            if dense[qi]:
+                max_d = max(s for _, s in dense[qi])
+                for chunk, score in dense[qi]:
+                    norm = score / max_d if max_d > 0 else 0.0
+                    combined[chunk["id"]] = {
+                        "chunk": chunk,
+                        "dense": norm * dense_weight,
+                        "bm25": 0.0,
+                    }
+            if bm25[qi]:
+                max_b = max(s for _, s in bm25[qi])
+                for chunk, score in bm25[qi]:
+                    norm = score / max_b if max_b > 0 else 0.0
+                    entry = combined.setdefault(
+                        chunk["id"], {"chunk": chunk, "dense": 0.0, "bm25": 0.0}
+                    )
+                    entry["bm25"] = norm * bm25_weight
+            fused = [
+                (e["chunk"], e["dense"] + e["bm25"]) for e in combined.values()
+            ]
+            fused.sort(key=lambda x: x[1], reverse=True)
+            out.append(fused[:top_k])
+        return out
+
+    # -- RAG context assembly ----------------------------------------------------
+
+    def get_contexts_for_rag(
+        self, query: str, top_k: int = 5, max_context_length: int = 2000
+    ) -> Tuple[List[str], List[Dict]]:
+        """Budgeted context assembly (reference: src/retrieval.py:240-272)."""
+        results = self.retrieve(query, top_k)
+        contexts: List[str] = []
+        metadata: List[Dict] = []
+        total = 0
+        for chunk, score in results:
+            text = str(chunk["text"])
+            if total + len(text) > max_context_length:
+                remaining = max_context_length - total
+                if remaining > 100:
+                    text = text[:remaining] + "..."
+                else:
+                    break
+            contexts.append(text)
+            metadata.append(
+                {
+                    "chunk_id": chunk["id"],
+                    "score": score,
+                    "chunk_type": chunk.get("chunk_type", "unknown"),
+                    "length": len(text),
+                }
+            )
+            total += len(text)
+            if total >= max_context_length:
+                break
+        return contexts, metadata
+
+    # -- built-in retrieval eval ---------------------------------------------------
+
+    def evaluate_retrieval_quality(
+        self,
+        test_queries: List[Dict],
+        relevant_chunks: Dict[str, List[str]],
+        batch_size: int = 64,
+    ) -> Dict[str, float]:
+        """Hit@{1,3,5} and MRR@10 (reference: src/retrieval.py:274-323),
+        batched on device instead of per-query."""
+        hit1, hit3, hit5, mrrs = [], [], [], []
+        evaluated = []
+        for i, qd in enumerate(test_queries):
+            qid = qd.get("id", str(i))
+            if relevant_chunks.get(qid):
+                evaluated.append((qd["question"], relevant_chunks[qid]))
+        for start in range(0, len(evaluated), batch_size):
+            batch = evaluated[start : start + batch_size]
+            results = self.retrieve_batch([q for q, _ in batch], top_k=10)
+            for (query, relevant), res in zip(batch, results):
+                ids = [chunk["id"] for chunk, _ in res]
+                hit1.append(any(c in relevant for c in ids[:1]))
+                hit3.append(any(c in relevant for c in ids[:3]))
+                hit5.append(any(c in relevant for c in ids[:5]))
+                mrr = 0.0
+                for rank, cid in enumerate(ids, 1):
+                    if cid in relevant:
+                        mrr = 1.0 / rank
+                        break
+                mrrs.append(mrr)
+        return {
+            "hit_at_1": float(np.mean(hit1)) if hit1 else 0.0,
+            "hit_at_3": float(np.mean(hit3)) if hit3 else 0.0,
+            "hit_at_5": float(np.mean(hit5)) if hit5 else 0.0,
+            "mrr": float(np.mean(mrrs)) if mrrs else 0.0,
+            "total_queries": len(test_queries),
+        }
+
+    def cleanup(self) -> None:
+        """Release references (reference: src/retrieval.py:325-336)."""
+        self.embedding_model = None
+        self.dense_index = None
+        self.bm25_index = None
+        self.tfidf_index = None
+        self.chunks = None
+        self.is_ready = False
+
+
+class MultiModelRetrieval:
+    """Compare several embedding models on the same corpus (reference:
+    src/retrieval.py:339-389)."""
+
+    def __init__(self, encoders: Dict[str, object], mesh=None):
+        self.encoders = encoders
+        self.mesh = mesh
+        self.retrievers: Dict[str, RetrievalSystem] = {}
+
+    def setup_retrievers(
+        self, chunk_file, indices: Optional[Dict[str, str]] = None
+    ) -> None:
+        for name, encoder in self.encoders.items():
+            retriever = RetrievalSystem(
+                method="dense", encoder=encoder, mesh=self.mesh
+            )
+            index_file = (indices or {}).get(name)
+            if retriever.load_chunks_and_index(chunk_file, index_file):
+                self.retrievers[name] = retriever
+
+    def compare_retrieval_performance(
+        self, test_queries: List[Dict], relevant_chunks: Dict[str, List[str]]
+    ) -> Dict[str, Dict]:
+        return {
+            name: r.evaluate_retrieval_quality(test_queries, relevant_chunks)
+            for name, r in self.retrievers.items()
+        }
+
+    def cleanup_all(self) -> None:
+        for retriever in self.retrievers.values():
+            retriever.cleanup()
+        self.retrievers.clear()
