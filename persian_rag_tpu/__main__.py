@@ -1,0 +1,86 @@
+"""CLI: python -m persian_rag_tpu <command>.
+
+Commands mirror the reference's phase scripts plus serve/bench:
+  phase1 | phase2 | phase3 | phase4 | run-all | fast-test | status |
+  ui | bench
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="persian_rag_tpu")
+    parser.add_argument(
+        "command",
+        choices=[
+            "phase1", "phase2", "phase3", "phase4", "run-all",
+            "fast-test", "status", "ui", "bench",
+        ],
+    )
+    parser.add_argument("--config", default="config.yaml")
+    parser.add_argument("--tiny", action="store_true",
+                        help="use small encoder architectures (smoke runs)")
+    parser.add_argument("--mesh-corpus", type=int, default=1)
+    parser.add_argument("--mesh-data", type=int, default=1)
+    parser.add_argument("--methods", default=None,
+                        help="comma list for phase4 (bm25,tfidf,dense,hybrid)")
+    args = parser.parse_args(argv)
+
+    from persian_rag_tpu.core.config import load_config
+    from persian_rag_tpu.core.mesh import build_mesh
+
+    config = load_config(args.config)
+    mesh = None
+    if args.mesh_corpus * args.mesh_data > 1:
+        mesh = build_mesh(args.mesh_corpus, args.mesh_data)
+
+    if args.command == "phase1":
+        from persian_rag_tpu.pipelines import phase1
+
+        out = phase1.main(config, mesh=mesh, tiny=args.tiny)
+    elif args.command == "phase2":
+        from persian_rag_tpu.pipelines import phase2
+
+        out = phase2.main(config, mesh=mesh, tiny=args.tiny)
+    elif args.command == "phase3":
+        from persian_rag_tpu.pipelines import phase3
+
+        out = phase3.main(config, mesh=mesh, tiny=args.tiny)
+    elif args.command == "phase4":
+        from persian_rag_tpu.pipelines import phase4
+
+        methods = args.methods.split(",") if args.methods else None
+        out = phase4.main(config, mesh=mesh, tiny=args.tiny, methods=methods)
+    elif args.command == "run-all":
+        from persian_rag_tpu.pipelines import run_all
+
+        out = run_all.main(config, mesh=mesh, tiny=args.tiny)
+    elif args.command == "fast-test":
+        from persian_rag_tpu.pipelines import fast_test
+
+        fast_test.run_menu(config)
+        return 0
+    elif args.command == "status":
+        from persian_rag_tpu.pipelines.fast_test import show_system_status
+
+        out = show_system_status(config)
+    elif args.command == "ui":
+        from persian_rag_tpu.ui.app import launch
+
+        launch(config)
+        return 0
+    elif args.command == "bench":
+        import subprocess
+
+        return subprocess.call([sys.executable, "bench.py"])
+    else:  # pragma: no cover
+        return 1
+    print(json.dumps(out, ensure_ascii=False, indent=2, default=str)[:4000])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
