@@ -1,0 +1,74 @@
+"""create_embeddings pipeline: discovery, idempotent skip, verify; collections."""
+import os
+
+import numpy as np
+import pytest
+
+from persian_rag_tpu.core.config import Config
+from persian_rag_tpu.index.collections import Collection, CollectionStore
+from persian_rag_tpu.pipelines import create_embeddings, phase3
+
+
+@pytest.fixture
+def config(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = Config()
+    cfg.models = ["tiny-model"]
+    cfg.chunking.word_chunk_size = 30
+    cfg.chunking.word_overlap = 5
+    return cfg
+
+
+def test_build_skip_and_verify(config):
+    phase3.main(config, tiny=True)  # produce chunk CSVs
+    results = create_embeddings.main(config, tiny=True)
+    per_model = results["models"]["tiny-model"]
+    assert not per_model["word"]["skipped"]
+    assert per_model["word"]["num_vectors"] > 0
+    assert per_model["word"]["docs_per_sec"] > 0
+    assert os.path.exists(per_model["word"]["path"] + ".index")  # faiss export
+
+    # idempotent skip on second run
+    results2 = create_embeddings.main(config, tiny=True)
+    assert results2["models"]["tiny-model"]["word"]["skipped"]
+    # force rebuild
+    results3 = create_embeddings.main(config, tiny=True, force=True)
+    assert not results3["models"]["tiny-model"]["word"]["skipped"]
+
+    verify = create_embeddings.main(config, verify=True)["verify"]
+    assert verify, "no indexes verified"
+    assert all(v["ok"] for v in verify.values()), verify
+
+
+def test_discovers_finetuned_dirs(config, tmp_path):
+    os.makedirs("models/foo_finetuned", exist_ok=True)
+    models = create_embeddings.discover_models(config)
+    assert any("foo_finetuned" in m for m in models)
+    assert "tiny-model" in models
+
+
+def test_collection_add_query(rng):
+    col = Collection("test", metric="cosine")
+    emb = rng.standard_normal((20, 16)).astype(np.float32)
+    col.add(
+        ids=[f"id{i}" for i in range(20)],
+        documents=[f"doc {i}" for i in range(20)],
+        embeddings=emb,
+        metadatas=[{"i": i} for i in range(20)],
+        batch_size=7,
+    )
+    assert col.count() == 20
+    out = col.query(query_embeddings=emb[[3]], n_results=3)
+    assert out["ids"][0][0] == "id3"
+    assert out["documents"][0][0] == "doc 3"
+    assert out["metadatas"][0][0] == {"i": 3}
+    assert out["distances"][0][0] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_collection_store():
+    store = CollectionStore()
+    a = store.get_or_create_collection("a")
+    assert store.get_or_create_collection("a") is a
+    assert store.list_collections() == ["a"]
+    store.delete_collection("a")
+    assert store.list_collections() == []
