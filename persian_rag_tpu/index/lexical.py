@@ -70,6 +70,11 @@ class _EllIndex:
     def ntotal(self) -> int:
         return 0 if self.doc_ids is None else self.doc_ids.shape[0]
 
+    def _set_ell(self, ids: np.ndarray, vals: np.ndarray) -> None:
+        self.doc_ids, self.doc_vals = ids, vals
+        self._dev_ids = jnp.asarray(ids)
+        self._dev_vals = jnp.asarray(vals)
+
     def _build_ell(self, per_doc: List[List[Tuple[int, float]]]) -> None:
         n = len(per_doc)
         ell = max(1, max((len(d) for d in per_doc), default=1))
@@ -150,7 +155,35 @@ class BM25Index(_EllIndex):
         self.b = b
         self.epsilon = epsilon
 
-    def build(self, texts: Sequence[str]) -> "BM25Index":
+    def build(
+        self, texts: Sequence[str], use_native: Optional[bool] = None
+    ) -> "BM25Index":
+        """Build the index. The host-side hot loop (tokenize -> vocab ->
+        df/tf -> ELL fill) runs in the C++ builder
+        (persian_rag_tpu/native/lexical_native.cpp) when available, with
+        a bit-identical pure-Python fallback."""
+        if use_native is not False:
+            try:
+                from persian_rag_tpu import native
+
+                if native.available():
+                    # re-join on single spaces so the C++ ASCII-whitespace
+                    # splitter sees exactly Python str.split() tokens
+                    joined = [" ".join(whitespace_tokenize(t)) for t in texts]
+                    ids, vals, vocab, idf, avgdl = native.bm25_build_ell(
+                        joined, self.k1, self.b, self.epsilon
+                    )
+                    self.vocab = vocab
+                    self.idf = idf
+                    self._avgdl = avgdl
+                    self._set_ell(ids, vals)
+                    return self
+            except Exception:
+                if use_native:  # explicitly requested
+                    raise
+        return self._build_python(texts)
+
+    def _build_python(self, texts: Sequence[str]) -> "BM25Index":
         tokenized = [whitespace_tokenize(t) for t in texts]
         n = len(tokenized)
         if n == 0:
