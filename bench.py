@@ -1,10 +1,16 @@
 """Benchmark: TPU fused flat-search QPS vs CPU flat exact search.
 
-The BASELINE.json north star: >=10x FAISS-flat CPU QPS at identical
+BASELINE.json north star: >=10x FAISS-flat CPU QPS at identical
 Recall@10 on the Persian QA corpus scale. faiss is not installed in this
 image, so the CPU baseline is the same exact computation (full matmul +
-top-k) through NumPy/BLAS — the identical algorithm faiss-flat runs, on
-all host cores.
+top-k) through NumPy/BLAS — the identical algorithm faiss-flat runs.
+
+Measurement methodology (important on this tunneled-TPU setup): repeated
+dispatches of identical (computation, inputs) pairs are served from a
+relay cache and host<->device transfers cost ~25-40 ms, so the timed
+region is a single jitted ``lax.fori_loop`` that generates a fresh query
+batch on device every iteration and folds results into one scalar; one
+dispatch + one scalar readback per measurement.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -26,10 +32,10 @@ def log(*args):
 
 N_DOCS = 200_000
 DIM = 384          # MiniLM-L12 dimensionality
-N_QUERIES = 256
 K = 10
-BATCH = 64         # queries per request batch
-REPS = 30
+BATCH = 512        # queries per request batch
+REPS = 20          # fori_loop iterations inside the timed dispatch
+RECALL_QUERIES = 256
 
 
 def cpu_flat_search(queries: np.ndarray, corpus: np.ndarray, k: int):
@@ -44,23 +50,23 @@ def cpu_flat_search(queries: np.ndarray, corpus: np.ndarray, k: int):
 
 def main() -> None:
     rng = np.random.default_rng(0)
-    log(f"corpus N={N_DOCS} d={DIM}, {N_QUERIES} queries, k={K}")
+    log(f"corpus N={N_DOCS} d={DIM}, batch={BATCH}, k={K}")
     corpus = rng.standard_normal((N_DOCS, DIM)).astype(np.float32)
     corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
-    queries = rng.standard_normal((N_QUERIES, DIM)).astype(np.float32)
-    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
 
-    # -- CPU baseline --------------------------------------------------------
-    _ = cpu_flat_search(queries[:8], corpus, K)  # warm BLAS
+    # -- CPU baseline ---------------------------------------------------------
+    cpu_queries = rng.standard_normal((BATCH, DIM)).astype(np.float32)
+    cpu_queries /= np.linalg.norm(cpu_queries, axis=1, keepdims=True)
+    _ = cpu_flat_search(cpu_queries[:8], corpus, K)  # warm BLAS
     t0 = time.time()
     cpu_reps = 3
     for _ in range(cpu_reps):
-        _, cpu_idx = cpu_flat_search(queries, corpus, K)
+        cpu_flat_search(cpu_queries, corpus, K)
     cpu_time = (time.time() - t0) / cpu_reps
-    cpu_qps = N_QUERIES / cpu_time
-    log(f"CPU flat exact: {cpu_time*1e3:.1f} ms / {N_QUERIES} q -> {cpu_qps:.0f} QPS")
+    cpu_qps = BATCH / cpu_time
+    log(f"CPU flat exact: {cpu_time*1e3:.1f} ms / {BATCH} q -> {cpu_qps:.0f} QPS")
 
-    # -- TPU fused kernel ------------------------------------------------------
+    # -- TPU fused kernel -------------------------------------------------------
     import jax
     import jax.numpy as jnp
 
@@ -68,49 +74,77 @@ def main() -> None:
 
     backend = jax.default_backend()
     log(f"jax backend: {backend}, devices: {jax.devices()}")
-    corpus_dev = jax.device_put(jnp.asarray(corpus))
-    queries_dev = jnp.asarray(queries)
+    interpret = backend != "tpu"
 
-    search = jax.jit(
-        functools.partial(
-            flat_topk_pallas, k=K, metric="dot", interpret=backend != "tpu"
+    probe = rng.standard_normal((RECALL_QUERIES, DIM)).astype(np.float32)
+    probe /= np.linalg.norm(probe, axis=1, keepdims=True)
+    _, cpu_idx = cpu_flat_search(probe, corpus, K)
+
+    def run_config(name, corpus_dev, **kw):
+        search = functools.partial(
+            flat_topk_pallas, k=K, metric="dot", interpret=interpret, **kw
         )
-    )
-    # warm-up / compile
-    s, i = search(queries_dev[:BATCH], corpus_dev)
-    jax.block_until_ready((s, i))
+        tpu_idx = np.asarray(
+            jax.block_until_ready(search(jnp.asarray(probe), corpus_dev))[1]
+        )
+        recall = float(
+            np.mean(
+                [
+                    len(set(tpu_idx[q]) & set(cpu_idx[q])) / K
+                    for q in range(RECALL_QUERIES)
+                ]
+            )
+        )
 
-    # recall parity check vs CPU exact
-    tpu_idx = np.asarray(
-        jax.block_until_ready(search(queries_dev, corpus_dev))[1]
-    )
-    recall = np.mean(
-        [
-            len(set(tpu_idx[q]) & set(cpu_idx[q])) / K
-            for q in range(N_QUERIES)
-        ]
-    )
-    log(f"Recall@{K} vs CPU exact: {recall:.4f}")
+        @jax.jit
+        def timed_loop(c, seed):
+            def body(i, acc):
+                key = jax.random.fold_in(jax.random.PRNGKey(0), seed + i)
+                q = jax.random.normal(key, (BATCH, DIM), jnp.float32)
+                s, idx = search(q, c)
+                return acc + jnp.sum(s) + jnp.sum(idx).astype(jnp.float32)
 
-    t0 = time.time()
-    for rep in range(REPS):
-        start = (rep * BATCH) % (N_QUERIES - BATCH + 1)
-        s, i = search(queries_dev[start : start + BATCH], corpus_dev)
-    jax.block_until_ready((s, i))
-    tpu_time = (time.time() - t0) / REPS
-    tpu_qps = BATCH / tpu_time
-    log(
-        f"TPU fused flat search: {tpu_time*1e3:.2f} ms / {BATCH} q "
-        f"-> {tpu_qps:.0f} QPS ({tpu_qps / cpu_qps:.1f}x CPU)"
+            return jax.lax.fori_loop(0, REPS, body, 0.0)
+
+        np.asarray(timed_loop(corpus_dev, 0))  # compile + warm
+        t0 = time.time()
+        np.asarray(timed_loop(corpus_dev, 10_000))  # fresh seeds
+        dt = (time.time() - t0) / REPS
+        qps = BATCH / dt
+        log(
+            f"{name}: {dt*1e3:.2f} ms / {BATCH} q -> {qps:.0f} QPS "
+            f"({qps / cpu_qps:.1f}x CPU), Recall@{K}={recall:.4f}"
+        )
+        return qps, recall
+
+    c32 = jax.device_put(jnp.asarray(corpus))
+    # Headline config: bit-exact search — identical Recall@10/MRR to the
+    # CPU/FAISS-flat reference by construction.
+    exact_qps, exact_recall = run_config(
+        "TPU exact f32", c32, tile_q=256, tile_n=1024, mode="exact"
     )
+    # Upside config: bf16-resident corpus + packed-key top-k.
+    c16 = jax.device_put(jnp.asarray(corpus).astype(jnp.bfloat16))
+    fast_qps, fast_recall = run_config(
+        "TPU fast bf16",
+        c16,
+        tile_q=256,
+        tile_n=2048,
+        compute_dtype=jnp.bfloat16,
+        mode="fast",
+    )
+    del fast_qps, fast_recall  # stderr visibility only
 
     print(
         json.dumps(
             {
-                "metric": f"flat_search_qps_n{N_DOCS}_d{DIM}_k{K}_recall{recall:.3f}",
-                "value": round(tpu_qps, 1),
+                "metric": (
+                    f"flat_search_qps_n{N_DOCS}_d{DIM}_k{K}"
+                    f"_recall{exact_recall:.3f}"
+                ),
+                "value": round(exact_qps, 1),
                 "unit": "queries/s",
-                "vs_baseline": round(tpu_qps / cpu_qps, 2),
+                "vs_baseline": round(exact_qps / cpu_qps, 2),
             }
         )
     )

@@ -47,7 +47,14 @@ class DenseIndex:
         mesh: Optional[Mesh] = None,
         compute_dtype: jnp.dtype = jnp.float32,
         use_pallas: Optional[bool] = None,
+        storage_dtype: jnp.dtype = jnp.float32,
+        search_mode: str = "exact",
     ):
+        """storage_dtype=bfloat16 halves HBM residency and bandwidth
+        (vectors quantized once at commit); search_mode="fast" uses the
+        packed-key kernel (scores quantized to 21 bits, ordering may
+        permute inside ~2^-12-relative ties). Defaults are bit-exact
+        FAISS-parity behavior."""
         if metric not in _METRICS:
             raise ValueError(f"metric must be one of {_METRICS}, got {metric}")
         self.dim = dim
@@ -55,6 +62,8 @@ class DenseIndex:
         self.mesh = mesh
         self.compute_dtype = compute_dtype
         self.use_pallas = use_pallas
+        self.storage_dtype = jnp.dtype(storage_dtype)
+        self.search_mode = search_mode
         self._pending: list[np.ndarray] = []
         self._device_corpus: Optional[jnp.ndarray] = None
         self._ntotal = 0
@@ -82,7 +91,9 @@ class DenseIndex:
             return
         parts = []
         if self._device_corpus is not None:
-            existing = np.asarray(self._device_corpus)[: self._ntotal]
+            existing = np.asarray(
+                self._device_corpus.astype(jnp.float32)
+            )[: self._ntotal]
             parts.append(existing)
         parts.extend(self._pending)
         if not parts:
@@ -92,7 +103,7 @@ class DenseIndex:
             corpus = _l2_normalize(corpus)
         self._pending.clear()
         self._ntotal = corpus.shape[0]
-        arr = jnp.asarray(corpus)
+        arr = jnp.asarray(corpus).astype(self.storage_dtype)
         if self.mesh is not None:
             arr, _ = shard_corpus(arr, self.mesh)
         else:
@@ -135,6 +146,7 @@ class DenseIndex:
                 metric=metric,
                 use_pallas=self.use_pallas,
                 compute_dtype=self.compute_dtype,
+                mode=self.search_mode,
             )
         else:
             scores, ids = flat_topk(
@@ -144,6 +156,7 @@ class DenseIndex:
                 metric=metric,
                 use_pallas=self.use_pallas,
                 compute_dtype=self.compute_dtype,
+                mode=self.search_mode,
             )
         scores = np.asarray(scores)
         ids = np.asarray(ids)
@@ -154,10 +167,13 @@ class DenseIndex:
     # -- persistence --------------------------------------------------------
 
     def vectors(self) -> np.ndarray:
-        """Host copy of the committed corpus (cosine: normalized form)."""
+        """Host copy of the committed corpus as float32 (cosine:
+        normalized form; bf16 storage: the quantized values)."""
         if self._pending:
             self.commit()
-        return np.asarray(self._device_corpus)[: self._ntotal]
+        return np.asarray(
+            self._device_corpus.astype(jnp.float32)
+        )[: self._ntotal]
 
     def save(self, path: str) -> None:
         """Native format: .npz payload + .json sidecar metadata."""

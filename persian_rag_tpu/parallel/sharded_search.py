@@ -57,6 +57,7 @@ def sharded_flat_topk(
     metric: str = "dot",
     use_pallas: Optional[bool] = None,
     compute_dtype: jnp.dtype = jnp.float32,
+    mode: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Search a row-sharded corpus; results identical to a single-chip scan.
 
@@ -77,6 +78,7 @@ def sharded_flat_topk(
             metric=metric,
             use_pallas=use_pallas,
             compute_dtype=compute_dtype,
+            mode=mode,
         )
         if s.shape[1] < k:  # shard smaller than k: pad with sentinels
             pad = k - s.shape[1]
