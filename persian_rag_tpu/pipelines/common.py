@@ -24,8 +24,18 @@ PRESETS = {
     "intfloat/multilingual-e5-base": dict(
         config=EncoderConfig.xlmr_base, pooling="mean",
         projection_dim=None, normalize=True,
+        query_prefix="query: ", passage_prefix="passage: ",
     ),
 }
+
+
+def prefixes_for(model_name: str) -> dict:
+    """e5-style instruction prefixes for models that need them."""
+    preset = PRESETS.get(model_name, {})
+    return {
+        "query_prefix": preset.get("query_prefix", ""),
+        "passage_prefix": preset.get("passage_prefix", ""),
+    }
 
 # A small architecture for smoke runs / CI (full presets are 100M+ params).
 TINY_PRESET = EncoderConfig(

@@ -231,15 +231,54 @@ class RetrievalSystem:
     def retrieve_tfidf_batch(self, queries, top_k: int = 10):
         return self._lexical_batch(self.tfidf_index, queries, top_k)
 
+    def rerank_batch(
+        self, queries: Sequence[str], candidates: List[List[Result]]
+    ) -> List[List[Result]]:
+        """Re-score fused candidates with exact dense cosine similarity
+        (one batched encoder pass over all candidate texts) and re-sort.
+        The 'rerank' stage of the enhanced hybrid pipeline."""
+        if self.embedding_model is None:
+            return candidates
+        flat_texts: List[str] = []
+        spans: List[Tuple[int, int]] = []
+        for cands in candidates:
+            start = len(flat_texts)
+            flat_texts.extend(
+                self.passage_prefix + str(c["text"]) for c, _ in cands
+            )
+            spans.append((start, len(flat_texts)))
+        if not flat_texts:
+            return candidates
+        q_emb = self._encode_queries(queries)
+        c_emb = self.embedding_model.encode(flat_texts)
+        out: List[List[Result]] = []
+        for qi, (start, end) in enumerate(spans):
+            if start == end:
+                out.append([])
+                continue
+            emb = c_emb[start:end]
+            q = q_emb[qi]
+            denom = np.maximum(
+                np.linalg.norm(emb, axis=1) * np.linalg.norm(q), 1e-12
+            )
+            sims = emb @ q / denom
+            order = np.argsort(-sims, kind="stable")
+            out.append(
+                [(candidates[qi][i][0], float(sims[i])) for i in order]
+            )
+        return out
+
     def retrieve_hybrid_batch(
         self,
         queries: Sequence[str],
         top_k: int = 10,
         dense_weight: float = 0.6,
         bm25_weight: float = 0.4,
+        rerank: bool = False,
     ) -> List[List[Result]]:
         """Over-retrieve both channels at 2*k, max-normalize per channel,
-        weighted-sum, re-rank (reference: src/retrieval.py:174-216)."""
+        weighted-sum, re-rank (reference: src/retrieval.py:174-216).
+        rerank=True re-scores the fused top-k with exact dense cosine."""
         dense = self.retrieve_dense_batch(queries, top_k * 2)
         bm25 = self.retrieve_bm25_batch(queries, top_k * 2)
         out: List[List[Result]] = []
@@ -267,6 +306,8 @@ class RetrievalSystem:
             ]
             fused.sort(key=lambda x: x[1], reverse=True)
             out.append(fused[:top_k])
+        if rerank:
+            out = self.rerank_batch(queries, out)
         return out
 
     # -- RAG context assembly ----------------------------------------------------
