@@ -17,7 +17,7 @@ def main(argv=None) -> int:
         "command",
         choices=[
             "phase1", "phase2", "phase3", "phase4", "run-all",
-            "fast-test", "status", "ui", "bench",
+            "fast-test", "status", "ui", "serve", "bench",
         ],
     )
     parser.add_argument("--config", default="config.yaml")
@@ -71,6 +71,28 @@ def main(argv=None) -> int:
         from persian_rag_tpu.ui.app import launch
 
         launch(config)
+        return 0
+    elif args.command == "serve":
+        import os
+
+        import pandas as pd
+
+        from persian_rag_tpu.retrieval.system import RetrievalSystem
+        from persian_rag_tpu.serve.api import RetrievalServer
+
+        chunk_csv = os.path.join(
+            config.paths.processed_dir, "drugs_word_chunks.csv"
+        )
+        retriever = RetrievalSystem(method="bm25")
+        retriever.load_chunks_and_index(
+            pd.read_csv(chunk_csv, encoding="utf-8").to_dict("records")
+        )
+        server = RetrievalServer(retriever, port=8200).start()
+        print(f"retrieval API at {server.url} (POST /search, /rag)")
+        try:
+            server._thread.join()
+        except KeyboardInterrupt:
+            server.stop()
         return 0
     elif args.command == "bench":
         import subprocess

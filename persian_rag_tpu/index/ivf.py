@@ -1,0 +1,254 @@
+"""IVF (inverted-file) coarse-quantized index.
+
+The reference builds a FAISS IVF index for corpora over 1000 vectors
+(reference: scripts/phase3_pdf_chunking.py:39-71 — nlist =
+clip(n/20, 10, 100), trained on <=10k samples). TPU-native rebuild:
+
+* training is on-device Lloyd k-means (assignment via the flat-search
+  kernel, centroid update via segment_sum);
+* cells are padded to a fixed capacity so search is entirely static
+  shapes: queries -> top-nprobe centroids -> gather those cells'
+  (cap, d) blocks -> masked matmul + top-k;
+* rows that overflow a cell's capacity spill to an always-searched
+  overflow block, so results lose no vectors (exactness degrades only
+  through the coarse quantization itself, never through truncation).
+
+Use this for single-query/low-latency serving over very large corpora:
+a probe touches nprobe*cap rows instead of N. For large query batches
+the flat index is usually faster on TPU (the corpus is streamed once
+for the whole batch).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from persian_rag_tpu.ops.flat_topk import flat_topk_ref
+
+
+def kmeans(
+    vectors: jnp.ndarray,
+    n_cells: int,
+    iters: int = 10,
+    seed: int = 0,
+) -> jnp.ndarray:
+    """Lloyd k-means on device. Returns (n_cells, d) float32 centroids."""
+    n, d = vectors.shape
+    key = jax.random.PRNGKey(seed)
+    init_idx = jax.random.choice(key, n, (n_cells,), replace=False)
+    centroids = vectors[init_idx]
+
+    @jax.jit
+    def step(centroids):
+        # nearest centroid per row (exact L2)
+        _, assign = flat_topk_ref(vectors, centroids, 1, metric="l2")
+        assign = assign[:, 0]
+        sums = jax.ops.segment_sum(vectors, assign, num_segments=n_cells)
+        counts = jax.ops.segment_sum(
+            jnp.ones((n,), jnp.float32), assign, num_segments=n_cells
+        )
+        new = sums / jnp.maximum(counts[:, None], 1.0)
+        # keep old centroid for empty cells
+        return jnp.where(counts[:, None] > 0, new, centroids)
+
+    for _ in range(iters):
+        centroids = step(centroids)
+    return centroids
+
+
+class IVFIndex:
+    def __init__(
+        self,
+        dim: int,
+        n_cells: int = 100,
+        nprobe: int = 8,
+        metric: str = "l2",
+        cell_cap: Optional[int] = None,
+        seed: int = 0,
+    ):
+        if metric not in ("l2", "ip", "cosine"):
+            raise ValueError(metric)
+        self.dim = dim
+        self.n_cells = n_cells
+        self.nprobe = min(nprobe, n_cells)
+        self.metric = metric
+        self.cell_cap = cell_cap
+        self.seed = seed
+        self.centroids: Optional[jnp.ndarray] = None
+        self._cells: Optional[jnp.ndarray] = None      # (C, cap, d)
+        self._cell_ids: Optional[jnp.ndarray] = None   # (C, cap) int32, -1 pad
+        self._overflow: Optional[jnp.ndarray] = None   # (O, d)
+        self._overflow_ids: Optional[jnp.ndarray] = None
+        self._ntotal = 0
+
+    @property
+    def ntotal(self) -> int:
+        return self._ntotal
+
+    def _prep(self, vectors: np.ndarray) -> np.ndarray:
+        vectors = np.asarray(vectors, np.float32)
+        if self.metric == "cosine":
+            vectors = vectors / np.maximum(
+                np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12
+            )
+        return vectors
+
+    def build(self, vectors: np.ndarray, train_iters: int = 10) -> "IVFIndex":
+        """Train centroids and populate cells in one pass."""
+        vectors = self._prep(vectors)
+        n = vectors.shape[0]
+        self._ntotal = n
+        dev = jnp.asarray(vectors)
+        n_cells = min(self.n_cells, n)
+        self.n_cells = n_cells
+        self.nprobe = min(self.nprobe, n_cells)
+        self.centroids = kmeans(dev, n_cells, iters=train_iters, seed=self.seed)
+
+        _, assign = flat_topk_ref(dev, self.centroids, 1, metric="l2")
+        assign = np.asarray(assign)[:, 0]
+        counts = np.bincount(assign, minlength=n_cells)
+        cap = self.cell_cap or int(counts.max())
+        cells = np.zeros((n_cells, cap, self.dim), np.float32)
+        cell_ids = np.full((n_cells, cap), -1, np.int32)
+        overflow_rows, overflow_ids = [], []
+        fill = np.zeros(n_cells, np.int64)
+        for row, cell in enumerate(assign):
+            slot = fill[cell]
+            if slot < cap:
+                cells[cell, slot] = vectors[row]
+                cell_ids[cell, slot] = row
+                fill[cell] = slot + 1
+            else:
+                overflow_rows.append(vectors[row])
+                overflow_ids.append(row)
+        self._cells = jnp.asarray(cells)
+        self._cell_ids = jnp.asarray(cell_ids)
+        if overflow_rows:
+            self._overflow = jnp.asarray(np.stack(overflow_rows))
+            self._overflow_ids = jnp.asarray(
+                np.asarray(overflow_ids, np.int32)
+            )
+        else:
+            self._overflow = None
+            self._overflow_ids = None
+        return self
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        nprobe: Optional[int] = None,
+        query_chunk: int = 16,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (scores, ids) like DenseIndex.search (l2 ascending)."""
+        if self._cells is None:
+            raise ValueError("index not built")
+        nprobe = min(nprobe or self.nprobe, self.n_cells)
+        queries = self._prep(np.atleast_2d(np.asarray(queries, np.float32)))
+        k = min(k, self._ntotal)
+        descending = self.metric != "l2"
+
+        out_s, out_i = [], []
+        for start in range(0, queries.shape[0], query_chunk):
+            q = jnp.asarray(queries[start : start + query_chunk])
+            s, i = self._search_chunk(q, k, nprobe, descending)
+            out_s.append(np.asarray(s))
+            out_i.append(np.asarray(i))
+        return np.concatenate(out_s), np.concatenate(out_i)
+
+    def _search_chunk(self, q, k, nprobe, descending):
+        metric = "l2" if self.metric == "l2" else "dot"
+        # coarse: nearest centroids
+        _, cells = flat_topk_ref(q, self.centroids, nprobe, metric="l2")
+        gathered = jnp.take(self._cells, cells, axis=0)      # (Q, P, cap, d)
+        gathered_ids = jnp.take(self._cell_ids, cells, axis=0)  # (Q, P, cap)
+        qn, p, cap, d = gathered.shape
+        flat = gathered.reshape(qn, p * cap, d)
+        ids = gathered_ids.reshape(qn, p * cap)
+        scores = jnp.einsum(
+            "qd,qnd->qn", q, flat, preferred_element_type=jnp.float32
+        )
+        if metric == "l2":
+            d2 = (
+                jnp.sum(q * q, axis=1, keepdims=True)
+                - 2.0 * scores
+                + jnp.sum(flat * flat, axis=2)
+            )
+            scores = -d2
+        if self._overflow is not None:
+            o_scores = jnp.einsum(
+                "qd,nd->qn", q, self._overflow,
+                preferred_element_type=jnp.float32,
+            )
+            if metric == "l2":
+                o_d2 = (
+                    jnp.sum(q * q, axis=1, keepdims=True)
+                    - 2.0 * o_scores
+                    + jnp.sum(self._overflow * self._overflow, axis=1)[None]
+                )
+                o_scores = -o_d2
+            scores = jnp.concatenate([scores, o_scores], axis=1)
+            ids = jnp.concatenate(
+                [ids, jnp.broadcast_to(self._overflow_ids[None], (qn, self._overflow_ids.shape[0]))],
+                axis=1,
+            )
+        scores = jnp.where(ids >= 0, scores, -3.0e38)
+        top_s, pos = jax.lax.top_k(scores, k)
+        top_i = jnp.take_along_axis(ids, pos, axis=1)
+        if not descending:
+            top_s = -top_s  # back to squared distances ascending
+        return top_s, top_i.astype(jnp.int32)
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        arrays = {
+            "centroids": np.asarray(self.centroids),
+            "cells": np.asarray(self._cells),
+            "cell_ids": np.asarray(self._cell_ids),
+        }
+        if self._overflow is not None:
+            arrays["overflow"] = np.asarray(self._overflow)
+            arrays["overflow_ids"] = np.asarray(self._overflow_ids)
+        np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
+        base = path[:-4] if path.endswith(".npz") else path
+        with open(base + ".meta.json", "w", encoding="utf-8") as f:
+            json.dump(
+                {
+                    "dim": self.dim,
+                    "n_cells": self.n_cells,
+                    "nprobe": self.nprobe,
+                    "metric": self.metric,
+                    "ntotal": self._ntotal,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        base = path[:-4] if path.endswith(".npz") else path
+        with open(base + ".meta.json", encoding="utf-8") as f:
+            meta = json.load(f)
+        data = np.load(
+            path if path.endswith(".npz") else path + ".npz"
+        )
+        index = cls(
+            meta["dim"],
+            n_cells=meta["n_cells"],
+            nprobe=meta["nprobe"],
+            metric=meta["metric"],
+        )
+        index.centroids = jnp.asarray(data["centroids"])
+        index._cells = jnp.asarray(data["cells"])
+        index._cell_ids = jnp.asarray(data["cell_ids"])
+        if "overflow" in data:
+            index._overflow = jnp.asarray(data["overflow"])
+            index._overflow_ids = jnp.asarray(data["overflow_ids"])
+        index._ntotal = meta["ntotal"]
+        return index

@@ -135,6 +135,33 @@ class EmbeddingTrainer:
             )
         return jax.jit(train_step)
 
+    def save_checkpoint(self, directory: str, params, opt_state, step: int) -> None:
+        """Mid-training checkpoint: params + optimizer state + step
+        (true checkpoint/resume — the reference only has artifact-file
+        idempotency, SURVEY.md §5)."""
+        import flax.serialization
+
+        os.makedirs(directory, exist_ok=True)
+        payload = {"params": params, "opt_state": opt_state}
+        with open(os.path.join(directory, "train_state.msgpack"), "wb") as f:
+            f.write(flax.serialization.to_bytes(payload))
+        with open(os.path.join(directory, "train_state.json"), "w") as f:
+            json.dump({"step": step}, f)
+
+    def _load_checkpoint(self, directory: str, params, opt_state):
+        import flax.serialization
+
+        path = os.path.join(directory, "train_state.msgpack")
+        if not os.path.exists(path):
+            return params, opt_state, 0
+        with open(path, "rb") as f:
+            payload = flax.serialization.from_bytes(
+                {"params": params, "opt_state": opt_state}, f.read()
+            )
+        with open(os.path.join(directory, "train_state.json")) as f:
+            step = json.load(f)["step"]
+        return payload["params"], payload["opt_state"], step
+
     def fine_tune(
         self,
         train_examples: Sequence[InputExample],
@@ -145,6 +172,9 @@ class EmbeddingTrainer:
         learning_rate: float = 2e-5,
         output_path: Optional[str] = None,
         log_every: int = 100,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 0,
+        resume: bool = False,
     ) -> Dict:
         """Returns a summary dict (losses, throughput, save path)."""
         n = len(train_examples)
@@ -164,6 +194,11 @@ class EmbeddingTrainer:
         optimizer = optax.adamw(schedule, weight_decay=0.01)
         params = self.encoder.params
         opt_state = optimizer.init(params)
+        start_step = 0
+        if resume and checkpoint_dir:
+            params, opt_state, start_step = self._load_checkpoint(
+                checkpoint_dir, params, opt_state
+            )
         train_step = self._make_train_step(optimizer)
 
         rng = random.Random(self.seed + 2)
@@ -171,9 +206,13 @@ class EmbeddingTrainer:
         losses: List[float] = []
         t_start = time.time()
         samples_seen = 0
+        global_step = 0
         for epoch in range(epochs):
             rng.shuffle(order)
             for step in range(steps_per_epoch):
+                global_step += 1
+                if global_step <= start_step:
+                    continue  # fast-forward to the resume point
                 idx = order[step * batch_size : (step + 1) * batch_size]
                 if len(idx) < batch_size:  # keep shapes static
                     idx = idx + order[: batch_size - len(idx)]
@@ -197,6 +236,14 @@ class EmbeddingTrainer:
                 samples_seen += batch_size
                 if step % log_every == 0:
                     losses.append(float(loss))
+                if (
+                    checkpoint_dir
+                    and checkpoint_every
+                    and global_step % checkpoint_every == 0
+                ):
+                    self.save_checkpoint(
+                        checkpoint_dir, params, opt_state, global_step
+                    )
         jax.block_until_ready(params)
         elapsed = time.time() - t_start
         self.encoder.params = params

