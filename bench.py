@@ -48,6 +48,46 @@ def cpu_flat_search(queries: np.ndarray, corpus: np.ndarray, k: int):
     return np.take_along_axis(scores, idx, axis=1), idx
 
 
+def bench_encoder(jax, jnp) -> float:
+    """MiniLM-L12-architecture forward throughput (seq 128, batch 128).
+
+    Reference comparison: sentence-transformers encode at ~160 docs/s on
+    an RTX 3060 (BASELINE.md, distiluse build row).
+    """
+    from persian_rag_tpu.models.encoder import EncoderConfig, TransformerEncoder
+    from persian_rag_tpu.models.pooling import PoolingHead
+
+    config = EncoderConfig(
+        vocab_size=32_000, hidden_size=384, num_layers=12, num_heads=12,
+        intermediate_size=1536, max_position_embeddings=512,
+        compute_dtype=jnp.bfloat16,
+    )
+    encoder = TransformerEncoder(config)
+    head = PoolingHead(pooling="mean")
+    batch, seq, reps = 128, 128, 8
+    rng = jax.random.PRNGKey(0)
+    params = encoder.init(
+        rng, jnp.zeros((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32)
+    )["params"]
+
+    @jax.jit
+    def run(params, seed):
+        def body(i, acc):
+            key = jax.random.fold_in(jax.random.PRNGKey(1), seed + i)
+            ids = jax.random.randint(key, (batch, seq), 1, 32_000)
+            mask = jnp.ones((batch, seq), jnp.int32)
+            hidden = encoder.apply({"params": params}, ids, mask)
+            return acc + jnp.sum(head.apply({"params": {}}, hidden, mask))
+
+        return jax.lax.fori_loop(0, reps, body, 0.0)
+
+    np.asarray(run(params, 0))  # compile + warm
+    t0 = time.time()
+    np.asarray(run(params, 999))
+    dt = (time.time() - t0) / reps
+    return batch / dt
+
+
 def main() -> None:
     rng = np.random.default_rng(0)
     log(f"corpus N={N_DOCS} d={DIM}, batch={BATCH}, k={K}")
@@ -134,6 +174,13 @@ def main() -> None:
         mode="fast",
     )
     del fast_qps, fast_recall  # stderr visibility only
+
+    # -- encoder throughput (docs/sec, BASELINE secondary metric) --------------
+    try:
+        encode_docs_per_sec = bench_encoder(jax, jnp)
+        log(f"MiniLM-L12 encode throughput: {encode_docs_per_sec:.0f} docs/s")
+    except Exception as e:
+        log(f"encoder bench skipped: {e}")
 
     print(
         json.dumps(

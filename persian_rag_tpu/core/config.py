@@ -149,6 +149,24 @@ def load_config(path: str = "config.yaml") -> Config:
     return config
 
 
+def save_results(results, filename: str, directory: str = "results") -> str:
+    """JSON/CSV result writer (reference: src/utils.py:55-69)."""
+    import json
+
+    os.makedirs(directory, exist_ok=True)
+    filepath = os.path.join(directory, filename)
+    if filename.endswith(".json"):
+        with open(filepath, "w", encoding="utf-8") as f:
+            json.dump(results, f, ensure_ascii=False, indent=2)
+    elif filename.endswith(".csv"):
+        import pandas as pd
+
+        pd.DataFrame(results).to_csv(filepath, index=False, encoding="utf-8")
+    else:
+        raise ValueError(f"unsupported result format: {filename}")
+    return filepath
+
+
 def ensure_directories(config: Optional[Config] = None) -> None:
     """Create the artifact directory tree (reference: src/utils.py:43-53)."""
     paths = (config or Config()).paths

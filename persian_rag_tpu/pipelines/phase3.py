@@ -111,16 +111,37 @@ def main(
             "memory_mb": index.ntotal * index.dim * 4 / 1e6,
         }
 
-        # Step 7: smoke query.
+        # Step 6b: cosine collection (the reference also builds ChromaDB
+        # collections — scripts/phase3_pdf_chunking.py:73-130; here the
+        # Collection facade over the same device index).
+        from persian_rag_tpu.index.collections import Collection
+
+        t0 = time.time()
+        collection = Collection(f"drugs_{chunk_type}", metric="cosine")
+        collection.add(
+            ids=[c["id"] for c in chunks],
+            documents=texts,
+            embeddings=embeddings,
+            metadatas=[{"chunk_type": chunk_type} for _ in chunks],
+            batch_size=500,
+        )
+        results["steps"][f"{chunk_type}_collection"] = {
+            "count": collection.count(),
+            "time": time.time() - t0,
+        }
+
+        # Step 7: smoke query on both the index and the collection.
         t0 = time.time()
         q_emb = encoder.encode([SMOKE_QUERY])
         distances, ids = index.search(q_emb, k=3)
+        col_out = collection.query(query_embeddings=q_emb, n_results=3)
         results["steps"][f"{chunk_type}_smoke_test"] = {
             "query": SMOKE_QUERY,
             "top_ids": [int(i) for i in ids[0]],
             "top_distances": [float(d) for d in distances[0]],
+            "collection_top_ids": col_out["ids"][0],
             "time": time.time() - t0,
-            "success": bool((ids[0] >= 0).all()),
+            "success": bool((ids[0] >= 0).all()) and bool(col_out["ids"][0]),
         }
 
     results["model"] = model_name
