@@ -57,10 +57,12 @@ def sklearn_analyzer(text: str, ngram_range: Tuple[int, int] = (1, 2)) -> List[s
 
 
 class _EllIndex:
-    """Shared padded-ELL storage + device search."""
+    """Shared padded-ELL storage + device search (optionally row-sharded
+    over a mesh's corpus axis)."""
 
-    def __init__(self) -> None:
+    def __init__(self, mesh=None) -> None:
         self.vocab: Dict[str, int] = {}
+        self.mesh = mesh
         self.doc_ids: Optional[np.ndarray] = None  # (N, L) int32, -1 pad
         self.doc_vals: Optional[np.ndarray] = None  # (N, L) float32
         self._dev_ids: Optional[jnp.ndarray] = None
@@ -72,8 +74,15 @@ class _EllIndex:
 
     def _set_ell(self, ids: np.ndarray, vals: np.ndarray) -> None:
         self.doc_ids, self.doc_vals = ids, vals
-        self._dev_ids = jnp.asarray(ids)
-        self._dev_vals = jnp.asarray(vals)
+        if self.mesh is not None:
+            from persian_rag_tpu.parallel.sharded_lexical import shard_ell
+
+            self._dev_ids, self._dev_vals, _ = shard_ell(
+                jnp.asarray(ids), jnp.asarray(vals), self.mesh
+            )
+        else:
+            self._dev_ids = jnp.asarray(ids)
+            self._dev_vals = jnp.asarray(vals)
 
     def _build_ell(self, per_doc: List[List[Tuple[int, float]]]) -> None:
         n = len(per_doc)
@@ -84,9 +93,7 @@ class _EllIndex:
             for li, (tid, v) in enumerate(entries):
                 ids[di, li] = tid
                 vals[di, li] = v
-        self.doc_ids, self.doc_vals = ids, vals
-        self._dev_ids = jnp.asarray(ids)
-        self._dev_vals = jnp.asarray(vals)
+        self._set_ell(ids, vals)
 
     def _encode_queries(
         self, queries_terms: Sequence[List[Tuple[int, float]]], t_max: int = 64
@@ -108,7 +115,26 @@ class _EllIndex:
         use_pallas: Optional[bool] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         qids, qvals = self._encode_queries(queries_terms)
-        s, i = sparse_topk(self._dev_ids, self._dev_vals, qids, qvals, k, use_pallas=use_pallas)
+        if self.mesh is not None:
+            from persian_rag_tpu.parallel.sharded_lexical import (
+                sharded_sparse_topk,
+            )
+
+            s, i = sharded_sparse_topk(
+                self._dev_ids,
+                self._dev_vals,
+                qids,
+                qvals,
+                k,
+                self.ntotal,
+                self.mesh,
+                use_pallas=use_pallas,
+            )
+        else:
+            s, i = sparse_topk(
+                self._dev_ids, self._dev_vals, qids, qvals, k,
+                use_pallas=use_pallas,
+            )
         return np.asarray(s), np.asarray(i)
 
     def _scores_encoded(
@@ -135,10 +161,7 @@ class _EllIndex:
     def _load_arrays(self, path: str) -> Dict:
         npz = path if path.endswith(".npz") else path + ".npz"
         data = np.load(npz)
-        self.doc_ids = data["doc_ids"]
-        self.doc_vals = data["doc_vals"]
-        self._dev_ids = jnp.asarray(self.doc_ids)
-        self._dev_vals = jnp.asarray(self.doc_vals)
+        self._set_ell(data["doc_ids"], data["doc_vals"])
         base = path[:-4] if path.endswith(".npz") else path
         with open(base + ".meta.json", "r", encoding="utf-8") as f:
             meta = json.load(f)
@@ -149,8 +172,14 @@ class _EllIndex:
 class BM25Index(_EllIndex):
     """Okapi BM25 with rank_bm25-identical scores."""
 
-    def __init__(self, k1: float = 1.5, b: float = 0.75, epsilon: float = 0.25):
-        super().__init__()
+    def __init__(
+        self,
+        k1: float = 1.5,
+        b: float = 0.75,
+        epsilon: float = 0.25,
+        mesh=None,
+    ):
+        super().__init__(mesh=mesh)
         self.k1 = k1
         self.b = b
         self.epsilon = epsilon
@@ -274,8 +303,9 @@ class TfidfIndex(_EllIndex):
         self,
         max_features: Optional[int] = 10000,
         ngram_range: Tuple[int, int] = (1, 2),
+        mesh=None,
     ):
-        super().__init__()
+        super().__init__(mesh=mesh)
         self.max_features = max_features
         self.ngram_range = tuple(ngram_range)
 

@@ -10,7 +10,7 @@ reference's only throughput lever was batch size on one GPU).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -158,6 +158,30 @@ class SentenceEncoder:
             if show_progress and (start // batch_size) % 10 == 0:
                 print(f"  encoded {min(start + batch_size, n)}/{n}")
         return out
+
+    def encode_robust(
+        self, texts: Sequence[str], batch_size: int = 32
+    ) -> Tuple[np.ndarray, Dict[str, int]]:
+        """Encode with a failure-fallback chain (the TPU analog of the
+        reference's GPU -> CPU small-batch -> zero-vector chain,
+        scripts/phase3_pdf_chunking.py:132-203): full batch -> per-item
+        retry -> zero vectors, with failure accounting.
+
+        Returns (embeddings, {"failed": n, "fallback_items": m}).
+        """
+        stats = {"failed": 0, "fallback_items": 0}
+        try:
+            return self.encode(texts, batch_size=batch_size), stats
+        except Exception:
+            pass
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for i, text in enumerate(texts):
+            try:
+                out[i] = self.encode([text])[0]
+                stats["fallback_items"] += 1
+            except Exception:
+                stats["failed"] += 1  # leave the zero vector
+        return out, stats
 
     def similarity(self, text1: str, text2: str) -> float:
         """Cosine similarity between two texts (reference:

@@ -116,3 +116,75 @@ def sharded_flat_topk(
         check_vma=False,
     )
     return jax.jit(fn)(queries, corpus_sharded)
+
+
+def sharded_flat_topk_2d(
+    queries: jnp.ndarray,
+    corpus_sharded: jnp.ndarray,
+    k: int,
+    n_actual: int,
+    mesh: Mesh,
+    metric: str = "dot",
+    use_pallas: Optional[bool] = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+    mode: str = "exact",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """2-D parallel search: queries shard over the ``data`` axis while the
+    corpus shards over ``corpus`` — each device scans its corpus rows for
+    its query slice, candidates all_gather over the corpus axis only, and
+    results stay data-sharded (no redundant query work, unlike
+    `sharded_flat_topk` which replicates queries on every corpus shard).
+
+    Queries are padded to a multiple of the data-axis size.
+    """
+    from persian_rag_tpu.core.mesh import DATA_AXIS
+
+    n_q = queries.shape[0]
+    dp = mesh.shape[DATA_AXIS]
+    q_pad = _round_up(max(n_q, dp), dp)
+    if q_pad != n_q:
+        queries = jnp.pad(queries, ((0, q_pad - n_q), (0, 0)))
+    k = min(k, n_actual)
+    descending = metric != "l2"
+
+    def local_search(q, c_local):
+        shard = jax.lax.axis_index(CORPUS_AXIS)
+        local_n = c_local.shape[0]
+        s, i = flat_topk(
+            q, c_local, k,
+            metric=metric, use_pallas=use_pallas,
+            compute_dtype=compute_dtype, mode=mode,
+        )
+        if s.shape[1] < k:
+            pad = k - s.shape[1]
+            fill = NEG_INF if descending else -NEG_INF
+            s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=fill)
+            i = jnp.pad(i, ((0, 0), (0, pad)), constant_values=local_n)
+        gid = i + shard * local_n
+        invalid = gid >= n_actual
+        s = jnp.where(invalid, NEG_INF if descending else -NEG_INF, s)
+        gid = jnp.where(invalid, -1, gid)
+
+        all_s = jax.lax.all_gather(s, CORPUS_AXIS)
+        all_i = jax.lax.all_gather(gid, CORPUS_AXIS)
+        rows = q.shape[0]
+        n_shards = all_s.shape[0]
+        cand_s = jnp.moveaxis(all_s, 0, 1).reshape(rows, n_shards * k)
+        cand_i = jnp.moveaxis(all_i, 0, 1).reshape(rows, n_shards * k)
+        if descending:
+            top_s, pos = jax.lax.top_k(cand_s, k)
+        else:
+            neg_s, pos = jax.lax.top_k(-cand_s, k)
+            top_s = -neg_s
+        top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return top_s, top_i.astype(jnp.int32)
+
+    fn = shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(CORPUS_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        check_vma=False,
+    )
+    scores, ids = jax.jit(fn)(queries, corpus_sharded)
+    return scores[:n_q], ids[:n_q]

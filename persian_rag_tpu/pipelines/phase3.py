@@ -87,7 +87,7 @@ def main(
     ):
         texts = [c["text"] for c in chunks]
         t0 = time.time()
-        embeddings = encoder.encode(texts, batch_size=64)
+        embeddings, encode_stats = encoder.encode_robust(texts, batch_size=64)
         encode_time = time.time() - t0
         t0 = time.time()
         index = DenseIndex(embeddings.shape[1], metric="l2", mesh=mesh)
@@ -107,6 +107,7 @@ def main(
             "dim": index.dim,
             "encode_time": encode_time,
             "encode_docs_per_sec": len(texts) / max(encode_time, 1e-9),
+            "encode_failures": encode_stats["failed"],
             "index_build_time": build_time,
             "memory_mb": index.ntotal * index.dim * 4 / 1e6,
         }

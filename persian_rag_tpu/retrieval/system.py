@@ -119,10 +119,10 @@ class RetrievalSystem:
                 )
 
         if self.method in ("bm25", "hybrid"):
-            self.bm25_index = BM25Index().build(texts)
+            self.bm25_index = BM25Index(mesh=self.mesh).build(texts)
 
         if self.method in ("tfidf", "hybrid"):
-            self.tfidf_index = TfidfIndex().build(texts)
+            self.tfidf_index = TfidfIndex(mesh=self.mesh).build(texts)
 
         self.is_ready = True
         return True

@@ -61,3 +61,28 @@ def test_similarity_reasonable():
     enc = SentenceEncoder(TINY, tokenizer=HashTokenizer(512))
     sim_same = enc.similarity("hello world", "hello world")
     assert abs(sim_same - 1.0) < 1e-4
+
+
+def test_encode_robust_fallback(monkeypatch):
+    enc = SentenceEncoder(TINY, tokenizer=HashTokenizer(512), seed=0)
+    texts = ["یک", "دو", "سه"]
+    # normal path
+    emb, stats = enc.encode_robust(texts)
+    assert emb.shape == (3, 32) and stats["failed"] == 0
+
+    # force the batch path to fail -> per-item retry also fails -> zeros
+    calls = {"n": 0}
+    original = enc.encode
+
+    def flaky(texts_, batch_size=32, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1 or len(texts_) == 1 and "دو" in texts_[0]:
+            raise RuntimeError("simulated device failure")
+        return original(texts_, batch_size=batch_size, **kw)
+
+    enc.encode = flaky
+    emb, stats = enc.encode_robust(texts)
+    assert stats["failed"] == 1
+    assert stats["fallback_items"] == 2
+    assert np.allclose(emb[1], 0.0)  # failed item got the zero vector
+    assert not np.allclose(emb[0], 0.0)

@@ -1,0 +1,66 @@
+"""Sharded lexical + 2-D dense search equal single-chip results."""
+import numpy as np
+import pytest
+
+from persian_rag_tpu.core.mesh import build_mesh
+from persian_rag_tpu.index.lexical import BM25Index, TfidfIndex
+from persian_rag_tpu.ops.flat_topk import flat_topk_ref
+from persian_rag_tpu.parallel.sharded_search import (
+    shard_corpus,
+    sharded_flat_topk_2d,
+)
+
+CORPUS = [
+    f"document {i} about topic{i % 13} and subject{i % 7} words{i % 3}"
+    for i in range(101)
+]
+
+
+@pytest.mark.parametrize("cls", [BM25Index, TfidfIndex])
+def test_sharded_lexical_matches_single_chip(cls):
+    mesh = build_mesh(corpus_axis=8, data_axis=1)
+    plain = cls().build(CORPUS)
+    sharded = cls(mesh=mesh).build(CORPUS)
+    queries = ["topic3 subject2 words1", "document about topic5"]
+    s1, i1 = plain.search(queries, k=7)
+    s2, i2 = sharded.search(queries, k=7)
+    np.testing.assert_allclose(
+        np.sort(s1, axis=1), np.sort(s2, axis=1), rtol=1e-5, atol=1e-6
+    )
+    for q in range(len(queries)):
+        assert set(i1[q]) == set(i2[q])
+
+
+def test_2d_sharded_dense_matches_reference(rng):
+    import jax.numpy as jnp
+
+    mesh = build_mesh(corpus_axis=4, data_axis=2)
+    corpus = rng.standard_normal((333, 48)).astype(np.float32)
+    queries = rng.standard_normal((11, 48)).astype(np.float32)  # pads to 12
+    want_s, want_i = flat_topk_ref(
+        jnp.asarray(queries), jnp.asarray(corpus), 10, "dot"
+    )
+    sharded, n_actual = shard_corpus(jnp.asarray(corpus), mesh)
+    got_s, got_i = sharded_flat_topk_2d(
+        jnp.asarray(queries), sharded, 10, n_actual, mesh, metric="dot"
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(got_s), np.asarray(want_s), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_2d_sharded_l2(rng):
+    import jax.numpy as jnp
+
+    mesh = build_mesh(corpus_axis=4, data_axis=2)
+    corpus = rng.standard_normal((200, 32)).astype(np.float32)
+    queries = rng.standard_normal((4, 32)).astype(np.float32)
+    want_s, want_i = flat_topk_ref(
+        jnp.asarray(queries), jnp.asarray(corpus), 5, "l2"
+    )
+    sharded, n_actual = shard_corpus(jnp.asarray(corpus), mesh)
+    got_s, got_i = sharded_flat_topk_2d(
+        jnp.asarray(queries), sharded, 5, n_actual, mesh, metric="l2"
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
