@@ -42,6 +42,10 @@ class EncoderConfig:
     pad_token_id: int = 0
     hidden_act: str = "gelu"          # exact erf gelu (HF default)
     compute_dtype: jnp.dtype = jnp.float32
+    # rematerialize each layer in the backward pass (jax.checkpoint):
+    # trades ~30% more FLOPs for activation memory ~ O(layers) less,
+    # the standard TPU recipe for long-sequence / large-batch training
+    remat: bool = False
 
     @classmethod
     def minilm_l12(cls, **kw) -> "EncoderConfig":
@@ -184,6 +188,7 @@ class TransformerEncoder(nn.Module):
         bias = jnp.where(
             attention_mask[:, None, None, :] > 0, 0.0, -1e9
         ).astype(jnp.float32)
+        layer_cls = nn.remat(EncoderLayer) if c.remat else EncoderLayer
         for i in range(c.num_layers):
-            x = EncoderLayer(c, name=f"layer_{i}")(x, bias)
+            x = layer_cls(c, name=f"layer_{i}")(x, bias)
         return x
