@@ -108,8 +108,19 @@ class RAGEvaluator:
         recalls = [m.recall(p, g) for p, g in zip(preds, golds)]
         bleus = [m.bleu_score(p, g) for p, g in zip(preds, golds)]
         rouges = [m.rouge_l(p, g) for p, g in zip(preds, golds)]
-        ctx_precisions = [1.0 if c else 0.0 for c in contexts_per_item]
-        ctx_recalls = [1.0 if c else 0.0 for c in contexts_per_item]
+        rouge1s = [m.rouge_1(p, g) for p, g in zip(preds, golds)]
+        # Context P/R: real Jaccard-matched values when the test items
+        # carry gold contexts; otherwise the reference's placeholder
+        # (src/evaluation.py:327-331 hardcodes 1.0).
+        ctx_precisions, ctx_recalls = [], []
+        for item, contexts in zip(test_data, contexts_per_item):
+            gold_ctx = str(item.get("context") or "").strip()
+            if gold_ctx and contexts:
+                ctx_precisions.append(m.context_precision(contexts, [gold_ctx]))
+                ctx_recalls.append(m.context_recall(contexts, [gold_ctx]))
+            else:
+                ctx_precisions.append(1.0 if contexts else 0.0)
+                ctx_recalls.append(1.0 if contexts else 0.0)
 
         results: Dict[str, Any] = {
             f"{model_name}_exact_match": float(np.mean(ems)),
@@ -118,6 +129,7 @@ class RAGEvaluator:
             f"{model_name}_recall": float(np.mean(recalls)),
             f"{model_name}_bleu_score": float(np.mean(bleus)),
             f"{model_name}_rouge_l": float(np.mean(rouges)),
+            f"{model_name}_rouge_1": float(np.mean(rouge1s)),
             f"{model_name}_context_precision": float(np.mean(ctx_precisions)),
             f"{model_name}_context_recall": float(np.mean(ctx_recalls)),
             f"{model_name}_avg_retrieval_time": float(np.mean(retrieval_times)),
@@ -255,23 +267,9 @@ class RAGEvaluator:
 
 
 def _assemble_contexts(results, top_k: int = 5, max_context_length: int = 2000):
-    """Context budgeting identical to
-    RetrievalSystem.get_contexts_for_rag, over pre-retrieved results."""
-    contexts, metadata, total = [], [], 0
-    for chunk, score in results[:top_k]:
-        text = str(chunk["text"])
-        if total + len(text) > max_context_length:
-            remaining = max_context_length - total
-            if remaining > 100:
-                text = text[:remaining] + "..."
-            else:
-                break
-        contexts.append(text)
-        metadata.append({"chunk_id": chunk["id"], "score": score})
-        total += len(text)
-        if total >= max_context_length:
-            break
-    return contexts, metadata
+    from persian_rag_tpu.retrieval.system import assemble_contexts
+
+    return assemble_contexts(results[:top_k], max_context_length)
 
 
 def _to_jsonable(obj):

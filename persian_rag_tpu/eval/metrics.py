@@ -142,6 +142,22 @@ class TextMetrics:
             brevity = math.exp(1 - len(gold_tokens) / len(pred_tokens))
         return min(bleu * brevity, 1.0)
 
+    def rouge_1(self, pred: str, gold: str) -> float:
+        """Unigram-overlap F1 (the rouge_1 metric in the reference's
+        enhanced phase4 result artifacts)."""
+        pred_counts = Counter(self.tokenize(pred))
+        gold_counts = Counter(self.tokenize(gold))
+        if not pred_counts or not gold_counts:
+            return 0.0
+        overlap = sum(
+            min(count, gold_counts[t]) for t, count in pred_counts.items()
+        )
+        precision = overlap / sum(pred_counts.values())
+        recall = overlap / sum(gold_counts.values())
+        if precision + recall == 0:
+            return 0.0
+        return 2 * precision * recall / (precision + recall)
+
     def rouge_l(self, pred: str, gold: str) -> float:
         pred_tokens = self.tokenize(pred)
         gold_tokens = self.tokenize(gold)

@@ -28,6 +28,38 @@ Chunk = Dict
 Result = Tuple[Chunk, float]
 
 
+def assemble_contexts(
+    results: Sequence[Result], max_context_length: int = 2000
+) -> Tuple[List[str], List[Dict]]:
+    """Character-budgeted context assembly with truncation-with-'...'
+    (reference: src/retrieval.py:240-272). Shared by the retrieval API
+    and the evaluator."""
+    contexts: List[str] = []
+    metadata: List[Dict] = []
+    total = 0
+    for chunk, score in results:
+        text = str(chunk["text"])
+        if total + len(text) > max_context_length:
+            remaining = max_context_length - total
+            if remaining > 100:
+                text = text[:remaining] + "..."
+            else:
+                break
+        contexts.append(text)
+        metadata.append(
+            {
+                "chunk_id": chunk["id"],
+                "score": score,
+                "chunk_type": chunk.get("chunk_type", "unknown"),
+                "length": len(text),
+            }
+        )
+        total += len(text)
+        if total >= max_context_length:
+            break
+    return contexts, metadata
+
+
 class RetrievalSystem:
     def __init__(
         self,
@@ -317,30 +349,7 @@ class RetrievalSystem:
     ) -> Tuple[List[str], List[Dict]]:
         """Budgeted context assembly (reference: src/retrieval.py:240-272)."""
         results = self.retrieve(query, top_k)
-        contexts: List[str] = []
-        metadata: List[Dict] = []
-        total = 0
-        for chunk, score in results:
-            text = str(chunk["text"])
-            if total + len(text) > max_context_length:
-                remaining = max_context_length - total
-                if remaining > 100:
-                    text = text[:remaining] + "..."
-                else:
-                    break
-            contexts.append(text)
-            metadata.append(
-                {
-                    "chunk_id": chunk["id"],
-                    "score": score,
-                    "chunk_type": chunk.get("chunk_type", "unknown"),
-                    "length": len(text),
-                }
-            )
-            total += len(text)
-            if total >= max_context_length:
-                break
-        return contexts, metadata
+        return assemble_contexts(results, max_context_length)
 
     # -- built-in retrieval eval ---------------------------------------------------
 

@@ -156,3 +156,58 @@ def test_ui_http_endpoints(config):
         assert answer["answer"]
     finally:
         server.shutdown()
+
+
+def test_phase4_enhanced_rank_metrics(config):
+    from persian_rag_tpu.pipelines import phase4_enhanced
+
+    phase3.main(config, tiny=True)
+    import pandas as pd
+
+    chunks = pd.read_csv(
+        "data/processed/drugs_word_chunks.csv", encoding="utf-8"
+    ).to_dict("records")
+    test_data = synthetic_persian_qa(12, seed=7)
+    with FakeLlamaServer() as url:
+        results = phase4_enhanced.main(
+            config,
+            tiny=True,
+            chunks=chunks,
+            test_data=test_data,
+            llama_client=LlamaClient(url),
+            sample_size=6,
+        )
+    perf = results["tiny-model_results"]
+    # rank metrics present with the enhanced-run schema
+    for k in (1, 3, 5, 10):
+        assert f"tiny-model_hit_at_{k}" in perf
+        assert f"tiny-model_precision_at_{k}" in perf
+        assert f"tiny-model_recall_at_{k}" in perf
+    assert "tiny-model_mrr_at_10" in perf
+    assert "tiny-model_rouge_1" in perf
+    assert perf["tiny-model_relevance_queries"] > 0
+    # synthetic contexts directly contain the answers: recall grows with k
+    assert perf["tiny-model_recall_at_10"] >= perf["tiny-model_recall_at_1"]
+    assert results["word_chunks_comparison"]["best_models"]
+
+
+def test_real_context_metrics_when_gold_context_present(config):
+    phase3.main(config, tiny=True)
+    import pandas as pd
+
+    from persian_rag_tpu.eval.evaluator import RAGEvaluator
+    from persian_rag_tpu.retrieval.system import RetrievalSystem
+
+    chunks = pd.read_csv(
+        "data/processed/drugs_word_chunks.csv", encoding="utf-8"
+    ).to_dict("records")
+    rs = RetrievalSystem(method="bm25")
+    rs.load_chunks_and_index(chunks)
+    test_data = synthetic_persian_qa(6, seed=8)  # items carry contexts
+    with FakeLlamaServer() as url:
+        evaluator = RAGEvaluator(llama_client=LlamaClient(url))
+        results = evaluator.evaluate_single_rag(rs, test_data, model_name="m")
+    # with gold contexts, context precision is a real measurement, not
+    # the all-1.0 placeholder (retrieved chunks rarely all match)
+    assert 0.0 <= results["m_context_precision"] <= 1.0
+    assert 0.0 <= results["m_context_recall"] <= 1.0
