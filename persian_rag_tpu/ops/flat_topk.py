@@ -202,6 +202,7 @@ def _fast_topk_kernel(
     tile_n: int,
     metric: str,
     compute_dtype,
+    n_easy: int = 4,
 ):
     j = pl.program_id(1)
 
@@ -244,7 +245,7 @@ def _fast_topk_kernel(
     # (E[entries] = k*TILE_N/N per query), so extract only E ranks in the
     # common path and fall back to a full k-rank extraction in the rare
     # tile where some query still has an unextracted improvement.
-    n_easy = min(4, k)
+    n_easy = min(n_easy, k)
 
     def _extract(keys, count):
         scores, ids = [], []
@@ -284,6 +285,7 @@ def flat_topk_pallas(
     tile_q: int = 128,
     compute_dtype: jnp.dtype = jnp.float32,
     mode: str = "exact",
+    n_easy: int = 4,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused search over an HBM-resident corpus.
@@ -317,6 +319,7 @@ def flat_topk_pallas(
     grid = (q_pad // tile_q, n_pad // tile_n)
 
     kernel_fn = _topk_kernel if mode == "exact" else _fast_topk_kernel
+    kwargs = {} if mode == "exact" else {"n_easy": n_easy}
     kernel = functools.partial(
         kernel_fn,
         k=k,
@@ -324,6 +327,7 @@ def flat_topk_pallas(
         tile_n=tile_n,
         metric=metric,
         compute_dtype=compute_dtype,
+        **kwargs,
     )
 
     out_s, out_i = pl.pallas_call(

@@ -70,6 +70,9 @@ class RetrievalSystem:
         dense_metric: str = "l2",
         query_prefix: str = "",
         passage_prefix: str = "",
+        dense_index_type: str = "flat",
+        ivf_cells: int = 100,
+        ivf_nprobe: int = 8,
     ):
         """
         Args:
@@ -86,6 +89,9 @@ class RetrievalSystem:
         self.dense_metric = dense_metric
         self.query_prefix = query_prefix
         self.passage_prefix = passage_prefix
+        self.dense_index_type = dense_index_type
+        self.ivf_cells = ivf_cells
+        self.ivf_nprobe = ivf_nprobe
         self.embedding_model = encoder
         if encoder is None and model_path and method in ("dense", "hybrid"):
             from persian_rag_tpu.models.sentence_encoder import SentenceEncoder
@@ -160,11 +166,21 @@ class RetrievalSystem:
         return True
 
     def _build_dense(self, vectors: np.ndarray) -> None:
-        self.dense_index = DenseIndex(
-            vectors.shape[1], metric=self.dense_metric, mesh=self.mesh
-        )
-        self.dense_index.add(vectors)
-        self.dense_index.commit()
+        if self.dense_index_type == "ivf":
+            from persian_rag_tpu.index.ivf import IVFIndex
+
+            self.dense_index = IVFIndex(
+                vectors.shape[1],
+                n_cells=min(self.ivf_cells, max(1, vectors.shape[0] // 4)),
+                nprobe=self.ivf_nprobe,
+                metric=self.dense_metric,
+            ).build(vectors)
+        else:
+            self.dense_index = DenseIndex(
+                vectors.shape[1], metric=self.dense_metric, mesh=self.mesh
+            )
+            self.dense_index.add(vectors)
+            self.dense_index.commit()
 
     # -- single-query paths (reference-compatible API) -------------------------
 

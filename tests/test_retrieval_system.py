@@ -143,3 +143,14 @@ def test_not_ready_raises():
     rs = RetrievalSystem(method="bm25")
     with pytest.raises(RuntimeError):
         rs.retrieve("x", 1)
+
+
+def test_dense_ivf_index_type():
+    rs = RetrievalSystem(
+        method="dense", encoder=make_encoder(),
+        dense_index_type="ivf", ivf_cells=2, ivf_nprobe=2,
+    )
+    assert rs.load_chunks_and_index(CHUNKS)
+    results = rs.retrieve(CHUNKS[1]["text"], top_k=2)
+    assert results[0][0]["id"] == "chunk_1"
+    assert 0.0 < results[0][1] <= 1.0 + 1e-6  # 1/(1+L2) mapping applies
