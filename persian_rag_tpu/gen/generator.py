@@ -119,7 +119,87 @@ class TextGenerator:
 
         return jax.lax.cond(temperature <= 0.0, greedy, sampled, None)
 
+    def _device_loop_fn(self, prompt_len: int, max_tokens: int):
+        """Whole-generation jitted function: prefill + lax.while_loop
+        decode on device — ONE dispatch per request (the per-step Python
+        loop pays host<->device latency per token; this pays it once)."""
+        cache_key = ("loop", prompt_len, max_tokens)
+        if cache_key in self._prefill_cache:
+            return self._prefill_cache[cache_key]
+        model, config, max_len = self.model, self.config, self.max_len
+        eos = getattr(self.tokenizer, "eos_id", -1)
+
+        @jax.jit
+        def run(params, prompt_ids, key, temperature, top_p):
+            cache = init_cache(config, 1, max_len)
+            positions = jnp.arange(prompt_len, dtype=jnp.int32)[None, :]
+            logits, cache = model.apply(
+                {"params": params},
+                prompt_ids,
+                positions=positions,
+                cache=cache,
+                cache_pos=jnp.int32(0),
+            )
+            first = TextGenerator._sample(
+                logits[0, -1, :], key, temperature, top_p
+            )
+            out = jnp.full((max_tokens,), -1, jnp.int32)
+
+            def cond(state):
+                i, token, *_ = state
+                return (i < max_tokens) & (token != eos)
+
+            def body(state):
+                i, token, pos, cache, key, out = state
+                out = out.at[i].set(token)
+                logits, cache = model.apply(
+                    {"params": params},
+                    token[None, None],
+                    positions=pos[None, None],
+                    cache=cache,
+                    cache_pos=pos,
+                )
+                key, sub = jax.random.split(key)
+                nxt = TextGenerator._sample(
+                    logits[0, -1, :], sub, temperature, top_p
+                )
+                return i + 1, nxt, pos + 1, cache, key, out
+
+            i, token, pos, cache, key, out = jax.lax.while_loop(
+                cond,
+                body,
+                (jnp.int32(0), first, jnp.int32(prompt_len), cache, key, out),
+            )
+            return out, i
+
+        self._prefill_cache[cache_key] = run
+        return run
+
     # -- public API ---------------------------------------------------------------
+
+    def generate_ids_device(
+        self,
+        prompt_ids: Sequence[int],
+        max_tokens: int = 128,
+        temperature: float = 0.0,
+        top_p: float = 0.9,
+        seed: int = 0,
+    ) -> List[int]:
+        """Device-loop generation in one jitted call (compiled per prompt
+        length; the host-loop variant `generate_ids` compiles once but
+        pays a device round-trip per token). Stops at EOS."""
+        prompt_ids = list(prompt_ids)[-(self.max_len - max_tokens - 1):]
+        run = self._device_loop_fn(len(prompt_ids), max_tokens)
+        out, count = run(
+            self.params,
+            jnp.asarray([prompt_ids], jnp.int32),
+            jax.random.PRNGKey(seed),
+            jnp.float32(temperature),
+            jnp.float32(top_p),
+        )
+        out = np.asarray(out)[: int(count)]
+        eos = getattr(self.tokenizer, "eos_id", None)
+        return [int(t) for t in out if eos is None or t != eos]
 
     def generate_ids(
         self,

@@ -127,6 +127,7 @@ class LoraTrainer:
         rank: int = 32,
         alpha: float = 32.0,
         tokenizer=None,
+        mesh=None,
         seed: int = 0,
     ):
         self.config = config
@@ -134,6 +135,7 @@ class LoraTrainer:
         self.rank = rank
         self.alpha = alpha
         self.tokenizer = tokenizer or ByteTokenizer()
+        self.mesh = mesh
         self.model = LlamaDecoder(config)
         self.lora = init_lora(params, rank=rank, seed=seed)
         self._train_step = None
@@ -173,13 +175,27 @@ class LoraTrainer:
         optimizer = optax.adamw(learning_rate, weight_decay=0.0)
         opt_state = optimizer.init(self.lora)
 
-        @jax.jit
-        def train_step(lora, opt_state, ids, labels, mask):
+        def train_step_fn(lora, opt_state, ids, labels, mask):
             loss, grads = jax.value_and_grad(self._loss_fn)(
                 lora, ids, labels, mask
             )
             updates, opt_state = optimizer.update(grads, opt_state, lora)
             return optax.apply_updates(lora, updates), opt_state, loss
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from persian_rag_tpu.core.mesh import DATA_AXIS
+
+            data = NamedSharding(self.mesh, P(DATA_AXIS))
+            repl = NamedSharding(self.mesh, P())
+            train_step = jax.jit(
+                train_step_fn,
+                in_shardings=(repl, repl, data, data, data),
+                out_shardings=(repl, repl, repl),
+            )
+        else:
+            train_step = jax.jit(train_step_fn)
 
         losses: List[float] = []
         step_count = 0

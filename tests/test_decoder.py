@@ -180,3 +180,38 @@ def test_local_server_speaks_llamacpp_contract():
         )
         assert r.status_code == 200
         assert "content" in r.json()["choices"][0]["message"]
+
+
+def test_device_loop_matches_host_loop_greedy():
+    from persian_rag_tpu.gen.generator import ByteTokenizer, TextGenerator
+
+    gen = TextGenerator(
+        DecoderConfig.tiny(vocab_size=ByteTokenizer.vocab_size),
+        tokenizer=ByteTokenizer(),
+        max_len=96,
+    )
+    prompt = gen.tokenizer.encode("سوال: دارو چیست؟\nپاسخ: ")
+    host = gen.generate_ids(prompt, max_tokens=12)
+    device = gen.generate_ids_device(prompt, max_tokens=12)
+    assert host == device
+
+
+def test_lora_dp_matches_single_device():
+    from persian_rag_tpu.core.mesh import build_mesh
+    from persian_rag_tpu.gen.generator import ByteTokenizer
+    from persian_rag_tpu.train.lora import LoraTrainer
+
+    config = DecoderConfig.tiny(vocab_size=ByteTokenizer.vocab_size)
+    decoder = LlamaDecoder(config)
+    params = decoder.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32)
+    )["params"]
+    qa = [
+        {"question": f"سوال {i}", "answer": f"پاسخ {i}"} for i in range(8)
+    ]
+    t1 = LoraTrainer(config, params, rank=2, alpha=2.0, seed=1)
+    s1 = t1.fit(qa, epochs=1, batch_size=8, max_len=32, log_every=1)
+    mesh = build_mesh(corpus_axis=1, data_axis=8)
+    t2 = LoraTrainer(config, params, rank=2, alpha=2.0, mesh=mesh, seed=1)
+    s2 = t2.fit(qa, epochs=1, batch_size=8, max_len=32, log_every=1)
+    np.testing.assert_allclose(s1["losses"], s2["losses"], rtol=1e-4)
