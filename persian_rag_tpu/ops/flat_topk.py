@@ -27,7 +27,6 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu  # noqa: F401  (memory spaces)
 
 from persian_rag_tpu.ops._merge import NEG_INF, merge_topk
 
@@ -107,7 +106,6 @@ def _topk_kernel(
     compute_dtype,
 ):
     j = pl.program_id(1)
-    n_j = pl.num_programs(1)
 
     @pl.when(j == 0)
     def _init():

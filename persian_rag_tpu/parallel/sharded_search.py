@@ -17,12 +17,11 @@ single-chip scan (asserted by tests on a 1- vs 8-device mesh).
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from persian_rag_tpu.core.mesh import CORPUS_AXIS, corpus_sharding

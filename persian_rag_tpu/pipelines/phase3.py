@@ -21,7 +21,7 @@ from typing import Dict, Optional
 from persian_rag_tpu.core.config import Config, ensure_directories
 from persian_rag_tpu.data.loader import DataLoader
 from persian_rag_tpu.index.dense import DenseIndex
-from persian_rag_tpu.pipelines.common import build_encoder, short_name
+from persian_rag_tpu.pipelines.common import build_encoder
 from persian_rag_tpu.text.chunking import TextChunker
 
 SMOKE_QUERY = "دارو چیست؟"

@@ -16,8 +16,7 @@ reference: notebooks/*.ipynb cell 0) as a functional JAX implementation:
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
