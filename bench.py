@@ -88,6 +88,52 @@ def bench_encoder(jax, jnp) -> float:
     return batch / dt
 
 
+def bench_end_to_end(jax, jnp, corpus_dev) -> float:
+    """Query-encode (MiniLM-L12 arch, batch 8, seq 32) + fused search —
+    the reference's 'dense retrieval latency' measurement shape."""
+    import functools
+
+    from persian_rag_tpu.models.encoder import EncoderConfig, TransformerEncoder
+    from persian_rag_tpu.models.pooling import PoolingHead
+    from persian_rag_tpu.ops.flat_topk import flat_topk_pallas
+
+    config = EncoderConfig(
+        vocab_size=32_000, hidden_size=384, num_layers=12, num_heads=12,
+        intermediate_size=1536, max_position_embeddings=512,
+        compute_dtype=jnp.bfloat16,
+    )
+    encoder = TransformerEncoder(config)
+    head = PoolingHead(pooling="mean", normalize=True)
+    params = encoder.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32),
+    )["params"]
+    search = functools.partial(
+        flat_topk_pallas, k=K, metric="dot", tile_q=8, tile_n=2048,
+        compute_dtype=jnp.bfloat16, mode="fast",
+    )
+    batch, seq, reps = 8, 32, 10
+
+    @jax.jit
+    def run(params, c, seed):
+        def body(i, acc):
+            key = jax.random.fold_in(jax.random.PRNGKey(2), seed + i)
+            ids = jax.random.randint(key, (batch, seq), 1, 32_000)
+            mask = jnp.ones((batch, seq), jnp.int32)
+            hidden = encoder.apply({"params": params}, ids, mask)
+            emb = head.apply({"params": {}}, hidden, mask)
+            s, idx = search(emb.astype(jnp.float32), c)
+            return acc + jnp.sum(s) + jnp.sum(idx).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, reps, body, 0.0)
+
+    np.asarray(run(params, corpus_dev, 0))
+    t0 = time.time()
+    np.asarray(run(params, corpus_dev, 777))
+    return (time.time() - t0) / reps * 1e3
+
+
 def main() -> None:
     rng = np.random.default_rng(0)
     log(f"corpus N={N_DOCS} d={DIM}, batch={BATCH}, k={K}")
@@ -181,6 +227,18 @@ def main() -> None:
         log(f"MiniLM-L12 encode throughput: {encode_docs_per_sec:.0f} docs/s")
     except Exception as e:
         log(f"encoder bench skipped: {e}")
+
+    # -- end-to-end dense retrieval latency (encode + search) ------------------
+    # Reference comparison: 5.9-35 ms per query, encode+flat-search
+    # (BASELINE.md "dense retrieval latency" row).
+    try:
+        e2e_ms = bench_end_to_end(jax, jnp, c16)
+        log(
+            f"end-to-end dense retrieval (encode batch-8 + fused search, "
+            f"N={N_DOCS}): {e2e_ms:.2f} ms/batch = {e2e_ms/8:.2f} ms/query"
+        )
+    except Exception as e:
+        log(f"e2e bench skipped: {e}")
 
     print(
         json.dumps(
