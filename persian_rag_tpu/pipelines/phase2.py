@@ -44,11 +44,16 @@ def evaluate_model_performance(
 
     candidate_lists: List[List[str]] = []
     for item in items:
-        distractors = []
+        # cap distractors by the distinct answers actually available
+        # (the reference loops forever on tiny pools —
+        # scripts/phase2_evaluation.py:150-161)
+        available = sorted(set(pool) - {item["answer"]})
+        take = min(n_distractors, len(available))
+        distractors = rng.sample(available, take)
+        # pad with synthetic non-matching strings if the pool is tiny so
+        # candidate lists stay rectangular
         while len(distractors) < n_distractors:
-            cand = rng.choice(pool)
-            if cand != item["answer"] and cand not in distractors:
-                distractors.append(cand)
+            distractors.append(f"گزینه نامربوط {len(distractors)}")
         candidate_lists.append([item["answer"]] + distractors)
 
     t0 = time.time()

@@ -211,3 +211,21 @@ def test_real_context_metrics_when_gold_context_present(config):
     # the all-1.0 placeholder (retrieved chunks rarely all match)
     assert 0.0 <= results["m_context_precision"] <= 1.0
     assert 0.0 <= results["m_context_recall"] <= 1.0
+
+
+def test_run_all_orchestrates_all_phases(config):
+    from persian_rag_tpu.pipelines import run_all
+
+    with FakeLlamaServer() as url:
+        results = run_all.main(
+            config,
+            tiny=True,
+            methods=["bm25"],
+            test_data=synthetic_persian_qa(6, seed=10),
+            llama_client=LlamaClient(url),
+            sample_size=3,
+        )
+    assert set(results) == {"phase1", "phase2", "phase3", "phase4"}
+    assert results["phase1"]["train_size"] > 0
+    assert results["phase3"]["success"]
+    assert "word_bm25_results" in results["phase4"]
