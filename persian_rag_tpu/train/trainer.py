@@ -44,6 +44,9 @@ class EmbeddingTrainer:
     def __init__(self, encoder: SentenceEncoder, seed: int = 0):
         self.encoder = encoder
         self.seed = seed
+        # jitted train steps cached per schedule signature — rebuilding
+        # the closure per fine_tune call would recompile (~60 s on TPU)
+        self._step_cache: Dict = {}
 
     # -- example construction (reference: src/embedding_trainer.py:25-103) -----
 
@@ -191,7 +194,13 @@ class EmbeddingTrainer:
             ],
             [max(warmup_steps, 1)],
         )
-        optimizer = optax.adamw(schedule, weight_decay=0.01)
+        cache_key = (learning_rate, warmup_steps, total_steps)
+        if cache_key in self._step_cache:
+            optimizer, train_step = self._step_cache[cache_key]
+        else:
+            optimizer = optax.adamw(schedule, weight_decay=0.01)
+            train_step = self._make_train_step(optimizer)
+            self._step_cache[cache_key] = (optimizer, train_step)
         params = self.encoder.params
         opt_state = optimizer.init(params)
         start_step = 0
@@ -199,7 +208,6 @@ class EmbeddingTrainer:
             params, opt_state, start_step = self._load_checkpoint(
                 checkpoint_dir, params, opt_state
             )
-        train_step = self._make_train_step(optimizer)
 
         rng = random.Random(self.seed + 2)
         order = list(range(n))
