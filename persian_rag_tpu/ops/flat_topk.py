@@ -104,7 +104,22 @@ def _topk_kernel(
     tile_n: int,
     metric: str,
     compute_dtype,
+    n_easy: int = 4,
 ):
+    """Bit-exact kernel with a staged fast path.
+
+    A tile rarely contributes more than a couple of new top-k entries,
+    and the full exact merge costs ~6 VPU passes per rank. This kernel
+    extracts n_easy candidates cheaply via packed quantized keys (2
+    passes per rank + 2 for exact-score recovery) and PROVES the result
+    exact with a residual check: quantization is monotone, so a strict
+    quantized inequality implies the exact one — if every remaining key
+    is strictly below every query's (new) kth-best quantized score, no
+    remaining candidate can alter any top-k. Any boundary tie in
+    quantized space falls back to the full exact merge of the tile, so
+    results (including FAISS lower-index tie-breaking) are bit-identical
+    to the brute-force scan in all cases.
+    """
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -133,26 +148,57 @@ def _topk_kernel(
         s = 2.0 * s - cn_ref[:]
 
     qt = s.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (qt, tile_n), 1) + j * tile_n
+    col_local = jax.lax.broadcasted_iota(jnp.int32, (qt, tile_n), 1)
+    col = col_local + j * tile_n
     valid = col < n_actual
     s = jnp.where(valid, s, NEG_INF)
 
-    # Threshold skip: the merge (k iterations of max-extraction) is the
-    # expensive part of a tile step. If no score in this tile beats the
-    # weakest current kth-best across the query block, the tile cannot
-    # change any result — skip the merge entirely. Ties resolve toward
-    # earlier (lower-index) tiles, so strict '>' keeps FAISS tie order.
-    tile_max = jnp.max(s)
-    threshold = jnp.min(out_s_ref[:, k - 1])
+    ikey = _score_to_ikey(s)
+    key = (ikey & ~_COL_MASK) | (tile_n - 1 - col_local)
 
-    @pl.when((j == 0) | (tile_max > threshold))
+    run_s = out_s_ref[:]
+    run_i = out_i_ref[:]
+    kth_key = _score_to_ikey(run_s[:, k - 1]) & ~_COL_MASK
+    # Skip only on strict quantized inequality (proves exact '<'); a
+    # quantized tie must merge because the tie may hide an exact '>'.
+    tile_max = jnp.max(key)
+    threshold = jnp.min(kth_key)
+
+    @pl.when((j == 0) | (tile_max >= threshold))
     def _merge():
-        # Candidates are ordered [running best (extracted earlier, lower
-        # global index on ties), tile columns ascending]; argmax takes the
-        # first occurrence -> FAISS lower-index-first tie-breaking.
-        cand_s = jnp.concatenate([out_s_ref[:], s], axis=1)
-        cand_i = jnp.concatenate([out_i_ref[:], col], axis=1)
-        out_s_ref[:], out_i_ref[:] = merge_topk(cand_s, cand_i, k)
+        keys = key
+        staged_s = []
+        staged_i = []
+        for _ in range(min(n_easy, k)):
+            m = jnp.max(keys, axis=1, keepdims=True)
+            hit = keys == m
+            exact = jnp.max(
+                jnp.where(hit, s, NEG_INF), axis=1, keepdims=True
+            )
+            keys = jnp.where(hit, _INT_MIN, keys)
+            staged_s.append(exact)
+            staged_i.append(j * tile_n + (tile_n - 1 - (m & _COL_MASK)))
+        new_s, new_i = merge_topk(
+            jnp.concatenate([run_s] + staged_s, axis=1),
+            jnp.concatenate([run_i] + staged_i, axis=1),
+            k,
+        )
+        new_kth_key = _score_to_ikey(new_s[:, k - 1]) & ~_COL_MASK
+        residual = jnp.max(keys) >= jnp.min(new_kth_key)
+
+        @pl.when(jnp.logical_not(residual))
+        def _commit_staged():
+            out_s_ref[:] = new_s
+            out_i_ref[:] = new_i
+
+        @pl.when(residual)
+        def _full_exact_merge():
+            # Candidates ordered [running best (earlier tiles, lower ids
+            # on ties), tile columns ascending]; argmax takes the first
+            # occurrence -> FAISS lower-index-first tie-breaking.
+            cand_s = jnp.concatenate([run_s, s], axis=1)
+            cand_i = jnp.concatenate([run_i, col], axis=1)
+            out_s_ref[:], out_i_ref[:] = merge_topk(cand_s, cand_i, k)
 
 
 # ---------------------------------------------------------------------------
@@ -297,6 +343,9 @@ def flat_topk_pallas(
     assert k >= 1
     tile_n = min(tile_n, _round_up(n, 128))
     tile_q = min(tile_q, _round_up(n_q, 8))
+    assert tile_n <= 1 << _COL_BITS, (
+        f"tile_n={tile_n} exceeds the {_COL_BITS}-bit packed-column budget"
+    )
 
     d_pad = _round_up(d, 128)
     q_pad = _round_up(n_q, tile_q)
