@@ -30,12 +30,16 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-N_DOCS = 200_000
+import os
+
+N_DOCS = int(os.environ.get("BENCH_N", 100_000))
 DIM = 384          # MiniLM-L12 dimensionality
 K = 10
 BATCH = 512        # queries per request batch
 REPS = 20          # fori_loop iterations inside the timed dispatch
 RECALL_QUERIES = 256
+CPU_QUERIES = 128  # CPU baseline batch (QPS scales linearly; the host
+                   # CPU is shared and slow, so keep its slice small)
 
 
 def cpu_flat_search(queries: np.ndarray, corpus: np.ndarray, k: int):
@@ -141,16 +145,17 @@ def main() -> None:
     corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
 
     # -- CPU baseline ---------------------------------------------------------
-    cpu_queries = rng.standard_normal((BATCH, DIM)).astype(np.float32)
+    cpu_queries = rng.standard_normal((CPU_QUERIES, DIM)).astype(np.float32)
     cpu_queries /= np.linalg.norm(cpu_queries, axis=1, keepdims=True)
     _ = cpu_flat_search(cpu_queries[:8], corpus, K)  # warm BLAS
     t0 = time.time()
-    cpu_reps = 3
-    for _ in range(cpu_reps):
-        cpu_flat_search(cpu_queries, corpus, K)
-    cpu_time = (time.time() - t0) / cpu_reps
-    cpu_qps = BATCH / cpu_time
-    log(f"CPU flat exact: {cpu_time*1e3:.1f} ms / {BATCH} q -> {cpu_qps:.0f} QPS")
+    cpu_flat_search(cpu_queries, corpus, K)
+    cpu_time = time.time() - t0
+    cpu_qps = CPU_QUERIES / cpu_time
+    log(
+        f"CPU flat exact: {cpu_time*1e3:.1f} ms / {CPU_QUERIES} q "
+        f"-> {cpu_qps:.0f} QPS"
+    )
 
     # -- TPU fused kernel -------------------------------------------------------
     import jax
