@@ -100,10 +100,10 @@ class DecoderAttention(nn.Module):
             # ring-write this step's k/v at the dynamic cache position
             k_cache, v_cache, cache_pos = cache
             k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k, (0, cache_pos, 0, 0)
+                k_cache, k.astype(k_cache.dtype), (0, cache_pos, 0, 0)
             )
             v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v, (0, cache_pos, 0, 0)
+                v_cache, v.astype(v_cache.dtype), (0, cache_pos, 0, 0)
             )
             k, v = k_cache, v_cache
             new_cache = (k_cache, v_cache)

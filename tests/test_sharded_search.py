@@ -40,3 +40,19 @@ def test_small_corpus_fewer_rows_than_shards(rng):
     sharded, n_actual = shard_corpus(jnp.asarray(corpus), mesh)
     s, i = sharded_flat_topk(jnp.asarray(queries), sharded, 5, n_actual, mesh)
     assert sorted(np.asarray(i)[0].tolist()) == [0, 1, 2, 3, 4]
+
+
+def test_sharded_fast_mode_set_recall(rng):
+    mesh = build_mesh(corpus_axis=4, data_axis=1)
+    corpus = rng.standard_normal((801, 32)).astype(np.float32)
+    queries = rng.standard_normal((5, 32)).astype(np.float32)
+    want_s, want_i = flat_topk_ref(
+        jnp.asarray(queries), jnp.asarray(corpus), 8, "dot"
+    )
+    sharded, n_actual = shard_corpus(jnp.asarray(corpus), mesh)
+    got_s, got_i = sharded_flat_topk(
+        jnp.asarray(queries), sharded, 8, n_actual, mesh,
+        metric="dot", mode="fast",
+    )
+    for q in range(5):
+        assert set(np.asarray(got_i)[q]) == set(np.asarray(want_i)[q])
