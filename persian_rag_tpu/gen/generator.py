@@ -175,7 +175,121 @@ class TextGenerator:
         self._prefill_cache[cache_key] = run
         return run
 
+    def _batch_loop_fn(self, bucket: int, max_tokens: int, batch: int):
+        """Batched whole-generation function: ragged prompts right-padded
+        to one bucket, per-row positions/EOS masking, one dispatch for
+        the entire batch's decode."""
+        cache_key = ("batch", bucket, max_tokens, batch)
+        if cache_key in self._prefill_cache:
+            return self._prefill_cache[cache_key]
+        model, config, max_len = self.model, self.config, self.max_len
+        eos = getattr(self.tokenizer, "eos_id", -1)
+        sample = jax.vmap(TextGenerator._sample, in_axes=(0, 0, None, None))
+
+        @jax.jit
+        def run(params, ids, lengths, key, temperature, top_p):
+            cache = init_cache(config, batch, max_len)
+            positions = jnp.broadcast_to(
+                jnp.arange(bucket, dtype=jnp.int32)[None, :], (batch, bucket)
+            )
+            key_valid = (
+                jnp.arange(max_len, dtype=jnp.int32)[None, :]
+                < lengths[:, None]
+            ).astype(jnp.int32)
+            logits, cache = model.apply(
+                {"params": params},
+                ids,
+                positions=positions,
+                attention_mask=key_valid,
+                cache=cache,
+                cache_pos=jnp.int32(0),
+            )
+            rows = jnp.arange(batch)
+            last = logits[rows, lengths - 1, :]
+            key, sub = jax.random.split(key)
+            token = sample(last, jax.random.split(sub, batch), temperature, top_p)
+            done = token == eos
+            out = jnp.full((batch, max_tokens), -1, jnp.int32)
+
+            def cond(state):
+                t, _, done, *_ = state
+                return (t < max_tokens) & jnp.logical_not(jnp.all(done))
+
+            def body(state):
+                t, token, done, cache, key, out = state
+                out = out.at[:, t].set(jnp.where(done, -1, token))
+                pos = jnp.minimum(lengths + t, max_len - 1)
+                logits, cache = model.apply(
+                    {"params": params},
+                    token[:, None],
+                    positions=pos[:, None],
+                    cache=cache,
+                    cache_pos=pos,
+                )
+                key, sub = jax.random.split(key)
+                nxt = sample(
+                    logits[:, -1, :], jax.random.split(sub, batch),
+                    temperature, top_p,
+                )
+                done = done | (nxt == eos) | (lengths + t + 1 >= max_len - 1)
+                return t + 1, nxt, done, cache, key, out
+
+            t, token, done, cache, key, out = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), token, done, cache, key, out)
+            )
+            return out
+
+        self._prefill_cache[cache_key] = run
+        return run
+
     # -- public API ---------------------------------------------------------------
+
+    def generate_batch_device(
+        self,
+        prompts_ids: Sequence[Sequence[int]],
+        max_tokens: int = 128,
+        temperature: float = 0.0,
+        top_p: float = 0.9,
+        seed: int = 0,
+        length_bucket: int = 32,
+    ) -> List[List[int]]:
+        """Generate for a batch of (ragged) prompts in one device loop."""
+        batch = len(prompts_ids)
+        if batch == 0:
+            return []
+        clipped = [
+            list(p)[-(self.max_len - max_tokens - 1):] for p in prompts_ids
+        ]
+        longest = max(len(p) for p in clipped)
+        bucket = min(
+            -(-longest // length_bucket) * length_bucket,
+            self.max_len - max_tokens - 1,
+        )
+        pad_id = getattr(self.tokenizer, "pad_id", 0)
+        ids = np.full((batch, bucket), pad_id, np.int32)
+        lengths = np.zeros((batch,), np.int32)
+        for i, p in enumerate(clipped):
+            ids[i, : len(p)] = p
+            lengths[i] = len(p)
+        run = self._batch_loop_fn(bucket, max_tokens, batch)
+        out = np.asarray(
+            run(
+                self.params,
+                jnp.asarray(ids),
+                jnp.asarray(lengths),
+                jax.random.PRNGKey(seed),
+                jnp.float32(temperature),
+                jnp.float32(top_p),
+            )
+        )
+        eos = getattr(self.tokenizer, "eos_id", None)
+        results = []
+        for row in out:
+            tokens = [int(t) for t in row if t >= 0]
+            if eos is not None:
+                tokens = [t for t in tokens if t != eos]
+            results.append(tokens)
+        return results
 
     def generate_ids_device(
         self,

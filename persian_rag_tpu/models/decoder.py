@@ -97,14 +97,26 @@ class DecoderAttention(nn.Module):
         k = _rope(k, positions, c.rope_theta)
 
         if cache is not None:
-            # ring-write this step's k/v at the dynamic cache position
+            # write this step's k/v at the dynamic cache position: a
+            # scalar cache_pos writes a contiguous block (prefill /
+            # single-sequence decode); a (B,) cache_pos scatter-writes
+            # one token per row (batched decode with ragged lengths)
             k_cache, v_cache, cache_pos = cache
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype), (0, cache_pos, 0, 0)
-            )
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype), (0, cache_pos, 0, 0)
-            )
+            if jnp.ndim(cache_pos) == 0:
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, k.astype(k_cache.dtype), (0, cache_pos, 0, 0)
+                )
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, v.astype(v_cache.dtype), (0, cache_pos, 0, 0)
+                )
+            else:
+                rows = jnp.arange(k.shape[0])
+                k_cache = k_cache.at[rows, cache_pos].set(
+                    k[:, 0].astype(k_cache.dtype)
+                )
+                v_cache = v_cache.at[rows, cache_pos].set(
+                    v[:, 0].astype(v_cache.dtype)
+                )
             k, v = k_cache, v_cache
             new_cache = (k_cache, v_cache)
         else:
@@ -190,7 +202,9 @@ class LlamaDecoder(nn.Module):
                 bias = bias + pad
         else:
             # cache mode (prefill or decode step): query at position p
-            # attends cache keys at positions <= p
+            # attends cache keys at positions <= p. attention_mask, when
+            # given, is a (B, cache_len) key-validity mask — used by
+            # batched prefill to hide right-padding of shorter prompts.
             cache_len = cache["k"][0].shape[1]
             key_pos = jnp.arange(cache_len, dtype=jnp.int32)
             bias = jnp.where(
@@ -198,6 +212,10 @@ class LlamaDecoder(nn.Module):
                 0.0,
                 -1e9,
             )
+            if attention_mask is not None:
+                bias = bias + jnp.where(
+                    attention_mask[:, None, None, :] > 0, 0.0, -1e9
+                )
 
         new_cache = {"k": [], "v": []} if cache is not None else None
         for i in range(c.num_layers):

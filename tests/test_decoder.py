@@ -215,3 +215,22 @@ def test_lora_dp_matches_single_device():
     t2 = LoraTrainer(config, params, rank=2, alpha=2.0, mesh=mesh, seed=1)
     s2 = t2.fit(qa, epochs=1, batch_size=8, max_len=32, log_every=1)
     np.testing.assert_allclose(s1["losses"], s2["losses"], rtol=1e-4)
+
+
+def test_batched_generation_matches_per_prompt_greedy():
+    from persian_rag_tpu.gen.generator import ByteTokenizer, TextGenerator
+
+    gen = TextGenerator(
+        DecoderConfig.tiny(vocab_size=ByteTokenizer.vocab_size),
+        tokenizer=ByteTokenizer(),
+        max_len=128,
+    )
+    prompts = [
+        gen.tokenizer.encode("سوال: دارو چیست؟\nپاسخ: "),
+        gen.tokenizer.encode("short"),
+        gen.tokenizer.encode("a much longer prompt with many more tokens in it"),
+    ]
+    batched = gen.generate_batch_device(prompts, max_tokens=10)
+    for prompt, got in zip(prompts, batched):
+        want = gen.generate_ids_device(prompt, max_tokens=10)
+        assert got == want, (got, want)
