@@ -9,6 +9,7 @@ runs against an in-process TPU-backed model with zero changes.
 from __future__ import annotations
 
 import json
+import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -16,15 +17,43 @@ from typing import Optional
 from persian_rag_tpu.gen.generator import TextGenerator
 
 
+class _PendingGen:
+    __slots__ = ("prompt", "max_tokens", "temperature", "top_p", "stop",
+                 "event", "text")
+
+    def __init__(self, prompt, max_tokens, temperature, top_p, stop):
+        self.prompt = prompt
+        self.max_tokens = max_tokens
+        self.temperature = temperature
+        self.top_p = top_p
+        self.stop = stop
+        self.event = threading.Event()
+        self.text: Optional[str] = None
+
+
 class LocalGenerationServer:
+    """Serves generation over the llama.cpp HTTP contract.
+
+    Concurrent requests micro-batch: a request waits up to
+    ``max_wait_ms`` for co-travelers, then the whole group decodes in
+    one batched device loop (TextGenerator.generate_batch_device).
+    """
+
     def __init__(
         self,
         generator: TextGenerator,
         host: str = "127.0.0.1",
         port: int = 0,
+        max_batch: int = 8,
+        max_wait_ms: float = 10.0,
     ):
         self.generator = generator
-        self._lock = threading.Lock()  # one generation at a time
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self._queue: "queue.Queue[_PendingGen]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._batch_loop, daemon=True)
+        self._worker.start()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -69,14 +98,16 @@ class LocalGenerationServer:
                 else:
                     self._json(404, {"error": "not found"})
                     return
-                with outer._lock:
-                    text = outer.generator.generate_text(
-                        prompt,
-                        max_tokens=int(data.get("max_tokens", 128)),
-                        temperature=float(data.get("temperature", 0.0)),
-                        top_p=float(data.get("top_p", 0.9)),
-                        stop=data.get("stop"),
-                    )
+                pending = _PendingGen(
+                    prompt,
+                    int(data.get("max_tokens", 128)),
+                    float(data.get("temperature", 0.0)),
+                    float(data.get("top_p", 0.9)),
+                    data.get("stop"),
+                )
+                outer._queue.put(pending)
+                pending.event.wait(timeout=600)
+                text = pending.text or ""
                 if self.path == "/completion":
                     self._json(200, {"content": text})
                 elif self.path == "/v1/chat/completions":
@@ -99,6 +130,59 @@ class LocalGenerationServer:
         self._server = ThreadingHTTPServer((host, port), Handler)
         self._thread: Optional[threading.Thread] = None
 
+    # -- batching worker ---------------------------------------------------------
+
+    def _batch_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            group = [first]
+            while len(group) < self.max_batch:
+                try:
+                    group.append(
+                        self._queue.get(timeout=self.max_wait_ms / 1000.0)
+                    )
+                except queue.Empty:
+                    break
+            self._serve_group(group)
+
+    def _serve_group(self, group) -> None:
+        try:
+            tokenizer = self.generator.tokenizer
+            prompts = [tokenizer.encode(p.prompt) for p in group]
+            max_tokens = max(p.max_tokens for p in group)
+            # sampling params are per-batch on device: serve groups with
+            # homogeneous temperature together, else fall back per-item
+            temps = {(p.temperature, p.top_p) for p in group}
+            if len(temps) == 1 and len(group) > 1:
+                temperature, top_p = next(iter(temps))
+                outs = self.generator.generate_batch_device(
+                    prompts, max_tokens=max_tokens,
+                    temperature=temperature, top_p=top_p,
+                )
+            else:
+                outs = [
+                    self.generator.generate_ids_device(
+                        prompt, max_tokens=p.max_tokens,
+                        temperature=p.temperature, top_p=p.top_p,
+                    )
+                    for prompt, p in zip(prompts, group)
+                ]
+            for pending, out in zip(group, outs):
+                text = tokenizer.decode(out[: pending.max_tokens])
+                for marker in pending.stop or []:
+                    idx = text.find(marker)
+                    if idx >= 0:
+                        text = text[:idx]
+                pending.text = text
+                pending.event.set()
+        except Exception:
+            for pending in group:
+                pending.text = ""
+                pending.event.set()
+
     @property
     def url(self) -> str:
         return f"http://127.0.0.1:{self._server.server_address[1]}"
@@ -111,6 +195,7 @@ class LocalGenerationServer:
         return self
 
     def stop(self) -> None:
+        self._stop.set()
         self._server.shutdown()
         self._server.server_close()
 

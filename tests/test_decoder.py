@@ -234,3 +234,40 @@ def test_batched_generation_matches_per_prompt_greedy():
     for prompt, got in zip(prompts, batched):
         want = gen.generate_ids_device(prompt, max_tokens=10)
         assert got == want, (got, want)
+
+
+def test_local_server_microbatches_concurrent_requests():
+    import threading
+
+    import requests
+
+    from persian_rag_tpu.gen.generator import ByteTokenizer, TextGenerator
+    from persian_rag_tpu.gen.local_server import LocalGenerationServer
+
+    gen = TextGenerator(
+        DecoderConfig.tiny(vocab_size=ByteTokenizer.vocab_size),
+        tokenizer=ByteTokenizer(),
+        max_len=128,
+    )
+    with LocalGenerationServer(gen, max_wait_ms=50) as url:
+        results = [None] * 4
+        def hit(i):
+            r = requests.post(
+                url + "/completion",
+                json={"prompt": f"سوال {i}", "max_tokens": 6},
+                timeout=120,
+            )
+            results[i] = r.json()
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(r is not None and "content" in r for r in results)
+        # batched greedy must equal the single-prompt result
+        single = requests.post(
+            url + "/completion",
+            json={"prompt": "سوال 2", "max_tokens": 6},
+            timeout=120,
+        ).json()
+        assert results[2]["content"] == single["content"]
