@@ -56,6 +56,10 @@ def sharded_sparse_topk(
     """Returns ((B, k) scores desc, (B, k) global ids), replicated."""
     n_shards = mesh.shape[CORPUS_AXIS]
     k = min(k, n_actual)
+    if use_pallas is None:
+        from persian_rag_tpu.parallel.sharded_search import _mesh_on_tpu
+
+        use_pallas = _mesh_on_tpu(mesh)
 
     def local(qi, qv, ids_local, vals_local):
         shard = jax.lax.axis_index(CORPUS_AXIS)

@@ -33,6 +33,12 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _mesh_on_tpu(mesh: Mesh) -> bool:
+    """Whether the mesh's devices are TPUs (the process default backend
+    may differ — e.g. a CPU validation mesh while the default is TPU)."""
+    return next(iter(mesh.devices.flat)).platform not in ("cpu",)
+
+
 def shard_corpus(corpus: jnp.ndarray, mesh: Mesh) -> Tuple[jnp.ndarray, int]:
     """Pad an (N, d) corpus to a shard multiple and place it row-sharded.
 
@@ -66,6 +72,8 @@ def sharded_flat_topk(
     n_shards = mesh.shape[CORPUS_AXIS]
     k = min(k, n_actual)
     descending = metric != "l2"
+    if use_pallas is None:
+        use_pallas = _mesh_on_tpu(mesh)
 
     def local_search(q, c_local):
         shard = jax.lax.axis_index(CORPUS_AXIS)
@@ -139,6 +147,8 @@ def sharded_flat_topk_2d(
     from persian_rag_tpu.core.mesh import DATA_AXIS
 
     n_q = queries.shape[0]
+    if use_pallas is None:
+        use_pallas = _mesh_on_tpu(mesh)
     dp = mesh.shape[DATA_AXIS]
     q_pad = _round_up(max(n_q, dp), dp)
     if q_pad != n_q:
