@@ -51,12 +51,22 @@ class DenseIndex:
         search_mode: str = "exact",
     ):
         """storage_dtype=bfloat16 halves HBM residency and bandwidth
-        (vectors quantized once at commit); search_mode="fast" uses the
+        (Recall@10 ~0.99 on isotropic data); storage_dtype=int8 quarters
+        it (per-row absmax scales folded in post-matmul; dot/cosine
+        only, single-chip) — int8 is a CANDIDATE-GENERATION tier: on
+        worst-case isotropic data the true top-10 lands in its top-100
+        ~96% of the time, so over-retrieve and re-rank at higher
+        precision for final ordering. search_mode="fast" uses the
         packed-key kernel (scores quantized to 21 bits, ordering may
         permute inside ~2^-12-relative ties). Defaults are bit-exact
         FAISS-parity behavior."""
         if metric not in _METRICS:
             raise ValueError(f"metric must be one of {_METRICS}, got {metric}")
+        if jnp.dtype(storage_dtype) == jnp.int8:
+            if metric == "l2":
+                raise ValueError("int8 storage supports ip/cosine only")
+            if mesh is not None:
+                raise ValueError("int8 storage is single-chip for now")
         self.dim = dim
         self.metric = metric
         self.mesh = mesh
@@ -66,6 +76,7 @@ class DenseIndex:
         self.search_mode = search_mode
         self._pending: list[np.ndarray] = []
         self._device_corpus: Optional[jnp.ndarray] = None
+        self._row_scales: Optional[jnp.ndarray] = None
         self._ntotal = 0
 
     # -- construction -------------------------------------------------------
@@ -91,10 +102,12 @@ class DenseIndex:
             return
         parts = []
         if self._device_corpus is not None:
-            existing = np.asarray(
-                self._device_corpus.astype(jnp.float32)
-            )[: self._ntotal]
-            parts.append(existing)
+            # dequantize bf16/int8 storage back to f32 (inline — calling
+            # vectors() here would recurse through commit())
+            existing = np.asarray(self._device_corpus.astype(jnp.float32))
+            if self._row_scales is not None:
+                existing = existing * np.asarray(self._row_scales)[:, None]
+            parts.append(existing[: self._ntotal])
         parts.extend(self._pending)
         if not parts:
             raise ValueError("index is empty")
@@ -103,6 +116,15 @@ class DenseIndex:
             corpus = _l2_normalize(corpus)
         self._pending.clear()
         self._ntotal = corpus.shape[0]
+        if self.storage_dtype == jnp.int8:
+            absmax = np.abs(corpus).max(axis=1)
+            scales = np.maximum(absmax / 127.0, 1e-12).astype(np.float32)
+            values = np.clip(
+                np.rint(corpus / scales[:, None]), -127, 127
+            ).astype(np.int8)
+            self._row_scales = jax.device_put(jnp.asarray(scales))
+            self._device_corpus = jax.device_put(jnp.asarray(values))
+            return
         arr = jnp.asarray(corpus).astype(self.storage_dtype)
         if self.mesh is not None:
             arr, _ = shard_corpus(arr, self.mesh)
@@ -149,13 +171,19 @@ class DenseIndex:
                 mode=self.search_mode,
             )
         else:
+            compute = self.compute_dtype
+            if self.storage_dtype == jnp.int8:
+                # int8 values are exact in bf16; bf16 matmul is lossless
+                # on the quantized corpus and uses the fast MXU path
+                compute = jnp.bfloat16
             scores, ids = flat_topk(
                 q,
                 self._device_corpus,
                 k,
                 metric=metric,
+                corpus_scale=self._row_scales,
                 use_pallas=self.use_pallas,
-                compute_dtype=self.compute_dtype,
+                compute_dtype=compute,
                 mode=self.search_mode,
             )
         scores = np.asarray(scores)
@@ -168,12 +196,13 @@ class DenseIndex:
 
     def vectors(self) -> np.ndarray:
         """Host copy of the committed corpus as float32 (cosine:
-        normalized form; bf16 storage: the quantized values)."""
+        normalized form; bf16/int8 storage: the dequantized values)."""
         if self._pending:
             self.commit()
-        return np.asarray(
-            self._device_corpus.astype(jnp.float32)
-        )[: self._ntotal]
+        out = np.asarray(self._device_corpus.astype(jnp.float32))
+        if self._row_scales is not None:
+            out = out * np.asarray(self._row_scales)[:, None]
+        return out[: self._ntotal]
 
     def save(self, path: str) -> None:
         """Native format: .npz payload + .json sidecar metadata."""

@@ -56,6 +56,7 @@ def flat_topk_ref(
     k: int,
     metric: str = "dot",
     compute_dtype: Optional[jnp.dtype] = None,
+    corpus_scale: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k by full score materialization (O(Q*N) memory)."""
     q = queries
@@ -63,12 +64,16 @@ def flat_topk_ref(
     if compute_dtype is not None:
         q = q.astype(compute_dtype)
         c = c.astype(compute_dtype)
+    if c.dtype == jnp.int8:
+        c = c.astype(jnp.float32)
     scores = jnp.dot(
         q,
         c.T,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    if corpus_scale is not None:
+        scores = scores * corpus_scale[None, :].astype(jnp.float32)
     if metric == "l2":
         c_sq = jnp.sum(
             corpus.astype(jnp.float32) * corpus.astype(jnp.float32), axis=-1
@@ -105,6 +110,7 @@ def _topk_kernel(
     metric: str,
     compute_dtype,
     n_easy: int = 4,
+    row_scaled: bool = False,
 ):
     """Bit-exact kernel with a staged fast path.
 
@@ -146,6 +152,8 @@ def _topk_kernel(
     )
     if metric == "l2":
         s = 2.0 * s - cn_ref[:]
+    elif row_scaled:  # int8 storage: fold per-row dequant scales in
+        s = s * cn_ref[:]
 
     qt = s.shape[0]
     col_local = jax.lax.broadcasted_iota(jnp.int32, (qt, tile_n), 1)
@@ -247,6 +255,7 @@ def _fast_topk_kernel(
     metric: str,
     compute_dtype,
     n_easy: int = 4,
+    row_scaled: bool = False,
 ):
     j = pl.program_id(1)
 
@@ -325,6 +334,7 @@ def flat_topk_pallas(
     k: int,
     metric: str = "dot",
     corpus_sqnorm: Optional[jnp.ndarray] = None,
+    corpus_scale: Optional[jnp.ndarray] = None,
     tile_n: int = 1024,
     tile_q: int = 128,
     compute_dtype: jnp.dtype = jnp.float32,
@@ -336,6 +346,9 @@ def flat_topk_pallas(
 
     Returns (scores, indices), each (Q, k). For ``l2`` the scores are squared
     distances ascending; for ``dot`` raw inner products descending.
+
+    corpus_scale: (N,) per-row dequantization scales for int8 corpora
+    (dot metric only); scores are scale_n * <q, c_int8[n]>.
     """
     n_q, d = queries.shape
     n, dc = corpus.shape
@@ -354,19 +367,25 @@ def flat_topk_pallas(
     q = _pad_to(_pad_to(queries, d_pad, 1), q_pad, 0)
     c = _pad_to(_pad_to(corpus, d_pad, 1), n_pad, 0)
 
+    row_scaled = corpus_scale is not None
     if metric == "l2":
+        assert not row_scaled, "int8 row scales support dot/cosine only"
         if corpus_sqnorm is None:
             corpus_sqnorm = jnp.sum(
                 corpus.astype(jnp.float32) * corpus.astype(jnp.float32), axis=-1
             )
         cn = _pad_to(corpus_sqnorm.astype(jnp.float32)[None, :], n_pad, 1)
+    elif row_scaled:
+        cn = _pad_to(corpus_scale.astype(jnp.float32)[None, :], n_pad, 1)
     else:
         cn = jnp.zeros((1, n_pad), jnp.float32)
 
     grid = (q_pad // tile_q, n_pad // tile_n)
 
     kernel_fn = _topk_kernel if mode == "exact" else _fast_topk_kernel
-    kwargs = {} if mode == "exact" else {"n_easy": n_easy}
+    kwargs = {"row_scaled": row_scaled}
+    if mode != "exact":
+        kwargs["n_easy"] = n_easy
     kernel = functools.partial(
         kernel_fn,
         k=k,
@@ -423,6 +442,7 @@ def flat_topk(
     k: int,
     metric: str = "dot",
     corpus_sqnorm: Optional[jnp.ndarray] = None,
+    corpus_scale: Optional[jnp.ndarray] = None,
     use_pallas: Optional[bool] = None,
     tile_n: int = 1024,
     tile_q: int = 128,
@@ -437,6 +457,10 @@ def flat_topk(
     k = min(k, corpus.shape[0])
     if use_pallas is None:
         use_pallas = _backend() == "tpu"
+    if k > 128:
+        # the fused kernels unroll k extraction steps; for large k the
+        # materialized reference path is both faster and safer on VMEM
+        use_pallas = False
     if use_pallas:
         return flat_topk_pallas(
             queries,
@@ -444,10 +468,13 @@ def flat_topk(
             k,
             metric=metric,
             corpus_sqnorm=corpus_sqnorm,
+            corpus_scale=corpus_scale,
             tile_n=tile_n,
             tile_q=tile_q,
             compute_dtype=compute_dtype,
             mode=mode,
             interpret=_backend() != "tpu",
         )
-    return flat_topk_ref(queries, corpus, k, metric=metric)
+    return flat_topk_ref(
+        queries, corpus, k, metric=metric, corpus_scale=corpus_scale
+    )

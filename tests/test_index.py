@@ -118,3 +118,48 @@ def test_faiss_export_import(tmp_path, rng):
     index.export_faiss(path)
     back = DenseIndex.from_faiss(path)
     np.testing.assert_array_equal(back.vectors(), vectors)
+
+
+def test_int8_storage_high_recall(rng):
+    vectors = rng.standard_normal((600, 64)).astype(np.float32)
+    queries = rng.standard_normal((16, 64)).astype(np.float32)
+    exact = DenseIndex(64, metric="cosine")
+    exact.add(vectors)
+    compact = DenseIndex(64, metric="cosine", storage_dtype="int8")
+    compact.add(vectors)
+    _, want = exact.search(queries, 10)
+    scores, got = compact.search(queries, 10)
+    recall = np.mean(
+        [len(set(got[q]) & set(want[q])) / 10 for q in range(16)]
+    )
+    assert recall >= 0.9, recall
+    # dequantized vectors are close to the originals
+    deq = compact.vectors()
+    vn = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
+    np.testing.assert_allclose(deq, vn, atol=0.02)
+    # top-1 self-match survives quantization
+    s, i = compact.search(vectors[:5], 1)
+    assert (i[:, 0] == np.arange(5)).all()
+
+
+def test_int8_rejects_l2_and_mesh(rng):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        DenseIndex(8, metric="l2", storage_dtype="int8")
+    mesh = build_mesh(corpus_axis=2, data_axis=1)
+    with _pytest.raises(ValueError):
+        DenseIndex(8, metric="cosine", storage_dtype="int8", mesh=mesh)
+
+
+def test_int8_incremental_add(rng):
+    a = rng.standard_normal((40, 16)).astype(np.float32)
+    b = rng.standard_normal((40, 16)).astype(np.float32)
+    index = DenseIndex(16, metric="cosine", storage_dtype="int8")
+    index.add(a)
+    index.commit()
+    index.add(b)
+    index.commit()
+    assert index.ntotal == 80
+    s, i = index.search(b[:3], 1)
+    assert (i[:, 0] == np.arange(40, 43)).all()
