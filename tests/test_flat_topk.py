@@ -90,3 +90,16 @@ def test_l2_distances_are_true_squared_distances(rng):
         for rank in range(3):
             true = ((queries[qi] - corpus[idx[qi, rank]]) ** 2).sum()
             np.testing.assert_allclose(d2[qi, rank], true, rtol=1e-4, atol=1e-4)
+
+
+def test_large_k_falls_back_to_reference(rng):
+    corpus = rng.standard_normal((500, 32)).astype(np.float32)
+    queries = rng.standard_normal((3, 32)).astype(np.float32)
+    s, i = flat_topk(
+        jnp.asarray(queries), jnp.asarray(corpus), k=200, metric="dot"
+    )
+    assert s.shape == (3, 200)
+    want_s, want_i = flat_topk_ref(
+        jnp.asarray(queries), jnp.asarray(corpus), 200, "dot"
+    )
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(want_i))
