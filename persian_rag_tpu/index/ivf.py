@@ -198,8 +198,20 @@ class IVFIndex:
                 axis=1,
             )
         scores = jnp.where(ids >= 0, scores, -3.0e38)
-        top_s, pos = jax.lax.top_k(scores, k)
+        # The candidate pool is only nprobe*cap (+ overflow) wide; when k
+        # exceeds it, return the best available and backfill with id=-1
+        # sentinels (callers' 0 <= idx filters drop them) instead of
+        # failing at trace time.
+        k_eff = min(k, scores.shape[1])
+        top_s, pos = jax.lax.top_k(scores, k_eff)
         top_i = jnp.take_along_axis(ids, pos, axis=1)
+        if k_eff < k:
+            top_s = jnp.pad(
+                top_s, ((0, 0), (0, k - k_eff)), constant_values=-3.0e38
+            )
+            top_i = jnp.pad(
+                top_i, ((0, 0), (0, k - k_eff)), constant_values=-1
+            )
         if not descending:
             top_s = -top_s  # back to squared distances ascending
         return top_s, top_i.astype(jnp.int32)

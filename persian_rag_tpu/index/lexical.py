@@ -96,14 +96,20 @@ class _EllIndex:
         self._set_ell(ids, vals)
 
     def _encode_queries(
-        self, queries_terms: Sequence[List[Tuple[int, float]]], t_max: int = 64
+        self, queries_terms: Sequence[List[Tuple[int, float]]]
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        # Size the query slot dimension to the batch's actual max term
+        # count (padded to a multiple of 8 for shape-bucket reuse) — a
+        # fixed cap would silently truncate long queries and corrupt
+        # scores (e.g. TF-IDF (1,2)-gram queries exceed 64 slots at ~33
+        # words).
         b = len(queries_terms)
-        t = max(1, min(t_max, max((len(q) for q in queries_terms), default=1)))
+        t_raw = max(1, max((len(q) for q in queries_terms), default=1))
+        t = ((t_raw + 7) // 8) * 8
         qids = np.full((b, t), -1, np.int32)
         qvals = np.zeros((b, t), np.float32)
         for bi, terms in enumerate(queries_terms):
-            for ti, (tid, v) in enumerate(terms[:t]):
+            for ti, (tid, v) in enumerate(terms):
                 qids[bi, ti] = tid
                 qvals[bi, ti] = v
         return jnp.asarray(qids), jnp.asarray(qvals)
@@ -141,9 +147,12 @@ class _EllIndex:
         self, queries_terms: Sequence[List[Tuple[int, float]]]
     ) -> np.ndarray:
         qids, qvals = self._encode_queries(queries_terms)
-        return np.asarray(
+        scores = np.asarray(
             sparse_scores_ref(self._dev_ids, self._dev_vals, qids, qvals)
         )
+        # With a mesh, _dev_ids is padded to a shard multiple; trim the
+        # pad rows so get_scores always returns exactly (N,) per query.
+        return scores[:, : self.ntotal]
 
     def _save_arrays(self, path: str, extra: Dict) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

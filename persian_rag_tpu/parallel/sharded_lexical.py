@@ -60,15 +60,21 @@ def sharded_sparse_topk(
         from persian_rag_tpu.parallel.sharded_search import _mesh_on_tpu
 
         use_pallas = _mesh_on_tpu(mesh)
+    # ELL pad documents score 0.0 in the LOCAL top-k and can displace real
+    # documents whose total BM25 contribution is negative. Over-retrieve
+    # locally by the static total pad count so >= k valid candidates always
+    # survive to the global merge (same fix as sharded_flat_topk).
+    local_n_static = doc_ids_sharded.shape[0] // n_shards
+    pad_total = local_n_static * n_shards - n_actual
+    k_local = min(k + pad_total, local_n_static)
 
     def local(qi, qv, ids_local, vals_local):
         shard = jax.lax.axis_index(CORPUS_AXIS)
         local_n = ids_local.shape[0]
-        s, i = sparse_topk(ids_local, vals_local, qi, qv, k, use_pallas=use_pallas)
-        if s.shape[1] < k:
-            pad = k - s.shape[1]
-            s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=NEG_INF)
-            i = jnp.pad(i, ((0, 0), (0, pad)), constant_values=local_n)
+        s, i = sparse_topk(
+            ids_local, vals_local, qi, qv, k_local, use_pallas=use_pallas
+        )
+        kl = s.shape[1]
         gid = i + shard * local_n
         invalid = gid >= n_actual
         s = jnp.where(invalid, NEG_INF, s)
@@ -76,8 +82,8 @@ def sharded_sparse_topk(
         all_s = jax.lax.all_gather(s, CORPUS_AXIS)
         all_i = jax.lax.all_gather(gid, CORPUS_AXIS)
         b = qi.shape[0]
-        cand_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_shards * k)
-        cand_i = jnp.moveaxis(all_i, 0, 1).reshape(b, n_shards * k)
+        cand_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_shards * kl)
+        cand_i = jnp.moveaxis(all_i, 0, 1).reshape(b, n_shards * kl)
         top_s, pos = jax.lax.top_k(cand_s, k)
         top_i = jnp.take_along_axis(cand_i, pos, axis=1)
         return top_s, top_i.astype(jnp.int32)

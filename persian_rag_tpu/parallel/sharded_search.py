@@ -74,6 +74,15 @@ def sharded_flat_topk(
     descending = metric != "l2"
     if use_pallas is None:
         use_pallas = _mesh_on_tpu(mesh)
+    # Zero pad rows added by shard_corpus compete inside each shard's LOCAL
+    # top-k before the gid >= n_actual mask applies (for l2 a zero row
+    # scores ||q||^2, for dot it scores 0 — either can beat real rows).
+    # Over-retrieve locally by the total pad count (a static int): at most
+    # `pad_total` pad rows can occupy local slots, so every shard still
+    # surfaces >= k valid candidates and the global merge stays exact.
+    local_n_static = corpus_sharded.shape[0] // n_shards
+    pad_total = local_n_static * n_shards - n_actual
+    k_local = min(k + pad_total, local_n_static)
 
     def local_search(q, c_local):
         shard = jax.lax.axis_index(CORPUS_AXIS)
@@ -81,17 +90,13 @@ def sharded_flat_topk(
         s, i = flat_topk(
             q,
             c_local,
-            k,
+            k_local,
             metric=metric,
             use_pallas=use_pallas,
             compute_dtype=compute_dtype,
             mode=mode,
         )
-        if s.shape[1] < k:  # shard smaller than k: pad with sentinels
-            pad = k - s.shape[1]
-            fill = NEG_INF if descending else -NEG_INF
-            s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=fill)
-            i = jnp.pad(i, ((0, 0), (0, pad)), constant_values=local_n)
+        kl = s.shape[1]
         gid = i + shard * local_n
         # Mask padded rows so they never win the global merge.
         invalid = gid >= n_actual
@@ -101,12 +106,12 @@ def sharded_flat_topk(
             s = jnp.where(invalid, -NEG_INF, s)
         gid = jnp.where(invalid, -1, gid)
 
-        # (n_shards, Q, k) candidates over ICI; merge redundantly per shard.
+        # (n_shards, Q, kl) candidates over ICI; merge redundantly per shard.
         all_s = jax.lax.all_gather(s, CORPUS_AXIS)
         all_i = jax.lax.all_gather(gid, CORPUS_AXIS)
         q_n = q.shape[0]
-        cand_s = jnp.moveaxis(all_s, 0, 1).reshape(q_n, n_shards * k)
-        cand_i = jnp.moveaxis(all_i, 0, 1).reshape(q_n, n_shards * k)
+        cand_s = jnp.moveaxis(all_s, 0, 1).reshape(q_n, n_shards * kl)
+        cand_i = jnp.moveaxis(all_i, 0, 1).reshape(q_n, n_shards * kl)
         if descending:
             top_s, pos = jax.lax.top_k(cand_s, k)
         else:
@@ -155,20 +160,23 @@ def sharded_flat_topk_2d(
         queries = jnp.pad(queries, ((0, q_pad - n_q), (0, 0)))
     k = min(k, n_actual)
     descending = metric != "l2"
+    # Same pad-row handling as sharded_flat_topk: over-retrieve locally by
+    # the static total pad count so zero pad rows can never evict valid
+    # candidates from the global merge.
+    n_corpus_shards = mesh.shape[CORPUS_AXIS]
+    local_n_static = corpus_sharded.shape[0] // n_corpus_shards
+    pad_total = local_n_static * n_corpus_shards - n_actual
+    k_local = min(k + pad_total, local_n_static)
 
     def local_search(q, c_local):
         shard = jax.lax.axis_index(CORPUS_AXIS)
         local_n = c_local.shape[0]
         s, i = flat_topk(
-            q, c_local, k,
+            q, c_local, k_local,
             metric=metric, use_pallas=use_pallas,
             compute_dtype=compute_dtype, mode=mode,
         )
-        if s.shape[1] < k:
-            pad = k - s.shape[1]
-            fill = NEG_INF if descending else -NEG_INF
-            s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=fill)
-            i = jnp.pad(i, ((0, 0), (0, pad)), constant_values=local_n)
+        kl = s.shape[1]
         gid = i + shard * local_n
         invalid = gid >= n_actual
         s = jnp.where(invalid, NEG_INF if descending else -NEG_INF, s)
@@ -178,8 +186,8 @@ def sharded_flat_topk_2d(
         all_i = jax.lax.all_gather(gid, CORPUS_AXIS)
         rows = q.shape[0]
         n_shards = all_s.shape[0]
-        cand_s = jnp.moveaxis(all_s, 0, 1).reshape(rows, n_shards * k)
-        cand_i = jnp.moveaxis(all_i, 0, 1).reshape(rows, n_shards * k)
+        cand_s = jnp.moveaxis(all_s, 0, 1).reshape(rows, n_shards * kl)
+        cand_i = jnp.moveaxis(all_i, 0, 1).reshape(rows, n_shards * kl)
         if descending:
             top_s, pos = jax.lax.top_k(cand_s, k)
         else:
