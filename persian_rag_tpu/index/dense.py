@@ -25,11 +25,31 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
+import functools
+
 from persian_rag_tpu.index import faiss_io
+from persian_rag_tpu.ops._merge import NEG_INF
 from persian_rag_tpu.ops.flat_topk import flat_topk
 from persian_rag_tpu.parallel.sharded_search import shard_corpus, sharded_flat_topk
 
 _METRICS = ("l2", "ip", "cosine")
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _refine_topk(queries, refine_corpus, cand_ids, k):
+    """Exact re-scoring of int8-scan candidates against the full-precision
+    corpus rows: gather (Q, R, d) rows, one einsum, top-k. The gather
+    touches only Q*R rows — the 4x-cheaper int8 stream does the N-scan."""
+    rows = jnp.take(refine_corpus, jnp.maximum(cand_ids, 0), axis=0)
+    scores = jnp.einsum(
+        "qd,qrd->qr",
+        queries.astype(jnp.float32),
+        rows.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    scores = jnp.where(cand_ids >= 0, scores, NEG_INF)
+    top_s, pos = jax.lax.top_k(scores, k)
+    return top_s, jnp.take_along_axis(cand_ids, pos, axis=1)
 
 
 def _l2_normalize(x: np.ndarray) -> np.ndarray:
@@ -49,17 +69,22 @@ class DenseIndex:
         use_pallas: Optional[bool] = None,
         storage_dtype: jnp.dtype = jnp.float32,
         search_mode: str = "exact",
+        refine_dtype: Optional[str] = "float32",
     ):
         """storage_dtype=bfloat16 halves HBM residency and bandwidth
         (Recall@10 ~0.99 on isotropic data); storage_dtype=int8 quarters
         it (per-row absmax scales folded in post-matmul; dot/cosine
         only, single-chip) — int8 is a CANDIDATE-GENERATION tier: on
         worst-case isotropic data the true top-10 lands in its top-100
-        ~96% of the time, so over-retrieve and re-rank at higher
-        precision for final ordering. search_mode="fast" uses the
-        packed-key kernel (scores quantized to 21 bits, ordering may
-        permute inside ~2^-12-relative ties). Defaults are bit-exact
-        FAISS-parity behavior."""
+        ~96% of the time, so `search(refine_k=...)` over-retrieves on
+        the int8 stream and re-ranks the candidates exactly against a
+        `refine_dtype` copy (default float32; set refine_dtype=None to
+        store the int8 tier alone and skip refinement). The hot N-row
+        scan streams 4x less HBM; the refine gather touches only Q*R
+        rows. search_mode="fast" uses the packed-key kernel (scores
+        quantized to 21 bits, ordering may permute inside
+        ~2^-12-relative ties). Defaults are bit-exact FAISS-parity
+        behavior."""
         if metric not in _METRICS:
             raise ValueError(f"metric must be one of {_METRICS}, got {metric}")
         if jnp.dtype(storage_dtype) == jnp.int8:
@@ -74,9 +99,11 @@ class DenseIndex:
         self.use_pallas = use_pallas
         self.storage_dtype = jnp.dtype(storage_dtype)
         self.search_mode = search_mode
+        self.refine_dtype = refine_dtype
         self._pending: list[np.ndarray] = []
         self._device_corpus: Optional[jnp.ndarray] = None
         self._row_scales: Optional[jnp.ndarray] = None
+        self._refine_corpus: Optional[jnp.ndarray] = None
         self._ntotal = 0
 
     # -- construction -------------------------------------------------------
@@ -103,10 +130,14 @@ class DenseIndex:
         parts = []
         if self._device_corpus is not None:
             # dequantize bf16/int8 storage back to f32 (inline — calling
-            # vectors() here would recurse through commit())
-            existing = np.asarray(self._device_corpus.astype(jnp.float32))
-            if self._row_scales is not None:
-                existing = existing * np.asarray(self._row_scales)[:, None]
+            # vectors() here would recurse through commit()); prefer the
+            # full-precision refine copy when one is kept
+            if self._refine_corpus is not None:
+                existing = np.asarray(self._refine_corpus.astype(jnp.float32))
+            else:
+                existing = np.asarray(self._device_corpus.astype(jnp.float32))
+                if self._row_scales is not None:
+                    existing = existing * np.asarray(self._row_scales)[:, None]
             parts.append(existing[: self._ntotal])
         parts.extend(self._pending)
         if not parts:
@@ -124,6 +155,10 @@ class DenseIndex:
             ).astype(np.int8)
             self._row_scales = jax.device_put(jnp.asarray(scales))
             self._device_corpus = jax.device_put(jnp.asarray(values))
+            if self.refine_dtype is not None:
+                self._refine_corpus = jax.device_put(
+                    jnp.asarray(corpus).astype(self.refine_dtype)
+                )
             return
         arr = jnp.asarray(corpus).astype(self.storage_dtype)
         if self.mesh is not None:
@@ -135,7 +170,7 @@ class DenseIndex:
     # -- search -------------------------------------------------------------
 
     def search(
-        self, queries: np.ndarray, k: int
+        self, queries: np.ndarray, k: int, refine_k: Optional[int] = None
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batch exact search.
 
@@ -143,6 +178,12 @@ class DenseIndex:
         * l2      -> squared distances, ascending (FAISS IndexFlatL2)
         * ip      -> inner products, descending  (FAISS IndexFlatIP)
         * cosine  -> cosine similarities, descending
+
+        refine_k (int8 storage with a refine copy only): over-retrieve
+        refine_k candidates on the int8 stream, then re-score them
+        exactly against the refine-dtype rows. Defaults to
+        max(10*k, 100) when a refine copy exists; pass refine_k=0 to
+        force the raw int8 scores.
         """
         if self._pending:
             self.commit()
@@ -172,25 +213,97 @@ class DenseIndex:
             )
         else:
             compute = self.compute_dtype
+            refine = (
+                self.storage_dtype == jnp.int8
+                and self._refine_corpus is not None
+                and refine_k != 0
+            )
             if self.storage_dtype == jnp.int8:
                 # int8 values are exact in bf16; bf16 matmul is lossless
                 # on the quantized corpus and uses the fast MXU path
                 compute = jnp.bfloat16
+            k_scan = k
+            if refine:
+                k_scan = min(
+                    max(refine_k or max(10 * k, 100), k), self._ntotal
+                )
             scores, ids = flat_topk(
                 q,
                 self._device_corpus,
-                k,
+                k_scan,
                 metric=metric,
                 corpus_scale=self._row_scales,
                 use_pallas=self.use_pallas,
                 compute_dtype=compute,
                 mode=self.search_mode,
             )
+            if refine:
+                scores, ids = _refine_topk(q, self._refine_corpus, ids, k)
         scores = np.asarray(scores)
         ids = np.asarray(ids)
         if squeeze:
             return scores[0], ids[0]
         return scores, ids
+
+    def search_device(
+        self,
+        queries: jnp.ndarray,
+        k: int,
+        corpus: Optional[jnp.ndarray] = None,
+        row_scales: Optional[jnp.ndarray] = None,
+        refine_corpus: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Jittable single-chip search: no host transfers, traced queries OK.
+
+        When called inside an outer jit, pass the corpus (and int8 row
+        scales / refine copy) explicitly as traced ARGUMENTS — closing
+        over multi-hundred-MB device constants inside a jit breaks remote
+        compilation paths and defeats donation. `fused_args()` supplies
+        them.
+        """
+        if self.mesh is not None:
+            raise ValueError("search_device is single-chip; use search()")
+        if corpus is None:
+            corpus = self._device_corpus
+        if row_scales is None:
+            row_scales = self._row_scales
+        if refine_corpus is None:
+            refine_corpus = self._refine_corpus
+        if corpus is None:
+            raise ValueError("index is empty; add() + commit() first")
+        if self.metric == "cosine":
+            norms = jnp.linalg.norm(queries, axis=1, keepdims=True)
+            queries = queries / jnp.maximum(norms, 1e-12)
+        metric = "l2" if self.metric == "l2" else "dot"
+        compute = self.compute_dtype
+        refine = self.storage_dtype == jnp.int8 and refine_corpus is not None
+        if self.storage_dtype == jnp.int8:
+            compute = jnp.bfloat16
+        k = min(k, self._ntotal)
+        k_scan = min(max(10 * k, 100), self._ntotal) if refine else k
+        queries = queries.astype(jnp.float32)
+        scores, ids = flat_topk(
+            queries,
+            corpus,
+            k_scan,
+            metric=metric,
+            corpus_scale=row_scales,
+            use_pallas=self.use_pallas,
+            compute_dtype=compute,
+            mode=self.search_mode,
+        )
+        if refine:
+            scores, ids = _refine_topk(queries, refine_corpus, ids, k)
+        return scores, ids
+
+    def fused_args(
+        self,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+        """(corpus, row_scales, refine_corpus) device arrays to pass into
+        a jitted function that calls `search_device` with them."""
+        if self._pending:
+            self.commit()
+        return self._device_corpus, self._row_scales, self._refine_corpus
 
     # -- persistence --------------------------------------------------------
 
@@ -199,9 +312,12 @@ class DenseIndex:
         normalized form; bf16/int8 storage: the dequantized values)."""
         if self._pending:
             self.commit()
-        out = np.asarray(self._device_corpus.astype(jnp.float32))
-        if self._row_scales is not None:
-            out = out * np.asarray(self._row_scales)[:, None]
+        if self._refine_corpus is not None:
+            out = np.asarray(self._refine_corpus.astype(jnp.float32))
+        else:
+            out = np.asarray(self._device_corpus.astype(jnp.float32))
+            if self._row_scales is not None:
+                out = out * np.asarray(self._row_scales)[:, None]
         return out[: self._ntotal]
 
     def save(self, path: str) -> None:

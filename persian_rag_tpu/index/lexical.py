@@ -56,9 +56,40 @@ def sklearn_analyzer(text: str, ngram_range: Tuple[int, int] = (1, 2)) -> List[s
     return out
 
 
+class _Bucket:
+    """One doc-length bucket: ELL arrays plus the row -> global-doc map."""
+
+    __slots__ = ("ids", "vals", "gids", "dev_ids", "dev_vals", "n_actual")
+
+    def __init__(self, ids: np.ndarray, vals: np.ndarray, gids: np.ndarray):
+        self.ids = ids
+        self.vals = vals
+        self.gids = gids
+        self.dev_ids = None
+        self.dev_vals = None
+        self.n_actual = ids.shape[0]
+
+
+# ELL widths are lane-padded to multiples of 128 inside the kernel, so
+# bucket boundaries below 128 buy nothing; widths double from there.
+_BUCKET_BASE = 128
+
+
+def _bucket_width(length: int) -> int:
+    w = _BUCKET_BASE
+    while w < length:
+        w *= 2
+    return w
+
+
 class _EllIndex:
     """Shared padded-ELL storage + device search (optionally row-sharded
-    over a mesh's corpus axis)."""
+    over a mesh's corpus axis).
+
+    Documents are grouped into length buckets (widths 128*2^i) so one
+    long document cannot inflate the whole (N, L) matrix: scoring work is
+    sum_b N_b * L_b instead of N * max(L). With a single bucket the
+    legacy flat layout (`doc_ids`/`doc_vals`) is kept as-is."""
 
     def __init__(self, mesh=None) -> None:
         self.vocab: Dict[str, int] = {}
@@ -67,13 +98,18 @@ class _EllIndex:
         self.doc_vals: Optional[np.ndarray] = None  # (N, L) float32
         self._dev_ids: Optional[jnp.ndarray] = None
         self._dev_vals: Optional[jnp.ndarray] = None
+        self._buckets: Optional[List[_Bucket]] = None
+        self._n = 0
 
     @property
     def ntotal(self) -> int:
-        return 0 if self.doc_ids is None else self.doc_ids.shape[0]
+        return self._n
 
     def _set_ell(self, ids: np.ndarray, vals: np.ndarray) -> None:
+        """Single flat ELL (bucketing disabled or only one bucket)."""
         self.doc_ids, self.doc_vals = ids, vals
+        self._buckets = None
+        self._n = ids.shape[0]
         if self.mesh is not None:
             from persian_rag_tpu.parallel.sharded_lexical import shard_ell
 
@@ -84,16 +120,73 @@ class _EllIndex:
             self._dev_ids = jnp.asarray(ids)
             self._dev_vals = jnp.asarray(vals)
 
-    def _build_ell(self, per_doc: List[List[Tuple[int, float]]]) -> None:
-        n = len(per_doc)
-        ell = max(1, max((len(d) for d in per_doc), default=1))
-        ids = np.full((n, ell), -1, np.int32)
-        vals = np.zeros((n, ell), np.float32)
-        for di, entries in enumerate(per_doc):
+    @staticmethod
+    def _fill_ell(
+        entries_list: List[List[Tuple[int, float]]], width: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        n = len(entries_list)
+        ids = np.full((n, width), -1, np.int32)
+        vals = np.zeros((n, width), np.float32)
+        for di, entries in enumerate(entries_list):
             for li, (tid, v) in enumerate(entries):
                 ids[di, li] = tid
                 vals[di, li] = v
-        self._set_ell(ids, vals)
+        return ids, vals
+
+    def _set_buckets(self, buckets: List[_Bucket], n: int) -> None:
+        self.doc_ids = None
+        self.doc_vals = None
+        self._dev_ids = None
+        self._dev_vals = None
+        self._buckets = buckets
+        self._n = n
+        for b in buckets:
+            if self.mesh is not None:
+                from persian_rag_tpu.parallel.sharded_lexical import shard_ell
+
+                b.dev_ids, b.dev_vals, _ = shard_ell(
+                    jnp.asarray(b.ids), jnp.asarray(b.vals), self.mesh
+                )
+            else:
+                b.dev_ids = jnp.asarray(b.ids)
+                b.dev_vals = jnp.asarray(b.vals)
+
+    def _set_ell_auto(self, ids: np.ndarray, vals: np.ndarray) -> None:
+        """Bucket an already-filled (N, L) ELL (entries front-contiguous,
+        -1 padding at the end — the native builder's layout) by row
+        length; falls back to the flat layout with a single bucket."""
+        lengths = (ids != -1).sum(axis=1)
+        widths = sorted({_bucket_width(max(1, int(l))) for l in lengths})
+        if len(widths) <= 1:
+            self._set_ell(ids, vals)
+            return
+        buckets: List[_Bucket] = []
+        row_widths = np.array(
+            [_bucket_width(max(1, int(l))) for l in lengths]
+        )
+        for w in widths:
+            sel = np.nonzero(row_widths == w)[0].astype(np.int32)
+            wc = min(w, ids.shape[1])
+            buckets.append(_Bucket(ids[sel, :wc], vals[sel, :wc], sel))
+        self._set_buckets(buckets, ids.shape[0])
+
+    def _build_ell(self, per_doc: List[List[Tuple[int, float]]]) -> None:
+        n = len(per_doc)
+        widths = sorted({_bucket_width(max(1, len(d))) for d in per_doc})
+        if len(widths) <= 1:
+            ell = max(1, max((len(d) for d in per_doc), default=1))
+            ids, vals = self._fill_ell(per_doc, ell)
+            self._set_ell(ids, vals)
+            return
+        buckets: List[_Bucket] = []
+        for w in widths:
+            sel = [
+                di for di, d in enumerate(per_doc)
+                if _bucket_width(max(1, len(d))) == w
+            ]
+            ids, vals = self._fill_ell([per_doc[di] for di in sel], w)
+            buckets.append(_Bucket(ids, vals, np.asarray(sel, np.int32)))
+        self._set_buckets(buckets, n)
 
     def _encode_queries(
         self, queries_terms: Sequence[List[Tuple[int, float]]]
@@ -114,6 +207,31 @@ class _EllIndex:
                 qvals[bi, ti] = v
         return jnp.asarray(qids), jnp.asarray(qvals)
 
+    def _topk_one_ell(
+        self,
+        dev_ids,
+        dev_vals,
+        qids,
+        qvals,
+        k: int,
+        n_actual: int,
+        use_pallas: Optional[bool],
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.mesh is not None:
+            from persian_rag_tpu.parallel.sharded_lexical import (
+                sharded_sparse_topk,
+            )
+
+            s, i = sharded_sparse_topk(
+                dev_ids, dev_vals, qids, qvals, k, n_actual, self.mesh,
+                use_pallas=use_pallas,
+            )
+        else:
+            s, i = sparse_topk(
+                dev_ids, dev_vals, qids, qvals, k, use_pallas=use_pallas
+            )
+        return np.asarray(s), np.asarray(i)
+
     def _search_encoded(
         self,
         queries_terms: Sequence[List[Tuple[int, float]]],
@@ -121,48 +239,73 @@ class _EllIndex:
         use_pallas: Optional[bool] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         qids, qvals = self._encode_queries(queries_terms)
-        if self.mesh is not None:
-            from persian_rag_tpu.parallel.sharded_lexical import (
-                sharded_sparse_topk,
+        if self._buckets is None:
+            return self._topk_one_ell(
+                self._dev_ids, self._dev_vals, qids, qvals, k, self.ntotal,
+                use_pallas,
             )
-
-            s, i = sharded_sparse_topk(
-                self._dev_ids,
-                self._dev_vals,
-                qids,
-                qvals,
-                k,
-                self.ntotal,
-                self.mesh,
-                use_pallas=use_pallas,
+        # Bucketed: per-bucket top-min(k, N_b) candidates, ids mapped to
+        # global docs, then a host merge (tiny: k * n_buckets per query)
+        # with the same lower-id-first tie order as the flat scan.
+        parts_s, parts_i = [], []
+        for b in self._buckets:
+            kb = min(k, b.n_actual)
+            s, i = self._topk_one_ell(
+                b.dev_ids, b.dev_vals, qids, qvals, kb, b.n_actual,
+                use_pallas,
             )
-        else:
-            s, i = sparse_topk(
-                self._dev_ids, self._dev_vals, qids, qvals, k,
-                use_pallas=use_pallas,
-            )
-        return np.asarray(s), np.asarray(i)
+            parts_s.append(s)
+            parts_i.append(b.gids[i])
+        cat_s = np.concatenate(parts_s, axis=1)
+        cat_i = np.concatenate(parts_i, axis=1)
+        out_s = np.empty((cat_s.shape[0], k), np.float32)
+        out_i = np.empty((cat_s.shape[0], k), np.int32)
+        for q in range(cat_s.shape[0]):
+            order = np.lexsort((cat_i[q], -cat_s[q]))[:k]
+            out_s[q] = cat_s[q][order]
+            out_i[q] = cat_i[q][order]
+        return out_s, out_i
 
     def _scores_encoded(
         self, queries_terms: Sequence[List[Tuple[int, float]]]
     ) -> np.ndarray:
         qids, qvals = self._encode_queries(queries_terms)
-        scores = np.asarray(
-            sparse_scores_ref(self._dev_ids, self._dev_vals, qids, qvals)
-        )
-        # With a mesh, _dev_ids is padded to a shard multiple; trim the
-        # pad rows so get_scores always returns exactly (N,) per query.
-        return scores[:, : self.ntotal]
+        if self._buckets is None:
+            scores = np.asarray(
+                sparse_scores_ref(self._dev_ids, self._dev_vals, qids, qvals)
+            )
+            # With a mesh, _dev_ids is padded to a shard multiple; trim the
+            # pad rows so get_scores always returns exactly (N,) per query.
+            return scores[:, : self.ntotal]
+        out = np.zeros((len(queries_terms), self.ntotal), np.float32)
+        for b in self._buckets:
+            s = np.asarray(
+                sparse_scores_ref(
+                    jnp.asarray(b.ids), jnp.asarray(b.vals), qids, qvals
+                )
+            )
+            out[:, b.gids] = s
+        return out
 
     def _save_arrays(self, path: str, extra: Dict) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        arrays: Dict[str, np.ndarray] = {}
+        if self._buckets is None:
+            arrays["doc_ids"] = self.doc_ids
+            arrays["doc_vals"] = self.doc_vals
+        else:
+            for bi, b in enumerate(self._buckets):
+                arrays[f"bucket_ids_{bi}"] = b.ids
+                arrays[f"bucket_vals_{bi}"] = b.vals
+                arrays[f"bucket_gids_{bi}"] = b.gids
         np.savez(
-            path if path.endswith(".npz") else path + ".npz",
-            doc_ids=self.doc_ids,
-            doc_vals=self.doc_vals,
+            path if path.endswith(".npz") else path + ".npz", **arrays
         )
         meta = dict(extra)
         meta["vocab"] = self.vocab
+        if self._buckets is not None:
+            meta["n_buckets"] = len(self._buckets)
+            meta["ntotal"] = self._n
         base = path[:-4] if path.endswith(".npz") else path
         with open(base + ".meta.json", "w", encoding="utf-8") as f:
             json.dump(meta, f, ensure_ascii=False)
@@ -170,10 +313,21 @@ class _EllIndex:
     def _load_arrays(self, path: str) -> Dict:
         npz = path if path.endswith(".npz") else path + ".npz"
         data = np.load(npz)
-        self._set_ell(data["doc_ids"], data["doc_vals"])
         base = path[:-4] if path.endswith(".npz") else path
         with open(base + ".meta.json", "r", encoding="utf-8") as f:
             meta = json.load(f)
+        if "n_buckets" in meta:
+            buckets = [
+                _Bucket(
+                    data[f"bucket_ids_{bi}"],
+                    data[f"bucket_vals_{bi}"],
+                    data[f"bucket_gids_{bi}"],
+                )
+                for bi in range(meta.pop("n_buckets"))
+            ]
+            self._set_buckets(buckets, meta.pop("ntotal"))
+        else:
+            self._set_ell(data["doc_ids"], data["doc_vals"])
         self.vocab = meta.pop("vocab")
         return meta
 
@@ -214,7 +368,7 @@ class BM25Index(_EllIndex):
                     self.vocab = vocab
                     self.idf = idf
                     self._avgdl = avgdl
-                    self._set_ell(ids, vals)
+                    self._set_ell_auto(ids, vals)
                     return self
             except Exception:
                 if use_native:  # explicitly requested

@@ -97,6 +97,31 @@ def flat_topk_ref(
 # ---------------------------------------------------------------------------
 
 
+def _tile_scores(q_ref, c_ref, compute_dtype, transposed: bool):
+    """(QT, TN) f32 scores for one corpus tile on the MXU.
+
+    transposed=True streams the corpus in (d, N) layout so the
+    contraction is a plain row-by-column matmul — the (N, d) layout
+    contracts dim 1 of BOTH operands, which costs a per-tile corpus
+    transpose before the MXU.
+    """
+    q = q_ref[:].astype(compute_dtype)
+    c = c_ref[:].astype(compute_dtype)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(compute_dtype) == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    dims = (((1,), (0,)), ((), ())) if transposed else (((1,), (1,)), ((), ()))
+    return jax.lax.dot_general(
+        q,
+        c,
+        dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
 def _topk_kernel(
     q_ref,
     c_ref,
@@ -111,6 +136,7 @@ def _topk_kernel(
     compute_dtype,
     n_easy: int = 4,
     row_scaled: bool = False,
+    transposed: bool = False,
 ):
     """Bit-exact kernel with a staged fast path.
 
@@ -133,23 +159,10 @@ def _topk_kernel(
         out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
         out_i_ref[:] = jnp.full_like(out_i_ref, -1)
 
-    q = q_ref[:].astype(compute_dtype)
-    c = c_ref[:].astype(compute_dtype)
-    # (QT, d) x (d, TN) on the MXU, f32 accumulation. For f32 inputs force
-    # full precision (parity with exact CPU search); bf16 inputs use the
-    # native MXU path.
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if jnp.dtype(compute_dtype) == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
-    s = jax.lax.dot_general(
-        q,
-        c,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    # (QT, d) x (d, TN) on the MXU, f32 accumulation. For f32 inputs the
+    # HIGHEST precision path gives parity with exact CPU search; bf16
+    # inputs use the native MXU path.
+    s = _tile_scores(q_ref, c_ref, compute_dtype, transposed)
     if metric == "l2":
         s = 2.0 * s - cn_ref[:]
     elif row_scaled:  # int8 storage: fold per-row dequant scales in
@@ -256,6 +269,7 @@ def _fast_topk_kernel(
     compute_dtype,
     n_easy: int = 4,
     row_scaled: bool = False,
+    transposed: bool = False,
 ):
     j = pl.program_id(1)
 
@@ -264,22 +278,11 @@ def _fast_topk_kernel(
         out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
         out_i_ref[:] = jnp.full_like(out_i_ref, -1)
 
-    q = q_ref[:].astype(compute_dtype)
-    c = c_ref[:].astype(compute_dtype)
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if jnp.dtype(compute_dtype) == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
-    s = jax.lax.dot_general(
-        q,
-        c,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    s = _tile_scores(q_ref, c_ref, compute_dtype, transposed)
     if metric == "l2":
         s = 2.0 * s - cn_ref[:]
+    elif row_scaled:
+        s = s * cn_ref[:]
 
     qt = s.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (qt, tile_n), 1)
@@ -328,6 +331,41 @@ def _fast_topk_kernel(
                 out_s_ref[:], out_i_ref[:] = merge_topk(cand_s2, cand_i2, k)
 
 
+def _max_only_kernel(
+    q_ref,
+    c_ref,
+    cn_ref,
+    out_s_ref,
+    out_i_ref,
+    *,
+    k: int,
+    n_actual: int,
+    tile_n: int,
+    metric: str,
+    compute_dtype,
+    n_easy: int = 0,
+    row_scaled: bool = False,
+    transposed: bool = False,
+):
+    """DIAGNOSTIC ONLY: matmul + running per-query max (one VPU pass per
+    tile, no top-k merge). Measures the kernel's compute/stream floor so
+    merge overhead can be attributed. Results are not valid top-k."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
+        out_i_ref[:] = jnp.full_like(out_i_ref, -1)
+
+    s = _tile_scores(q_ref, c_ref, compute_dtype, transposed)
+    if metric == "l2":
+        s = 2.0 * s - cn_ref[:]
+    m = jnp.max(s, axis=1, keepdims=True)
+    out_s_ref[:] = jnp.maximum(
+        out_s_ref[:], jnp.broadcast_to(m, out_s_ref.shape)
+    )
+
+
 def flat_topk_pallas(
     queries: jnp.ndarray,
     corpus: jnp.ndarray,
@@ -341,6 +379,7 @@ def flat_topk_pallas(
     mode: str = "exact",
     n_easy: int = 4,
     interpret: bool = False,
+    corpus_transposed: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused search over an HBM-resident corpus.
 
@@ -349,14 +388,22 @@ def flat_topk_pallas(
 
     corpus_scale: (N,) per-row dequantization scales for int8 corpora
     (dot metric only); scores are scale_n * <q, c_int8[n]>.
+
+    corpus_transposed: corpus is stored (d, N) so each tile feeds the MXU
+    as a plain (QT, d) x (d, TN) matmul — the (N, d) layout contracts
+    dim 1 of both operands, which inserts a corpus-tile transpose on the
+    critical path.
     """
     n_q, d = queries.shape
-    n, dc = corpus.shape
+    if corpus_transposed:
+        dc, n = corpus.shape
+    else:
+        n, dc = corpus.shape
     assert d == dc, (d, dc)
     assert k >= 1
     tile_n = min(tile_n, _round_up(n, 128))
     tile_q = min(tile_q, _round_up(n_q, 8))
-    assert tile_n <= 1 << _COL_BITS, (
+    assert mode == "maxonly" or tile_n <= 1 << _COL_BITS, (
         f"tile_n={tile_n} exceeds the {_COL_BITS}-bit packed-column budget"
     )
 
@@ -365,14 +412,18 @@ def flat_topk_pallas(
     n_pad = _round_up(n, tile_n)
 
     q = _pad_to(_pad_to(queries, d_pad, 1), q_pad, 0)
-    c = _pad_to(_pad_to(corpus, d_pad, 1), n_pad, 0)
+    if corpus_transposed:
+        c = _pad_to(_pad_to(corpus, d_pad, 0), n_pad, 1)
+    else:
+        c = _pad_to(_pad_to(corpus, d_pad, 1), n_pad, 0)
 
     row_scaled = corpus_scale is not None
     if metric == "l2":
         assert not row_scaled, "int8 row scales support dot/cosine only"
         if corpus_sqnorm is None:
             corpus_sqnorm = jnp.sum(
-                corpus.astype(jnp.float32) * corpus.astype(jnp.float32), axis=-1
+                corpus.astype(jnp.float32) * corpus.astype(jnp.float32),
+                axis=0 if corpus_transposed else -1,
             )
         cn = _pad_to(corpus_sqnorm.astype(jnp.float32)[None, :], n_pad, 1)
     elif row_scaled:
@@ -382,8 +433,13 @@ def flat_topk_pallas(
 
     grid = (q_pad // tile_q, n_pad // tile_n)
 
-    kernel_fn = _topk_kernel if mode == "exact" else _fast_topk_kernel
-    kwargs = {"row_scaled": row_scaled}
+    if mode == "exact":
+        kernel_fn = _topk_kernel
+    elif mode == "maxonly":  # diagnostic floor, not valid top-k
+        kernel_fn = _max_only_kernel
+    else:
+        kernel_fn = _fast_topk_kernel
+    kwargs = {"row_scaled": row_scaled, "transposed": corpus_transposed}
     if mode != "exact":
         kwargs["n_easy"] = n_easy
     kernel = functools.partial(
@@ -396,12 +452,17 @@ def flat_topk_pallas(
         **kwargs,
     )
 
+    c_spec = (
+        pl.BlockSpec((d_pad, tile_n), lambda i, j: (0, j))
+        if corpus_transposed
+        else pl.BlockSpec((tile_n, d_pad), lambda i, j: (j, 0))
+    )
     out_s, out_i = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_q, d_pad), lambda i, j: (i, 0)),
-            pl.BlockSpec((tile_n, d_pad), lambda i, j: (j, 0)),
+            c_spec,
             pl.BlockSpec((1, tile_n), lambda i, j: (0, j)),
         ],
         out_specs=[

@@ -104,6 +104,7 @@ class RetrievalSystem:
         self.bm25_index: Optional[BM25Index] = None
         self.tfidf_index: Optional[TfidfIndex] = None
         self.is_ready = False
+        self._fused_cache: Dict = {}
 
     # -- setup ---------------------------------------------------------------
 
@@ -162,6 +163,7 @@ class RetrievalSystem:
         if self.method in ("tfidf", "hybrid"):
             self.tfidf_index = TfidfIndex(mesh=self.mesh).build(texts)
 
+        self._fused_cache.clear()  # jitted steps bake the old index's k clamp
         self.is_ready = True
         return True
 
@@ -236,13 +238,79 @@ class RetrievalSystem:
             [self.query_prefix + q for q in queries]
         )
 
+    # -- fused encode+search (one device dispatch per batch) -------------------
+
+    def _fused_supported(self) -> bool:
+        """The fused path needs an in-process encoder and a committed
+        single-chip flat DenseIndex (IVF and mesh-sharded indexes keep
+        the two-dispatch path)."""
+        return (
+            self.embedding_model is not None
+            and type(self.dense_index) is DenseIndex
+            and self.dense_index.mesh is None
+            and getattr(self.embedding_model, "mesh", None) is None
+        )
+
+    def _fused_dense_fn(self, k: int):
+        """Jitted tokenized-queries -> (scores, ids) step: encoder forward,
+        pooling, and the fused Pallas flat search in ONE dispatch (the
+        unfused path pays a host round-trip between encode and search —
+        ~25-40 ms per transfer on relay-attached TPUs). The corpus (and
+        int8 scales) are passed as arguments, not closed over."""
+        if k not in self._fused_cache:
+            import jax
+
+            enc = self.embedding_model
+            index = self.dense_index
+            encoder, head = enc.encoder, enc.head
+
+            def step(params, input_ids, attention_mask, corpus, row_scales,
+                     refine_corpus):
+                hidden = encoder.apply(
+                    {"params": params["encoder"]}, input_ids, attention_mask
+                )
+                emb = head.apply(
+                    {"params": params["head"]}, hidden, attention_mask
+                )
+                return index.search_device(
+                    emb, k, corpus=corpus, row_scales=row_scales,
+                    refine_corpus=refine_corpus,
+                )
+
+            # None args are empty pytrees — jit handles them natively
+            self._fused_cache[k] = jax.jit(step)
+        return self._fused_cache[k]
+
+    def _retrieve_dense_fused(
+        self, queries: Sequence[str], top_k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        import jax.numpy as jnp
+
+        enc = self.embedding_model
+        texts = [self.query_prefix + q for q in queries]
+        real = len(texts)
+        pad = (-real) % 8  # batch-shape bucketing limits recompiles
+        ids, mask = enc.tokenizer.encode_batch(
+            texts + [""] * pad, enc.max_seq_len
+        )
+        corpus, scales, refine = self.dense_index.fused_args()
+        fn = self._fused_dense_fn(min(top_k, self.dense_index.ntotal))
+        scores, gids = fn(
+            enc.params, jnp.asarray(ids), jnp.asarray(mask), corpus, scales,
+            refine,
+        )
+        return np.asarray(scores)[:real], np.asarray(gids)[:real]
+
     def retrieve_dense_batch(
         self, queries: Sequence[str], top_k: int = 10
     ) -> List[List[Result]]:
         if self.dense_index is None:
             return [[] for _ in queries]
-        q = self._encode_queries(queries)
-        scores, ids = self.dense_index.search(q, top_k)
+        if self._fused_supported():
+            scores, ids = self._retrieve_dense_fused(queries, top_k)
+        else:
+            q = self._encode_queries(queries)
+            scores, ids = self.dense_index.search(q, top_k)
         out: List[List[Result]] = []
         for qi in range(len(queries)):
             row: List[Result] = []
@@ -412,6 +480,7 @@ class RetrievalSystem:
         self.bm25_index = None
         self.tfidf_index = None
         self.chunks = None
+        self._fused_cache.clear()
         self.is_ready = False
 
 
