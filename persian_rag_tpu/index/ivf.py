@@ -102,7 +102,6 @@ class IVFIndex:
         """Train centroids and populate cells in one pass."""
         vectors = self._prep(vectors)
         n = vectors.shape[0]
-        self._ntotal = n
         dev = jnp.asarray(vectors)
         n_cells = min(self.n_cells, n)
         self.n_cells = n_cells
@@ -110,9 +109,17 @@ class IVFIndex:
         self.centroids = kmeans(dev, n_cells, iters=train_iters, seed=self.seed)
 
         _, assign = flat_topk_ref(dev, self.centroids, 1, metric="l2")
-        assign = np.asarray(assign)[:, 0]
+        self._populate(vectors, np.asarray(assign)[:, 0])
+        return self
+
+    def _populate(self, vectors: np.ndarray, assign: np.ndarray) -> None:
+        """Fill capacity-padded cells (+ overflow block) from a per-row
+        cell assignment. Requires self.centroids/n_cells already set."""
+        n = vectors.shape[0]
+        self._ntotal = n
+        n_cells = self.n_cells
         counts = np.bincount(assign, minlength=n_cells)
-        cap = self.cell_cap or int(counts.max())
+        cap = self.cell_cap or max(1, int(counts.max()))
         cells = np.zeros((n_cells, cap, self.dim), np.float32)
         cell_ids = np.full((n_cells, cap), -1, np.int32)
         overflow_rows, overflow_ids = [], []
@@ -136,7 +143,61 @@ class IVFIndex:
         else:
             self._overflow = None
             self._overflow_ids = None
-        return self
+
+    # -- FAISS IVF file interop ------------------------------------------------
+
+    @classmethod
+    def from_faiss(cls, path: str, nprobe: Optional[int] = None) -> "IVFIndex":
+        """Import a FAISS IndexIVFFlat file (the format phase3 writes for
+        corpora over 1000 vectors — reference:
+        scripts/phase3_pdf_chunking.py:39-71). Centroids and cell
+        assignments are taken from the file; no retraining."""
+        from persian_rag_tpu.index import faiss_io
+
+        data = faiss_io.read_faiss_ivf(path)
+        index = cls(
+            data["vectors"].shape[1],
+            n_cells=data["centroids"].shape[0],
+            nprobe=nprobe or max(1, data["nprobe"]),
+            metric=data["metric"],
+        )
+        index.centroids = jnp.asarray(data["centroids"])
+        index._populate(data["vectors"], data["assign"])
+        return index
+
+    def export_faiss(self, path: str, nprobe: Optional[int] = None) -> None:
+        """Write a faiss-loadable IndexIVFFlat file. Overflow rows are
+        assigned to their nearest centroid (their natural cell)."""
+        from persian_rag_tpu.index import faiss_io
+
+        if self._cells is None:
+            raise ValueError("index not built")
+        vectors = np.zeros((self._ntotal, self.dim), np.float32)
+        assign = np.full(self._ntotal, -1, np.int32)
+        cells = np.asarray(self._cells)
+        cell_ids = np.asarray(self._cell_ids)
+        for cell in range(self.n_cells):
+            mask = cell_ids[cell] >= 0
+            ids = cell_ids[cell][mask]
+            vectors[ids] = cells[cell][mask]
+            assign[ids] = cell
+        if self._overflow is not None:
+            o_rows = np.asarray(self._overflow)
+            o_ids = np.asarray(self._overflow_ids)
+            _, o_assign = flat_topk_ref(
+                jnp.asarray(o_rows), self.centroids, 1, metric="l2"
+            )
+            vectors[o_ids] = o_rows
+            assign[o_ids] = np.asarray(o_assign)[:, 0]
+        metric = "l2" if self.metric == "l2" else "ip"
+        faiss_io.write_faiss_ivf(
+            path,
+            vectors,
+            np.asarray(self.centroids),
+            assign,
+            metric=metric,
+            nprobe=nprobe or self.nprobe,
+        )
 
     def search(
         self,

@@ -139,9 +139,18 @@ class RetrievalSystem:
                         faiss_index_file, mesh=self.mesh
                     )
                 else:
-                    self.dense_index = DenseIndex.from_faiss(
-                        faiss_index_file, mesh=self.mesh
-                    )
+                    from persian_rag_tpu.index import faiss_io
+
+                    if faiss_io.probe_faiss(faiss_index_file) == "ivf":
+                        from persian_rag_tpu.index.ivf import IVFIndex
+
+                        self.dense_index = IVFIndex.from_faiss(
+                            faiss_index_file
+                        )
+                    else:
+                        self.dense_index = DenseIndex.from_faiss(
+                            faiss_index_file, mesh=self.mesh
+                        )
                 self.dense_metric = self.dense_index.metric
             elif self.embedding_model is not None:
                 vectors = self.embedding_model.encode(

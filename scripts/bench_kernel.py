@@ -68,17 +68,30 @@ def main() -> None:
         else:
             cdev = c32 if dtype == "f32" else c16
 
-        def search(q, c=cdev, mode=mode, tq=tile_q, tn=tile_n, ne=n_easy,
-                   cdt=cdt, tr=transposed):
-            return flat_topk_pallas(
-                q, c, K, metric="dot", tile_q=tq, tile_n=tn,
-                compute_dtype=cdt, mode=mode, n_easy=ne,
-                interpret=interpret, corpus_transposed=tr,
-            )
+        if mode == "ref":  # plain-XLA full materialization + top_k
+            from persian_rag_tpu.ops.flat_topk import flat_topk_ref
+
+            def search(q, c=cdev, cdt=cdt):
+                return flat_topk_ref(q, c, K, "dot", compute_dtype=cdt)
+        elif mode == "xlamax":  # plain-XLA matmul + per-query max
+            def search(q, c=cdev, cdt=cdt):
+                s = jnp.dot(
+                    q.astype(cdt), c.T, preferred_element_type=jnp.float32
+                )
+                m = jnp.max(s, axis=1, keepdims=True)
+                return m, jnp.zeros((q.shape[0], K), jnp.int32)
+        else:
+            def search(q, c=cdev, mode=mode, tq=tile_q, tn=tile_n,
+                       ne=n_easy, cdt=cdt, tr=transposed):
+                return flat_topk_pallas(
+                    q, c, K, metric="dot", tile_q=tq, tile_n=tn,
+                    compute_dtype=cdt, mode=mode, n_easy=ne,
+                    interpret=interpret, corpus_transposed=tr,
+                )
 
         # recall check (fresh inputs; relay caches identical dispatches);
         # skipped for the maxonly diagnostic floor (not valid top-k)
-        if mode == "maxonly":
+        if mode in ("maxonly", "xlamax"):
             recall, compile_s = float("nan"), 0.0
         else:
             t_first = time.time()
@@ -107,7 +120,7 @@ def main() -> None:
         qps = BATCH / dt
         flops = 2.0 * BATCH * N * D
         bytes_c = N * D * (4 if dtype == "f32" else 2)
-        q_tiles = -(-BATCH // tile_q)
+        q_tiles = -(-BATCH // tile_q) if tile_q else 1
         print(
             f"{name:24s} {dt*1e3:7.2f} ms  {qps:9.0f} QPS  "
             f"{flops/dt/1e12:6.2f} TF/s  "
