@@ -10,13 +10,25 @@ dispatches of identical (computation, inputs) pairs are served from a
 relay cache and host<->device transfers cost ~25-40 ms, so the timed
 region is a single jitted ``lax.fori_loop`` that generates a fresh query
 batch on device every iteration and folds results into one scalar; one
-dispatch + one scalar readback per measurement.
+dispatch + one scalar readback per measurement. The CPU baseline is a
+median of 5 runs with BLAS threads pinned (the shared host's load swings
+single-run numbers 16-600 QPS).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+(extra keys: achieved tflops / hbm_gbps and the CPU baseline spread).
 Everything else goes to stderr.
+
+Env knobs: BENCH_N (corpus size, default 100k), BENCH_LEXICAL_N (BM25
+corpus, default 200k; 0 disables), BENCH_IVF=0 disables the IVF config.
 """
 from __future__ import annotations
+
+import os
+
+# Pin BLAS threads BEFORE numpy import for a reproducible CPU baseline.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "8")
 
 import functools
 import json
@@ -30,9 +42,9 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-import os
-
 N_DOCS = int(os.environ.get("BENCH_N", 100_000))
+LEXICAL_N = int(os.environ.get("BENCH_LEXICAL_N", 200_000))
+RUN_IVF = os.environ.get("BENCH_IVF", "1") != "0"
 DIM = 384          # MiniLM-L12 dimensionality
 K = 10
 BATCH = 512        # queries per request batch
@@ -40,6 +52,14 @@ REPS = 20          # fori_loop iterations inside the timed dispatch
 RECALL_QUERIES = 256
 CPU_QUERIES = 128  # CPU baseline batch (QPS scales linearly; the host
                    # CPU is shared and slow, so keep its slice small)
+CPU_RUNS = 5       # median-of-N for the shared-host baseline
+
+# v5e single-chip peaks, for utilization accounting (the achieved
+# matmul ceiling on this relay-attached chip is far lower — bench_kernel
+# measured ~25 TF/s for this shape — but %-of-spec keeps rounds
+# comparable).
+PEAK_BF16_TFLOPS = 197.0
+PEAK_HBM_GBPS = 819.0
 
 
 def cpu_flat_search(queries: np.ndarray, corpus: np.ndarray, k: int):
@@ -95,8 +115,6 @@ def bench_encoder(jax, jnp) -> float:
 def bench_end_to_end(jax, jnp, corpus_dev) -> float:
     """Query-encode (MiniLM-L12 arch, batch 8, seq 32) + fused search —
     the reference's 'dense retrieval latency' measurement shape."""
-    import functools
-
     from persian_rag_tpu.models.encoder import EncoderConfig, TransformerEncoder
     from persian_rag_tpu.models.pooling import PoolingHead
     from persian_rag_tpu.ops.flat_topk import flat_topk_pallas
@@ -138,23 +156,156 @@ def bench_end_to_end(jax, jnp, corpus_dev) -> float:
     return (time.time() - t0) / reps * 1e3
 
 
+def bench_lexical(jax, jnp) -> None:
+    """BM25 over LEXICAL_N synthetic zipf docs: native C++ build + fused
+    sparse_topk QPS vs a NumPy CSR-equivalent dense scan."""
+    from persian_rag_tpu.index.lexical import BM25Index
+    from persian_rag_tpu.ops.sparse_scores import sparse_topk
+
+    rng = np.random.default_rng(3)
+    vocab_n = 50_000
+    doc_len = 60
+    words = rng.zipf(1.3, size=(LEXICAL_N, doc_len)) % vocab_n
+    t0 = time.time()
+    docs = [" ".join(map(str, row)) for row in words]
+    index = BM25Index().build(docs)
+    build_s = time.time() - t0
+    log(
+        f"BM25 build N={LEXICAL_N}: {build_s:.1f}s "
+        f"(vocab {len(index.vocab)}, buckets "
+        f"{1 if index._buckets is None else len(index._buckets)})"
+    )
+
+    queries = [" ".join(map(str, rng.zipf(1.3, size=8) % vocab_n))
+               for _ in range(64)]
+    terms = [index._query_terms(q) for q in queries]
+    qids, qvals = index._encode_queries(terms)
+
+    # CPU reference scan (dense scoring via the idf dict, vectorized)
+    t0 = time.time()
+    _ = index.get_scores(queries[0])  # includes a device trip; warm only
+    cpu_scores = []
+    t0 = time.time()
+    for q in queries[:8]:
+        # honest CPU cost: score every doc via python/numpy ELL scan
+        dq = dict(index._query_terms(q))
+        if index._buckets is None:
+            ids_arr, vals_arr = index.doc_ids, index.doc_vals
+            s = np.zeros(ids_arr.shape[0], np.float32)
+            for tid, mult in dq.items():
+                s += mult * np.where(ids_arr == tid, vals_arr, 0).sum(1)
+        else:
+            s = np.zeros(index.ntotal, np.float32)
+            for b in index._buckets:
+                part = np.zeros(b.ids.shape[0], np.float32)
+                for tid, mult in dq.items():
+                    part += mult * np.where(b.ids == tid, b.vals, 0).sum(1)
+                s[b.gids] = part
+        cpu_scores.append(s)
+    cpu_qps = 8 / (time.time() - t0)
+    log(f"BM25 CPU dense-scan baseline: {cpu_qps:.1f} QPS")
+
+    # device QPS through the bucketed fused path, fresh query sets
+    t0 = time.time()
+    s, i = index.search(queries, K)
+    warm_s = time.time() - t0  # includes compiles
+    t0 = time.time()
+    s, i = index.search([q + " 7" for q in queries], K)
+    dt = time.time() - t0
+    qps = len(queries) / dt
+    log(
+        f"BM25 TPU fused search N={LEXICAL_N}: {dt*1e3:.1f} ms / "
+        f"{len(queries)} q -> {qps:.0f} QPS ({qps/max(cpu_qps,1e-9):.0f}x "
+        f"CPU scan; warm incl. compile {warm_s:.1f}s)"
+    )
+
+
+def bench_ivf(jax, jnp, corpus: np.ndarray) -> None:
+    """Single-query latency: IVF nprobe scan vs flat full scan."""
+    from persian_rag_tpu.index.ivf import IVFIndex, _ivf_search_step
+    from persian_rag_tpu.ops.flat_topk import flat_topk_pallas
+
+    n_cells = max(64, int(np.sqrt(N_DOCS)))
+    t0 = time.time()
+    index = IVFIndex(DIM, n_cells=n_cells, nprobe=8, metric="ip").build(
+        corpus, train_iters=4
+    )
+    log(f"IVF build: {n_cells} cells in {time.time()-t0:.1f}s "
+        f"(cap {index._cells.shape[1]}, overflow "
+        f"{0 if index._overflow is None else index._overflow.shape[0]})")
+
+    cells = index._cells
+    cell_ids = index._cell_ids
+    centroids = index.centroids
+    has_ovf = index._overflow is not None
+    ovf = index._overflow if has_ovf else jnp.zeros((0, DIM), jnp.float32)
+    ovf_ids = (index._overflow_ids if has_ovf
+               else jnp.zeros((0,), jnp.int32))
+    reps = 50
+
+    @jax.jit
+    def timed(centroids, cells, cell_ids, ovf, ovf_ids, seed):
+        def body(i, acc):
+            key = jax.random.fold_in(jax.random.PRNGKey(4), seed + i)
+            q = jax.random.normal(key, (1, DIM), jnp.float32)
+            s, idx = _ivf_search_step(
+                q, centroids, cells, cell_ids, ovf, ovf_ids,
+                k=K, nprobe=8, metric="dot", has_overflow=has_ovf,
+            )
+            return acc + jnp.sum(s) + jnp.sum(idx).astype(jnp.float32)
+        return jax.lax.fori_loop(0, reps, body, 0.0)
+
+    args = (centroids, cells, cell_ids, ovf, ovf_ids)
+    np.asarray(timed(*args, 0))
+    t0 = time.time()
+    np.asarray(timed(*args, 999))
+    ivf_ms = (time.time() - t0) / reps * 1e3
+
+    c16 = jax.device_put(jnp.asarray(corpus).astype(jnp.bfloat16))
+
+    @jax.jit
+    def timed_flat(c, seed):
+        def body(i, acc):
+            key = jax.random.fold_in(jax.random.PRNGKey(5), seed + i)
+            q = jax.random.normal(key, (1, DIM), jnp.float32)
+            s, idx = flat_topk_pallas(
+                q, c, K, metric="dot", tile_q=8, tile_n=2048,
+                compute_dtype=jnp.bfloat16, mode="fast",
+            )
+            return acc + jnp.sum(s) + jnp.sum(idx).astype(jnp.float32)
+        return jax.lax.fori_loop(0, reps, body, 0.0)
+
+    np.asarray(timed_flat(c16, 0))
+    t0 = time.time()
+    np.asarray(timed_flat(c16, 999))
+    flat_ms = (time.time() - t0) / reps * 1e3
+    log(
+        f"single-query p50 N={N_DOCS}: IVF(nprobe=8) {ivf_ms:.2f} ms vs "
+        f"flat {flat_ms:.2f} ms ({flat_ms/max(ivf_ms,1e-9):.1f}x)"
+    )
+
+
 def main() -> None:
     rng = np.random.default_rng(0)
     log(f"corpus N={N_DOCS} d={DIM}, batch={BATCH}, k={K}")
     corpus = rng.standard_normal((N_DOCS, DIM)).astype(np.float32)
     corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
 
-    # -- CPU baseline ---------------------------------------------------------
+    # -- CPU baseline: median of CPU_RUNS with pinned BLAS threads -------------
     cpu_queries = rng.standard_normal((CPU_QUERIES, DIM)).astype(np.float32)
     cpu_queries /= np.linalg.norm(cpu_queries, axis=1, keepdims=True)
     _ = cpu_flat_search(cpu_queries[:8], corpus, K)  # warm BLAS
-    t0 = time.time()
-    cpu_flat_search(cpu_queries, corpus, K)
-    cpu_time = time.time() - t0
-    cpu_qps = CPU_QUERIES / cpu_time
+    cpu_qps_runs = []
+    for _ in range(CPU_RUNS):
+        t0 = time.time()
+        cpu_flat_search(cpu_queries, corpus, K)
+        cpu_qps_runs.append(CPU_QUERIES / (time.time() - t0))
+    cpu_qps_runs.sort()
+    cpu_qps = cpu_qps_runs[len(cpu_qps_runs) // 2]
     log(
-        f"CPU flat exact: {cpu_time*1e3:.1f} ms / {CPU_QUERIES} q "
-        f"-> {cpu_qps:.0f} QPS"
+        f"CPU flat exact ({os.environ['OMP_NUM_THREADS']} threads): "
+        f"median {cpu_qps:.0f} QPS over {CPU_RUNS} runs "
+        f"(min {cpu_qps_runs[0]:.0f}, max {cpu_qps_runs[-1]:.0f})"
     )
 
     # -- TPU fused kernel -------------------------------------------------------
@@ -171,7 +322,7 @@ def main() -> None:
     probe /= np.linalg.norm(probe, axis=1, keepdims=True)
     _, cpu_idx = cpu_flat_search(probe, corpus, K)
 
-    def run_config(name, corpus_dev, **kw):
+    def run_config(name, corpus_dev, bytes_per_elem, **kw):
         search = functools.partial(
             flat_topk_pallas, k=K, metric="dot", interpret=interpret, **kw
         )
@@ -202,29 +353,37 @@ def main() -> None:
         np.asarray(timed_loop(corpus_dev, 10_000))  # fresh seeds
         dt = (time.time() - t0) / REPS
         qps = BATCH / dt
+        tflops = 2.0 * BATCH * N_DOCS * DIM / dt / 1e12
+        q_tiles = -(-BATCH // kw.get("tile_q", 128))
+        gbps = N_DOCS * DIM * bytes_per_elem * q_tiles / dt / 1e9
         log(
             f"{name}: {dt*1e3:.2f} ms / {BATCH} q -> {qps:.0f} QPS "
-            f"({qps / cpu_qps:.1f}x CPU), Recall@{K}={recall:.4f}"
+            f"({qps / cpu_qps:.1f}x CPU), Recall@{K}={recall:.4f}, "
+            f"{tflops:.1f} TF/s ({100*tflops/PEAK_BF16_TFLOPS:.1f}% of "
+            f"v5e bf16 peak), corpus stream {gbps:.0f} GB/s "
+            f"({100*gbps/PEAK_HBM_GBPS:.1f}% of HBM peak)"
         )
-        return qps, recall
+        return qps, recall, tflops, gbps
 
     c32 = jax.device_put(jnp.asarray(corpus))
     # Headline config: bit-exact search — identical Recall@10/MRR to the
     # CPU/FAISS-flat reference by construction.
-    exact_qps, exact_recall = run_config(
-        "TPU exact f32", c32, tile_q=256, tile_n=1024, mode="exact"
+    exact_qps, exact_recall, exact_tf, exact_gb = run_config(
+        "TPU exact f32", c32, 4, tile_q=256, tile_n=1024, mode="exact"
     )
-    # Upside config: bf16-resident corpus + packed-key top-k.
+    # Upside config: bf16-resident corpus + group-reduced packed-key
+    # top-k (no per-tile skip branch — it stalls the pipeline at batch).
     c16 = jax.device_put(jnp.asarray(corpus).astype(jnp.bfloat16))
-    fast_qps, fast_recall = run_config(
+    fast_qps, fast_recall, fast_tf, fast_gb = run_config(
         "TPU fast bf16",
         c16,
+        2,
         tile_q=256,
         tile_n=2048,
         compute_dtype=jnp.bfloat16,
-        mode="fast",
+        mode="fastg",
+        n_easy=2,
     )
-    del fast_qps, fast_recall  # stderr visibility only
 
     # -- encoder throughput (docs/sec, BASELINE secondary metric) --------------
     try:
@@ -245,6 +404,20 @@ def main() -> None:
     except Exception as e:
         log(f"e2e bench skipped: {e}")
 
+    # -- IVF single-query latency ----------------------------------------------
+    if RUN_IVF:
+        try:
+            bench_ivf(jax, jnp, corpus)
+        except Exception as e:
+            log(f"ivf bench skipped: {e}")
+
+    # -- BM25 at scale -----------------------------------------------------------
+    if LEXICAL_N:
+        try:
+            bench_lexical(jax, jnp)
+        except Exception as e:
+            log(f"lexical bench skipped: {e}")
+
     print(
         json.dumps(
             {
@@ -255,6 +428,14 @@ def main() -> None:
                 "value": round(exact_qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(exact_qps / cpu_qps, 2),
+                "exact_tflops": round(exact_tf, 2),
+                "fast_qps": round(fast_qps, 1),
+                "fast_recall": round(fast_recall, 4),
+                "fast_tflops": round(fast_tf, 2),
+                "fast_hbm_gbps": round(fast_gb, 1),
+                "cpu_qps_median": round(cpu_qps, 1),
+                "cpu_qps_min": round(cpu_qps_runs[0], 1),
+                "cpu_qps_max": round(cpu_qps_runs[-1], 1),
             }
         )
     )

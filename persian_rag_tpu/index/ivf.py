@@ -20,6 +20,7 @@ for the whole batch).
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Optional, Tuple
@@ -29,6 +30,81 @@ import jax.numpy as jnp
 import numpy as np
 
 from persian_rag_tpu.ops.flat_topk import flat_topk_ref
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "metric", "has_overflow")
+)
+def _ivf_search_step(
+    q,
+    centroids,
+    cells,
+    cell_ids,
+    overflow,
+    overflow_ids,
+    *,
+    k: int,
+    nprobe: int,
+    metric: str,
+    has_overflow: bool,
+):
+    """Pure jitted probe-and-scan: coarse top-nprobe centroids, gather
+    those cells' capacity-padded blocks, masked matmul + top-k, plus the
+    always-scanned overflow block. All large arrays are ARGUMENTS (never
+    closed over — large jit constants break remote compile paths).
+
+    Returns (scores maximized, ids); for l2 the scores are negated
+    squared distances (callers flip sign).
+    """
+    descending = metric != "l2"
+    _, probe_cells = flat_topk_ref(q, centroids, nprobe, metric="l2")
+    gathered = jnp.take(cells, probe_cells, axis=0)  # (Q, P, cap, d)
+    gathered_ids = jnp.take(cell_ids, probe_cells, axis=0)  # (Q, P, cap)
+    qn, p, cap, d = gathered.shape
+    flat = gathered.reshape(qn, p * cap, d)
+    ids = gathered_ids.reshape(qn, p * cap)
+    scores = jnp.einsum(
+        "qd,qnd->qn", q, flat, preferred_element_type=jnp.float32
+    )
+    if metric == "l2":
+        d2 = (
+            jnp.sum(q * q, axis=1, keepdims=True)
+            - 2.0 * scores
+            + jnp.sum(flat * flat, axis=2)
+        )
+        scores = -d2
+    if has_overflow:
+        o_scores = jnp.einsum(
+            "qd,nd->qn", q, overflow, preferred_element_type=jnp.float32
+        )
+        if metric == "l2":
+            o_d2 = (
+                jnp.sum(q * q, axis=1, keepdims=True)
+                - 2.0 * o_scores
+                + jnp.sum(overflow * overflow, axis=1)[None]
+            )
+            o_scores = -o_d2
+        scores = jnp.concatenate([scores, o_scores], axis=1)
+        ids = jnp.concatenate(
+            [
+                ids,
+                jnp.broadcast_to(
+                    overflow_ids[None], (qn, overflow_ids.shape[0])
+                ),
+            ],
+            axis=1,
+        )
+    scores = jnp.where(ids >= 0, scores, -3.0e38)
+    k_eff = min(k, scores.shape[1])
+    top_s, pos = jax.lax.top_k(scores, k_eff)
+    top_i = jnp.take_along_axis(ids, pos, axis=1)
+    if k_eff < k:
+        top_s = jnp.pad(
+            top_s, ((0, 0), (0, k - k_eff)), constant_values=-3.0e38
+        )
+        top_i = jnp.pad(top_i, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    del descending
+    return top_s, top_i.astype(jnp.int32)
 
 
 def kmeans(
@@ -224,58 +300,24 @@ class IVFIndex:
 
     def _search_chunk(self, q, k, nprobe, descending):
         metric = "l2" if self.metric == "l2" else "dot"
-        # coarse: nearest centroids
-        _, cells = flat_topk_ref(q, self.centroids, nprobe, metric="l2")
-        gathered = jnp.take(self._cells, cells, axis=0)      # (Q, P, cap, d)
-        gathered_ids = jnp.take(self._cell_ids, cells, axis=0)  # (Q, P, cap)
-        qn, p, cap, d = gathered.shape
-        flat = gathered.reshape(qn, p * cap, d)
-        ids = gathered_ids.reshape(qn, p * cap)
-        scores = jnp.einsum(
-            "qd,qnd->qn", q, flat, preferred_element_type=jnp.float32
+        has_overflow = self._overflow is not None
+        zero = jnp.zeros((0, self.dim), jnp.float32)
+        zero_ids = jnp.zeros((0,), jnp.int32)
+        top_s, top_i = _ivf_search_step(
+            q,
+            self.centroids,
+            self._cells,
+            self._cell_ids,
+            self._overflow if has_overflow else zero,
+            self._overflow_ids if has_overflow else zero_ids,
+            k=k,
+            nprobe=nprobe,
+            metric=metric,
+            has_overflow=has_overflow,
         )
-        if metric == "l2":
-            d2 = (
-                jnp.sum(q * q, axis=1, keepdims=True)
-                - 2.0 * scores
-                + jnp.sum(flat * flat, axis=2)
-            )
-            scores = -d2
-        if self._overflow is not None:
-            o_scores = jnp.einsum(
-                "qd,nd->qn", q, self._overflow,
-                preferred_element_type=jnp.float32,
-            )
-            if metric == "l2":
-                o_d2 = (
-                    jnp.sum(q * q, axis=1, keepdims=True)
-                    - 2.0 * o_scores
-                    + jnp.sum(self._overflow * self._overflow, axis=1)[None]
-                )
-                o_scores = -o_d2
-            scores = jnp.concatenate([scores, o_scores], axis=1)
-            ids = jnp.concatenate(
-                [ids, jnp.broadcast_to(self._overflow_ids[None], (qn, self._overflow_ids.shape[0]))],
-                axis=1,
-            )
-        scores = jnp.where(ids >= 0, scores, -3.0e38)
-        # The candidate pool is only nprobe*cap (+ overflow) wide; when k
-        # exceeds it, return the best available and backfill with id=-1
-        # sentinels (callers' 0 <= idx filters drop them) instead of
-        # failing at trace time.
-        k_eff = min(k, scores.shape[1])
-        top_s, pos = jax.lax.top_k(scores, k_eff)
-        top_i = jnp.take_along_axis(ids, pos, axis=1)
-        if k_eff < k:
-            top_s = jnp.pad(
-                top_s, ((0, 0), (0, k - k_eff)), constant_values=-3.0e38
-            )
-            top_i = jnp.pad(
-                top_i, ((0, 0), (0, k - k_eff)), constant_values=-1
-            )
         if not descending:
             top_s = -top_s  # back to squared distances ascending
-        return top_s, top_i.astype(jnp.int32)
+        return top_s, top_i
 
     # -- persistence ---------------------------------------------------------
 

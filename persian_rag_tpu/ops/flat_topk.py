@@ -137,6 +137,7 @@ def _topk_kernel(
     n_easy: int = 4,
     row_scaled: bool = False,
     transposed: bool = False,
+    skip_tiles: bool = True,
 ):
     """Bit-exact kernel with a staged fast path.
 
@@ -179,13 +180,17 @@ def _topk_kernel(
 
     run_s = out_s_ref[:]
     run_i = out_i_ref[:]
-    kth_key = _score_to_ikey(run_s[:, k - 1]) & ~_COL_MASK
-    # Skip only on strict quantized inequality (proves exact '<'); a
-    # quantized tie must merge because the tie may hide an exact '>'.
-    tile_max = jnp.max(key)
-    threshold = jnp.min(kth_key)
+    if skip_tiles:
+        kth_key = _score_to_ikey(run_s[:, k - 1]) & ~_COL_MASK
+        # Skip only on strict quantized inequality (proves exact '<'); a
+        # quantized tie must merge because the tie may hide an exact '>'.
+        tile_max = jnp.max(key)
+        threshold = jnp.min(kth_key)
+        merge_pred = (j == 0) | (tile_max >= threshold)
+    else:
+        merge_pred = j >= 0  # always
 
-    @pl.when((j == 0) | (tile_max >= threshold))
+    @pl.when(merge_pred)
     def _merge():
         keys = key
         staged_s = []
@@ -270,6 +275,7 @@ def _fast_topk_kernel(
     n_easy: int = 4,
     row_scaled: bool = False,
     transposed: bool = False,
+    skip_tiles: bool = True,
 ):
     j = pl.program_id(1)
 
@@ -292,11 +298,6 @@ def _fast_topk_kernel(
     ikey = _score_to_ikey(s)
     key = (ikey & ~_COL_MASK) | (tile_n - 1 - col)
 
-    # Skip the whole tile when nothing can enter any query's top-k.
-    tile_max = jnp.max(key)
-    kth_key = _score_to_ikey(out_s_ref[:, k - 1]) & ~_COL_MASK
-    threshold = jnp.min(kth_key)
-
     # A tile rarely contributes more than a couple of new top-k entries
     # (E[entries] = k*TILE_N/N per query), so extract only E ranks in the
     # common path and fall back to a full k-rank extraction in the rare
@@ -312,8 +313,7 @@ def _fast_topk_kernel(
             ids.append(j * tile_n + (tile_n - 1 - (m & _COL_MASK)))
         return keys, scores, ids
 
-    @pl.when((j == 0) | (tile_max > threshold))
-    def _merge():
+    def _merge_body():
         keys, scores, ids = _extract(key, n_easy)
         cand_s = jnp.concatenate([out_s_ref[:]] + scores, axis=1)
         cand_i = jnp.concatenate([out_i_ref[:]] + ids, axis=1)
@@ -329,6 +329,209 @@ def _fast_topk_kernel(
                 cand_s2 = jnp.concatenate([out_s_ref[:]] + scores2, axis=1)
                 cand_i2 = jnp.concatenate([out_i_ref[:]] + ids2, axis=1)
                 out_s_ref[:], out_i_ref[:] = merge_topk(cand_s2, cand_i2, k)
+
+    if skip_tiles:
+        # Skip the whole tile when nothing can enter any query's top-k.
+        tile_max = jnp.max(key)
+        kth_key = _score_to_ikey(out_s_ref[:, k - 1]) & ~_COL_MASK
+        threshold = jnp.min(kth_key)
+        pl.when((j == 0) | (tile_max > threshold))(_merge_body)
+    else:
+        _merge_body()
+
+
+def _insert_sorted(run_s, run_i, b_s, b_i):
+    """Insert one (score, id) per query into a descending-sorted top-k
+    list. ~8 small VPU ops vs ~30 for a rank-extraction merge; ties
+    prefer the existing entry (earlier tile / lower id)."""
+    k = run_s.shape[1]
+    ge = run_s >= b_s  # prefix-true over the sorted list
+    # Shift-right with a +inf sentinel in slot 0: prev_ge = shift_s >= b_s
+    # is then True at slot 0 by construction (Mosaic cannot concat i1
+    # vectors, so the predicate is derived from the f32 shift instead).
+    big = jnp.full_like(run_s[:, :1], -NEG_INF)
+    shift_s = jnp.concatenate([big, run_s[:, : k - 1]], axis=1)
+    shift_i = jnp.concatenate([run_i[:, :1], run_i[:, : k - 1]], axis=1)
+    prev_ge = shift_s >= b_s
+    new_s = jnp.where(ge, run_s, jnp.where(prev_ge, b_s, shift_s))
+    new_i = jnp.where(ge, run_i, jnp.where(prev_ge, b_i, shift_i))
+    return new_s, new_i
+
+
+def _fast_insert_topk_kernel(
+    q_ref,
+    c_ref,
+    cn_ref,
+    out_s_ref,
+    out_i_ref,
+    *,
+    k: int,
+    n_actual: int,
+    tile_n: int,
+    metric: str,
+    compute_dtype,
+    n_easy: int = 2,
+    row_scaled: bool = False,
+    transposed: bool = False,
+):
+    """Packed-key kernel with sorted-insertion merging.
+
+    Identical candidate selection to the fast kernel (n_easy packed-key
+    extractions per tile, full-k fallback proven by the residual check),
+    but each extracted candidate merges into the running top-k by sorted
+    insertion instead of rank re-extraction — the running list stays
+    descending-sorted as an invariant, cutting the per-tile small-array
+    op count several-fold.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
+        out_i_ref[:] = jnp.full_like(out_i_ref, -1)
+
+    s = _tile_scores(q_ref, c_ref, compute_dtype, transposed)
+    if metric == "l2":
+        s = 2.0 * s - cn_ref[:]
+    elif row_scaled:
+        s = s * cn_ref[:]
+
+    qt = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (qt, tile_n), 1)
+    ikey = _score_to_ikey(s)
+    key = (ikey & ~_COL_MASK) | (tile_n - 1 - col)
+    if n_actual % tile_n != 0:
+        valid = (col + j * tile_n) < n_actual
+        key = jnp.where(valid, key, _INT_MIN)
+
+    n_easy = min(n_easy, k)
+    run_s = out_s_ref[:]
+    run_i = out_i_ref[:]
+
+    keys = key
+    for _ in range(n_easy):
+        m = jnp.max(keys, axis=1, keepdims=True)
+        keys = jnp.where(keys == m, _INT_MIN, keys)
+        b_s = _ikey_to_score(m & ~_COL_MASK)
+        b_i = j * tile_n + (tile_n - 1 - (m & _COL_MASK))
+        run_s, run_i = _insert_sorted(run_s, run_i, b_s, b_i)
+    out_s_ref[:] = run_s
+    out_i_ref[:] = run_i
+
+    if n_easy < k:
+        new_kth = _score_to_ikey(run_s[:, k - 1]) & ~_COL_MASK
+        residual = jnp.max(keys) > jnp.min(new_kth)
+
+        @pl.when(residual)
+        def _full():
+            rs = out_s_ref[:]
+            ri = out_i_ref[:]
+            ks = keys
+            for _ in range(k):
+                m = jnp.max(ks, axis=1, keepdims=True)
+                ks = jnp.where(ks == m, _INT_MIN, ks)
+                b_s = _ikey_to_score(m & ~_COL_MASK)
+                b_i = j * tile_n + (tile_n - 1 - (m & _COL_MASK))
+                rs, ri = _insert_sorted(rs, ri, b_s, b_i)
+            out_s_ref[:] = rs
+            out_i_ref[:] = ri
+
+
+def _fast_group_topk_kernel(
+    q_ref,
+    c_ref,
+    cn_ref,
+    out_s_ref,
+    out_i_ref,
+    *,
+    k: int,
+    n_actual: int,
+    tile_n: int,
+    metric: str,
+    compute_dtype,
+    n_easy: int = 4,
+    row_scaled: bool = False,
+    transposed: bool = False,
+    group: int = 16,
+):
+    """Group-reduced packed-key kernel.
+
+    The plain fast kernel's per-rank extraction scans the full
+    (QT, TILE_N) key array (2 VPU passes per rank). Here each tile is
+    first reduced to its per-slot top-2 — reshape keys to
+    (QT, GROUP, TILE_N/GROUP), one max pass for the best per slot and
+    two more for the second best — and ranks are extracted from the
+    2*TILE_N/GROUP-wide reduced array instead (GROUP/2 x cheaper per
+    rank). Exactness of the returned top-k set at key precision is
+    preserved by a residual proof: every element outside the reduced
+    array is bounded by its slot's second-best, so if
+    max(unextracted reduced ∪ r2) < every query's new kth key, no
+    hidden element can alter any top-k; otherwise the rare tile falls
+    back to full k-rank extraction over the raw keys.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
+        out_i_ref[:] = jnp.full_like(out_i_ref, -1)
+
+    s = _tile_scores(q_ref, c_ref, compute_dtype, transposed)
+    if metric == "l2":
+        s = 2.0 * s - cn_ref[:]
+    elif row_scaled:
+        s = s * cn_ref[:]
+
+    qt = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (qt, tile_n), 1)
+    ikey = _score_to_ikey(s)
+    key = (ikey & ~_COL_MASK) | (tile_n - 1 - col)
+    # Pad rows exist only when N is not a tile multiple; the mask fuses
+    # with the key pack and is skipped entirely for aligned corpora.
+    if n_actual % tile_n != 0:
+        valid = (col + j * tile_n) < n_actual
+        key = jnp.where(valid, key, _INT_MIN)
+
+    c_slots = tile_n // group
+    keys3 = key.reshape(qt, group, c_slots)
+    r1 = jnp.max(keys3, axis=1)  # (qt, C) best per slot
+    masked3 = jnp.where(keys3 == r1[:, None, :], _INT_MIN, keys3)
+    r2 = jnp.max(masked3, axis=1)  # (qt, C) second best per slot
+    reduced = jnp.concatenate([r1, r2], axis=1)  # (qt, 2C)
+
+    n_easy = min(n_easy, k)
+
+    def _extract(keys, count):
+        scores, ids = [], []
+        for _ in range(count):
+            m = jnp.max(keys, axis=1, keepdims=True)
+            keys = jnp.where(keys == m, _INT_MIN, keys)
+            scores.append(_ikey_to_score(m & ~_COL_MASK))
+            ids.append(j * tile_n + (tile_n - 1 - (m & _COL_MASK)))
+        return keys, scores, ids
+
+    run_s = out_s_ref[:]  # pre-merge running state (for the fallback)
+    run_i = out_i_ref[:]
+    remaining, scores, ids = _extract(reduced, n_easy)
+    cand_s = jnp.concatenate([run_s] + scores, axis=1)
+    cand_i = jnp.concatenate([run_i] + ids, axis=1)
+    new_s, new_i = merge_topk(cand_s, cand_i, k)
+    out_s_ref[:] = new_s
+    out_i_ref[:] = new_i
+
+    # Residual proof: unseen elements are bounded by max(remaining, r2).
+    new_kth = _score_to_ikey(new_s[:, k - 1]) & ~_COL_MASK
+    bound = jnp.maximum(jnp.max(remaining), jnp.max(r2))
+    residual = bound > jnp.min(new_kth)
+
+    @pl.when(residual)
+    def _full():
+        # The raw-key extraction re-finds the n_easy winners, so merge
+        # against the PRE-merge running state to avoid duplicate ids.
+        _, scores2, ids2 = _extract(key, k)
+        cand_s2 = jnp.concatenate([run_s] + scores2, axis=1)
+        cand_i2 = jnp.concatenate([run_i] + ids2, axis=1)
+        out_s_ref[:], out_i_ref[:] = merge_topk(cand_s2, cand_i2, k)
 
 
 def _max_only_kernel(
@@ -433,15 +636,21 @@ def flat_topk_pallas(
 
     grid = (q_pad // tile_q, n_pad // tile_n)
 
-    if mode == "exact":
+    if mode in ("exact", "exactns"):
         kernel_fn = _topk_kernel
     elif mode == "maxonly":  # diagnostic floor, not valid top-k
         kernel_fn = _max_only_kernel
+    elif mode == "fastg":  # group-reduced extraction
+        kernel_fn = _fast_group_topk_kernel
+    elif mode == "fasti":  # sorted-insertion merging
+        kernel_fn = _fast_insert_topk_kernel
     else:
         kernel_fn = _fast_topk_kernel
     kwargs = {"row_scaled": row_scaled, "transposed": corpus_transposed}
-    if mode != "exact":
+    if mode not in ("exact", "exactns"):
         kwargs["n_easy"] = n_easy
+    if mode in ("fastns", "exactns"):  # without the per-tile skip branch
+        kwargs["skip_tiles"] = False
     kernel = functools.partial(
         kernel_fn,
         k=k,

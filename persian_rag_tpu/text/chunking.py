@@ -19,10 +19,23 @@ from persian_rag_tpu.text.persian import PersianTextProcessor
 
 
 class TextChunker:
-    def __init__(self, config):
+    def __init__(self, config, sentence_split_mode: str = "auto"):
         """config: persian_rag_tpu Config or a raw dict with a 'chunking'
-        section (word_chunk_size / word_overlap / sentences_per_chunk)."""
+        section (word_chunk_size / word_overlap / sentences_per_chunk).
+
+        sentence_split_mode:
+          "auto"   — hazm-equivalent tokenizer (splits on . ! ? ؟ keeping
+                     terminators; matches the reference running WITH hazm,
+                     its primary path at src/chunking.py:135-138).
+          "simple" — byte-for-byte the reference's hazm-failure fallback
+                     (src/chunking.py:139-140): split on '.' only and
+                     re-append '.' to every fragment, including an
+                     unterminated trailing one.
+        """
+        if sentence_split_mode not in ("auto", "simple"):
+            raise ValueError(sentence_split_mode)
         self.config = config
+        self.sentence_split_mode = sentence_split_mode
         self.text_processor = PersianTextProcessor()
 
     def _chunking_params(self) -> Tuple[int, int, int]:
@@ -99,8 +112,12 @@ class TextChunker:
     def sentence_based_chunking(self, text: str) -> List[Dict]:
         _, _, per_chunk = self._chunking_params()
         normalized = self.text_processor.normalize_text(text)
-        sentences = self.text_processor.tokenize_sentences(normalized)
+        if self.sentence_split_mode == "simple":
+            sentences = []
+        else:
+            sentences = self.text_processor.tokenize_sentences(normalized)
         if not sentences:
+            # reference fallback split (src/chunking.py:139-140)
             sentences = [
                 s.strip() + "." for s in normalized.split(".") if s.strip()
             ]

@@ -244,22 +244,25 @@ def test_sentence_chunking_matches_reference(reference):
     ref_chunker = reference["chunking"].TextChunker(config)
     from persian_rag_tpu.text.chunking import TextChunker
 
-    our_chunker = TextChunker(config)
-    # The reference's hazm fallback '.'-splits and re-appends '.' to every
-    # fragment (including an unterminated trailing one); our tokenizer
-    # preserves the original terminators. Compare modulo that trailing
-    # '.' normalization.
+    # hazm is absent in this environment, so the reference code runs its
+    # '.'-split fallback (src/chunking.py:139-140); sentence_split_mode=
+    # "simple" reproduces that path byte-for-byte (texts compared EXACTLY,
+    # including the re-appended trailing '.').
+    our_chunker = TextChunker(config, sentence_split_mode="simple")
     text = "sentence one is here. sentence two is here. sentence three. four. five. six"
     ref_chunks = ref_chunker.sentence_based_chunking(text)
     our_chunks = our_chunker.sentence_based_chunking(text)
 
-    def norm(texts):
-        return [t.rstrip(".") for t in texts]
-
-    assert norm([c["text"] for c in ref_chunks]) == norm(
-        [c["text"] for c in our_chunks]
-    )
+    assert [c["text"] for c in ref_chunks] == [
+        c["text"] for c in our_chunks
+    ]
     assert [c["id"] for c in ref_chunks] == [c["id"] for c in our_chunks]
     assert [c["num_sentences"] for c in ref_chunks] == [
         c["num_sentences"] for c in our_chunks
+    ]
+    # default mode keeps the hazm-equivalent tokenizer: same chunking,
+    # terminators preserved (matches the reference running WITH hazm)
+    auto_chunks = TextChunker(config).sentence_based_chunking(text)
+    assert [c["text"].rstrip(".") for c in auto_chunks] == [
+        c["text"].rstrip(".") for c in ref_chunks
     ]
