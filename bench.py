@@ -205,12 +205,16 @@ def bench_lexical(jax, jnp) -> None:
     cpu_qps = 8 / (time.time() - t0)
     log(f"BM25 CPU dense-scan baseline: {cpu_qps:.1f} QPS")
 
-    # device QPS through the bucketed fused path, fresh query sets
+    # device QPS through the bucketed fused path. Fresh-VALUE queries
+    # with the SAME term-slot shape: a changed slot count would trigger
+    # a recompile, and identical values would hit the relay cache.
+    queries2 = [" ".join(map(str, rng.zipf(1.3, size=8) % vocab_n))
+                for _ in range(64)]
     t0 = time.time()
     s, i = index.search(queries, K)
     warm_s = time.time() - t0  # includes compiles
     t0 = time.time()
-    s, i = index.search([q + " 7" for q in queries], K)
+    s, i = index.search(queries2, K)
     dt = time.time() - t0
     qps = len(queries) / dt
     log(
@@ -312,19 +316,21 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from persian_rag_tpu.ops.flat_topk import flat_topk_pallas
+    from persian_rag_tpu.ops.flat_topk import flat_topk
 
     backend = jax.default_backend()
     log(f"jax backend: {backend}, devices: {jax.devices()}")
-    interpret = backend != "tpu"
+    use_pallas = None if backend == "tpu" else False
 
     probe = rng.standard_normal((RECALL_QUERIES, DIM)).astype(np.float32)
     probe /= np.linalg.norm(probe, axis=1, keepdims=True)
     _, cpu_idx = cpu_flat_search(probe, corpus, K)
 
     def run_config(name, corpus_dev, bytes_per_elem, **kw):
+        # through the dispatching API users call (regime-choosing exact
+        # path: materialized XLA under the HBM budget, Pallas beyond it)
         search = functools.partial(
-            flat_topk_pallas, k=K, metric="dot", interpret=interpret, **kw
+            flat_topk, k=K, metric="dot", use_pallas=use_pallas, **kw
         )
         tpu_idx = np.asarray(
             jax.block_until_ready(search(jnp.asarray(probe), corpus_dev))[1]
@@ -371,8 +377,8 @@ def main() -> None:
     exact_qps, exact_recall, exact_tf, exact_gb = run_config(
         "TPU exact f32", c32, 4, tile_q=256, tile_n=1024, mode="exact"
     )
-    # Upside config: bf16-resident corpus + group-reduced packed-key
-    # top-k (no per-tile skip branch — it stalls the pipeline at batch).
+    # Upside config: bf16-resident corpus + packed-key top-k (the skip
+    # branch auto-disables at this tile_q — it stalls the pipeline).
     c16 = jax.device_put(jnp.asarray(corpus).astype(jnp.bfloat16))
     fast_qps, fast_recall, fast_tf, fast_gb = run_config(
         "TPU fast bf16",
@@ -381,8 +387,7 @@ def main() -> None:
         tile_q=256,
         tile_n=2048,
         compute_dtype=jnp.bfloat16,
-        mode="fastg",
-        n_easy=2,
+        mode="fast",  # auto-drops the skip branch at tile_q=256
     )
 
     # -- encoder throughput (docs/sec, BASELINE secondary metric) --------------

@@ -92,6 +92,86 @@ def flat_topk_ref(
         raise ValueError(f"unknown metric: {metric}")
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "chunk", "compute_dtype")
+)
+def flat_topk_scan(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    k: int,
+    metric: str = "dot",
+    chunk: int = 16_384,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k via an XLA lax.scan over corpus chunks.
+
+    Memory is bounded at Q x chunk (the full (Q, N) matrix never
+    materializes), and the matmul runs through XLA's native f32 path —
+    measured faster than the Pallas exact kernel at large batches on
+    this hardware (XLA's HIGHEST-precision matmul schedule beats
+    Mosaic's for this shape). Tie-breaking matches FAISS (lower row id
+    wins) because chunk-local top-k candidates carry ascending ids and
+    lax.top_k is stable.
+    """
+    n_q, d = queries.shape
+    n = corpus.shape[0]
+    k = min(k, n)
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    q = queries
+    c = corpus
+    if compute_dtype is not None:
+        q = q.astype(compute_dtype)
+        c = c.astype(compute_dtype)
+    c = _pad_to(c, n_pad, 0)
+    c_chunks = c.reshape(n_chunks, chunk, d)
+    if metric == "l2":
+        csq = jnp.sum(
+            corpus.astype(jnp.float32) * corpus.astype(jnp.float32), axis=-1
+        )
+        csq = _pad_to(csq, n_pad, 0).reshape(n_chunks, chunk)
+    else:
+        csq = jnp.zeros((n_chunks, chunk), jnp.float32)
+
+    def body(carry, xs):
+        run_s, run_i, start = carry
+        c_tile, csq_tile = xs
+        s = jnp.dot(
+            q,
+            c_tile.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if metric == "l2":
+            s = 2.0 * s - csq_tile[None, :]
+        col = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n, s, NEG_INF)
+        top_s, pos = jax.lax.top_k(s, k)
+        top_i = jnp.take_along_axis(col, pos, axis=1)
+        # candidates ordered [running (older, lower ids on ties), new]:
+        # lax.top_k is stable, preserving FAISS lower-id-first ties.
+        cand_s = jnp.concatenate([run_s, top_s], axis=1)
+        cand_i = jnp.concatenate([run_i, top_i], axis=1)
+        new_s, pos2 = jax.lax.top_k(cand_s, k)
+        new_i = jnp.take_along_axis(cand_i, pos2, axis=1)
+        return (new_s, new_i, start + chunk), None
+
+    init = (
+        jnp.full((n_q, k), NEG_INF, jnp.float32),
+        jnp.full((n_q, k), -1, jnp.int32),
+        jnp.int32(0),
+    )
+    (top_s, top_i, _), _ = jax.lax.scan(body, init, (c_chunks, csq))
+    if metric == "l2":
+        q_sq = jnp.sum(
+            queries.astype(jnp.float32) * queries.astype(jnp.float32),
+            axis=-1,
+            keepdims=True,
+        )
+        top_s = q_sq - top_s
+    return top_s, top_i
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel.
 # ---------------------------------------------------------------------------
@@ -646,11 +726,21 @@ def flat_topk_pallas(
         kernel_fn = _fast_insert_topk_kernel
     else:
         kernel_fn = _fast_topk_kernel
-    kwargs = {"row_scaled": row_scaled, "transposed": corpus_transposed}
-    if mode not in ("exact", "exactns"):
-        kwargs["n_easy"] = n_easy
+    kwargs = {
+        "row_scaled": row_scaled,
+        "transposed": corpus_transposed,
+        "n_easy": n_easy,
+    }
     if mode in ("fastns", "exactns"):  # without the per-tile skip branch
         kwargs["skip_tiles"] = False
+    elif mode in ("fast", "exact") and tile_q >= 128:
+        # The skip predicate depends on the revisited output block, so
+        # it serializes the pipeline; at large query tiles the min-over-
+        # queries threshold almost never skips anyway (measured: skip ON
+        # costs ~8% at tile_q=256, saves ~20% at tile_q=8).
+        kwargs["skip_tiles"] = False
+    if mode in ("maxonly", "fastg", "fasti"):
+        kwargs.pop("skip_tiles", None)
     kernel = functools.partial(
         kernel_fn,
         k=k,
@@ -706,6 +796,30 @@ def _backend() -> str:
     return jax.default_backend()
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "tile_n", "tile_q", "compute_dtype", "mode",
+        "n_easy", "interpret",
+    ),
+)
+def _flat_topk_pallas_jit(
+    queries, corpus, corpus_sqnorm, corpus_scale, *,
+    k, metric, tile_n, tile_q, compute_dtype, mode, n_easy, interpret,
+):
+    """One-dispatch wrapper: eager calls would run the pad/layout ops
+    around the pallas_call as separate device computations (a full
+    corpus copy per search when N is not a tile multiple) — ruinous on
+    relay-attached devices."""
+    return flat_topk_pallas(
+        queries, corpus, k,
+        metric=metric, corpus_sqnorm=corpus_sqnorm,
+        corpus_scale=corpus_scale, tile_n=tile_n, tile_q=tile_q,
+        compute_dtype=compute_dtype, mode=mode, n_easy=n_easy,
+        interpret=interpret,
+    )
+
+
 def flat_topk(
     queries: jnp.ndarray,
     corpus: jnp.ndarray,
@@ -718,11 +832,20 @@ def flat_topk(
     tile_q: int = 128,
     compute_dtype: jnp.dtype = jnp.float32,
     mode: str = "exact",
+    exact_materialize_budget: int = 256 * 1024 * 1024,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dispatching entry point: Pallas on TPU, pure-JAX elsewhere.
 
     mode="exact" reproduces FAISS bit-exactly; mode="fast" uses the
     packed-key kernel (scores quantized to 21 bits, ~1e-6 relative).
+
+    Exact-mode regime choice (measured on v5e, batch 512 x 100k x 384):
+    XLA's materialized matmul+top_k runs the f32 HIGHEST contraction
+    ~25% faster than the Pallas exact kernel, but needs Q*N*4 bytes of
+    HBM for the score matrix. The dispatcher materializes when that
+    fits `exact_materialize_budget` and streams through the Pallas
+    kernel otherwise (large N or large batches), so callers always get
+    the faster exact path without an HBM blowup.
     """
     k = min(k, corpus.shape[0])
     if use_pallas is None:
@@ -731,18 +854,29 @@ def flat_topk(
         # the fused kernels unroll k extraction steps; for large k the
         # materialized reference path is both faster and safer on VMEM
         use_pallas = False
+    if (
+        mode == "exact"
+        and use_pallas
+        and corpus_scale is None
+        and queries.shape[0] * corpus.shape[0] * 4
+        <= exact_materialize_budget
+    ):
+        return flat_topk_ref(
+            queries, corpus, k, metric=metric, compute_dtype=compute_dtype
+        )
     if use_pallas:
-        return flat_topk_pallas(
+        return _flat_topk_pallas_jit(
             queries,
             corpus,
-            k,
+            corpus_sqnorm,
+            corpus_scale,
+            k=k,
             metric=metric,
-            corpus_sqnorm=corpus_sqnorm,
-            corpus_scale=corpus_scale,
             tile_n=tile_n,
             tile_q=tile_q,
-            compute_dtype=compute_dtype,
+            compute_dtype=jnp.dtype(compute_dtype).name,
             mode=mode,
+            n_easy=4,
             interpret=_backend() != "tpu",
         )
     return flat_topk_ref(

@@ -197,6 +197,20 @@ def sparse_scores(
     return sparse_scores_ref(doc_ids, doc_vals, q_ids, q_vals)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "interpret")
+)
+def _sparse_topk_jit(doc_ids, doc_vals, q_ids, q_vals, k, tile_n, interpret):
+    """One-dispatch wrapper: without jit, the padding/layout ops around
+    the pallas_call execute eagerly as separate device computations —
+    ruinous on relay-attached devices (each dispatch pays transfer
+    latency, and doc-array pads copy the whole index)."""
+    return sparse_topk_pallas(
+        doc_ids, doc_vals, q_ids, q_vals, k, tile_n=tile_n,
+        interpret=interpret,
+    )
+
+
 def sparse_topk(
     doc_ids: jnp.ndarray,
     doc_vals: jnp.ndarray,
@@ -204,21 +218,15 @@ def sparse_topk(
     q_vals: jnp.ndarray,
     k: int,
     use_pallas: Optional[bool] = None,
-    tile_n: int = 512,
+    tile_n: int = 2048,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     k = min(k, doc_ids.shape[0])
     backend = jax.default_backend()
     if use_pallas is None:
         use_pallas = backend == "tpu"
     if use_pallas:
-        return sparse_topk_pallas(
-            doc_ids,
-            doc_vals,
-            q_ids,
-            q_vals,
-            k,
-            tile_n=tile_n,
-            interpret=backend != "tpu",
+        return _sparse_topk_jit(
+            doc_ids, doc_vals, q_ids, q_vals, k, tile_n, backend != "tpu"
         )
     scores = sparse_scores_ref(doc_ids, doc_vals, q_ids, q_vals)
     top_s, top_i = jax.lax.top_k(scores, k)

@@ -68,7 +68,12 @@ def main() -> None:
         else:
             cdev = c32 if dtype == "f32" else c16
 
-        if mode == "ref":  # plain-XLA full materialization + top_k
+        if mode == "scan":  # XLA lax.scan tiled exact path
+            from persian_rag_tpu.ops.flat_topk import flat_topk_scan
+
+            def search(q, c=cdev, cdt=cdt, tn=tile_n):
+                return flat_topk_scan(q, c, K, "dot", chunk=tn or 16_384)
+        elif mode == "ref":  # plain-XLA full materialization + top_k
             from persian_rag_tpu.ops.flat_topk import flat_topk_ref
 
             def search(q, c=cdev, cdt=cdt):

@@ -1,0 +1,80 @@
+"""Parity tests for every flat-search kernel mode (interpret on CPU).
+
+exact / exactns / scan are bit-exact (ids AND scores); fast variants
+(fast / fastns / fasti / fastg) return the exact top-k SET at 21-bit key
+precision — ordering may permute within quantized ties, so they assert
+set equality plus score closeness.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from persian_rag_tpu.ops.flat_topk import (
+    flat_topk_pallas,
+    flat_topk_ref,
+    flat_topk_scan,
+)
+
+CASES = [(900, 48, 7, 8, 256), (1003, 32, 10, 16, 256)]
+
+
+@pytest.mark.parametrize("mode", ["exact", "exactns"])
+@pytest.mark.parametrize("metric", ["dot", "l2"])
+def test_exact_modes_bit_exact(rng, mode, metric):
+    for n, d, k, tq, tn in CASES:
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal((9, d)).astype(np.float32)
+        w_s, w_i = flat_topk_ref(jnp.asarray(q), jnp.asarray(c), k, metric)
+        g_s, g_i = flat_topk_pallas(
+            jnp.asarray(q), jnp.asarray(c), k, metric=metric,
+            tile_q=tq, tile_n=tn, mode=mode, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(g_i), np.asarray(w_i))
+        np.testing.assert_allclose(
+            np.asarray(g_s), np.asarray(w_s), rtol=1e-6, atol=1e-6
+        )
+
+
+@pytest.mark.parametrize("metric", ["dot", "l2"])
+def test_scan_path_bit_exact(rng, metric):
+    for n, d, k, _, chunk in CASES:
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal((9, d)).astype(np.float32)
+        w_s, w_i = flat_topk_ref(jnp.asarray(q), jnp.asarray(c), k, metric)
+        g_s, g_i = flat_topk_scan(
+            jnp.asarray(q), jnp.asarray(c), k, metric, chunk=chunk
+        )
+        np.testing.assert_array_equal(np.asarray(g_i), np.asarray(w_i))
+        np.testing.assert_allclose(
+            np.asarray(g_s), np.asarray(w_s), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_scan_tie_breaking_prefers_lower_ids(rng):
+    c = np.tile(rng.standard_normal((50, 16)).astype(np.float32), (4, 1))
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    w_s, w_i = flat_topk_ref(jnp.asarray(q), jnp.asarray(c), 8, "dot")
+    g_s, g_i = flat_topk_scan(jnp.asarray(q), jnp.asarray(c), 8, "dot",
+                              chunk=64)
+    np.testing.assert_array_equal(np.asarray(g_i), np.asarray(w_i))
+
+
+@pytest.mark.parametrize("mode", ["fast", "fastns", "fasti", "fastg"])
+@pytest.mark.parametrize("metric", ["dot", "l2"])
+def test_fast_modes_exact_set(rng, mode, metric):
+    for n, d, k, tq, tn in CASES:
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal((9, d)).astype(np.float32)
+        w_s, w_i = flat_topk_ref(jnp.asarray(q), jnp.asarray(c), k, metric)
+        g_s, g_i = flat_topk_pallas(
+            jnp.asarray(q), jnp.asarray(c), k, metric=metric,
+            tile_q=tq, tile_n=tn, mode=mode, interpret=True,
+        )
+        gi, wi = np.asarray(g_i), np.asarray(w_i)
+        for r in range(9):
+            assert set(gi[r]) == set(wi[r]), (mode, metric, n, r)
+            assert len(set(gi[r].tolist())) == k, "duplicate ids"
+        np.testing.assert_allclose(
+            np.sort(np.asarray(g_s), 1), np.sort(np.asarray(w_s), 1),
+            rtol=5e-4, atol=5e-4,
+        )
