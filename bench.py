@@ -373,9 +373,13 @@ def main() -> None:
 
     c32 = jax.device_put(jnp.asarray(corpus))
     # Headline config: bit-exact search — identical Recall@10/MRR to the
-    # CPU/FAISS-flat reference by construction.
+    # CPU/FAISS-flat reference by construction. On TPU this dispatches
+    # to the two-stage path (merge-free bf16 Pallas candidate kernel ->
+    # f32 refine -> residual proof), which streams a bf16 corpus image
+    # once per query tile: bytes_per_elem=2.
     exact_qps, exact_recall, exact_tf, exact_gb = run_config(
-        "TPU exact f32", c32, 4, tile_q=256, tile_n=1024, mode="exact"
+        "TPU exact f32 (two-stage)", c32, 2, tile_q=256, tile_n=1024,
+        mode="exact",
     )
     # Upside config: bf16-resident corpus + packed-key top-k (the skip
     # branch auto-disables at this tile_q — it stalls the pipeline).

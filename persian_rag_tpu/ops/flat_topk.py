@@ -173,6 +173,261 @@ def flat_topk_scan(
 
 
 # ---------------------------------------------------------------------------
+# Two-stage exact path: bf16 prefilter -> f32 refine -> rigorous proof.
+# ---------------------------------------------------------------------------
+
+
+def _bf16_matmul_eps(d: int) -> float:
+    """Rigorous relative bound on |bf16-matmul - exact| for a length-d
+    dot product, in units of ||q||*||c||.
+
+    bf16 round-to-nearest unit roundoff is 2^-9, so each input carries
+    relative error <= 2^-9 and each product <= 2^-8 + 2^-18 (products of
+    two bf16 significands are exact in f32). f32 accumulation adds at
+    most (d-1)*2^-24 relative to sum(|p_i|) <= ||q||*||c||
+    (Cauchy-Schwarz), for any summation order. A 25% slack absorbs the
+    reference path's own f32-HIGHEST-vs-exact deviation (~2^-21)."""
+    return (2.0 ** -8 + 2.0 ** -18 + (d - 1) * 2.0 ** -24) * 1.25
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "m"))
+def flat_topk_exact2(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    k: int,
+    metric: str = "dot",
+    m: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bit-exact top-k at near-bf16-matmul speed.
+
+    Stage 1 ranks all N corpus rows with ONE native-MXU bf16 matmul
+    (f32 accumulation) and keeps each query's top-m candidate ids.
+    Stage 2 re-scores only those m rows per query at f32 HIGHEST
+    precision (the reference arithmetic) and takes the final top-k;
+    candidates are sorted by ascending id first so lax.top_k's
+    stability reproduces FAISS lower-index tie-breaking.
+
+    The result is EXACT, not approximate, by a per-query residual
+    proof: every non-candidate's true score is bounded by its bf16
+    score plus the rigorous rounding bound `_bf16_matmul_eps`, and
+    every non-candidate's bf16 score is <= the (m+1)-th best. If each
+    query's refined kth score strictly exceeds that bound, no
+    non-candidate can belong to the true top-k; otherwise the whole
+    batch falls back to the full f32-HIGHEST scan inside lax.cond, so
+    outputs always match flat_topk_ref. On random normalized data the
+    kth-to-(m+1)th score gap dwarfs the ~4e-3 bound, so the fallback
+    is cold.
+
+    Replaces the f32-HIGHEST full matmul (3x bf16 MXU passes over all
+    N rows) with one bf16 pass plus O(Q*m*d) refine work.
+    """
+    n_q, d = queries.shape
+    n = corpus.shape[0]
+    assert k <= m < n, (k, m, n)
+    q32 = queries.astype(jnp.float32)
+
+    # Stage 1: one bf16 MXU pass over the corpus. The astype fuses into
+    # the dot as an operand conversion (no corpus-sized copy).
+    s16 = jax.lax.dot_general(
+        q32.astype(jnp.bfloat16),
+        corpus.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    csq = jnp.sum(
+        corpus.astype(jnp.float32) * corpus.astype(jnp.float32), axis=-1
+    )
+    if metric == "l2":
+        # maximize s = 2 q.c - ||c||^2; only the matmul term is inexact
+        s16m = 2.0 * s16 - csq[None, :]
+        err_factor = 2.0
+    elif metric == "dot":
+        s16m = s16
+        err_factor = 1.0
+    else:
+        raise ValueError(f"unknown metric: {metric}")
+
+    cand_s16, cand_idx = jax.lax.top_k(s16m, m + 1)
+    bound16 = cand_s16[:, m]  # best possible bf16 score outside the set
+    cand = jnp.sort(cand_idx[:, :m], axis=1)
+
+    # Stage 2: exact re-score of the m candidate rows per query.
+    rows = jnp.take(corpus, cand, axis=0).astype(jnp.float32)  # (Q, m, d)
+    s_ref = jnp.einsum(
+        "qd,qmd->qm",
+        q32,
+        rows,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    s_refm = 2.0 * s_ref - jnp.take(csq, cand) if metric == "l2" else s_ref
+    top_s, pos = jax.lax.top_k(s_refm, k)
+    top_i = jnp.take_along_axis(cand, pos, axis=1).astype(jnp.int32)
+
+    # Residual proof (per query, then all-reduce over the batch).
+    q_norm = jnp.sqrt(jnp.sum(q32 * q32, axis=-1))
+    max_c_norm = jnp.sqrt(jnp.max(csq))
+    eps = err_factor * _bf16_matmul_eps(d) * q_norm * max_c_norm
+    ok = jnp.all(top_s[:, k - 1] > bound16 + eps)
+
+    def _refined(_):
+        return top_s, top_i
+
+    def _full_scan(_):
+        s = jnp.dot(
+            q32,
+            corpus.astype(jnp.float32).T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        sm = 2.0 * s - csq[None, :] if metric == "l2" else s
+        fs, fi = jax.lax.top_k(sm, k)
+        return fs, fi.astype(jnp.int32)
+
+    out_s, out_i = jax.lax.cond(ok, _refined, _full_scan, None)
+    if metric == "l2":
+        q_sq = jnp.sum(q32 * q32, axis=-1, keepdims=True)
+        out_s = q_sq - out_s
+    return out_s, out_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "k_scan", "tile_n", "tile_q", "n_easy", "interpret"
+    ),
+)
+def flat_topk_exact2_stream(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    k: int,
+    metric: str = "dot",
+    k_scan: int = 32,
+    tile_n: int = 2048,
+    tile_q: int = 256,
+    n_easy: int = 4,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming bit-exact top-k: merge-free bf16 Pallas candidate
+    extraction -> one small XLA top_k -> f32 refine -> residual proof.
+
+    Stage 1 streams the corpus once through `flat_topk_candidates`
+    (per-tile top-n_easy packed keys + a per-tile remaining-max bound;
+    no cross-tile merging — the running-merge kernels pay an O(k_scan)
+    per-tile op storm that costs more than the matmul at k_scan~32).
+    Nothing Q*N-sized ever materializes, so this regime has no memory
+    budget cap (works at N=1M+). One XLA top_k over the (Q, J*n_easy)
+    candidate keys picks k_scan finalists, which stage 2 re-scores at
+    f32 HIGHEST (the reference arithmetic); candidates are sorted by
+    ascending id so lax.top_k's stability reproduces FAISS lower-index
+    tie-breaking.
+
+    Exactness proof, per query: every corpus element is either a
+    finalist (exactly re-scored), a non-finalist candidate (its key <=
+    the k_scan-th finalist key), or unextracted in some tile (its key <=
+    that tile's bound key). So every non-finalist's true f32 score is
+    bounded by
+
+        bump(value(max(bound_keys, k_scan-th key)))   [key truncation]
+      + err_factor * eps_bf16 * ||q|| * max||c||      [bf16 matmul]
+
+    with bump(v) = v + |v|*2^-11. If each query's refined kth score
+    strictly exceeds that bound, no non-finalist can belong to the true
+    top-k. The rare failing batch recomputes with the f32 exact path
+    inside lax.cond, so results always match flat_topk_ref / FAISS.
+    """
+    n_q, d = queries.shape
+    n = corpus.shape[0]
+    q32 = queries.astype(jnp.float32)
+
+    # Stage 1 computes in bf16 regardless, so stream a bf16 corpus image
+    # through the kernel (halves per-tile VMEM residency and HBM
+    # traffic; XLA hoists the convert out of serving loops). l2's exact
+    # ||c||^2 comes from the f32 rows, not this image.
+    c16 = corpus if corpus.dtype == jnp.bfloat16 else corpus.astype(
+        jnp.bfloat16
+    )
+    csq = jnp.sum(
+        corpus.astype(jnp.float32) * corpus.astype(jnp.float32), axis=-1
+    )
+    cand_keys, bound_keys, tn = flat_topk_candidates(
+        q32,
+        c16,
+        metric=metric,
+        corpus_sqnorm=csq if metric == "l2" else None,
+        tile_n=tile_n,
+        tile_q=tile_q,
+        compute_dtype=jnp.bfloat16,
+        n_easy=n_easy,
+        interpret=interpret,
+    )
+    k_scan = min(k_scan, cand_keys.shape[1])
+    assert k <= k_scan, (k, k_scan, cand_keys.shape)
+    err_factor = 2.0 if metric == "l2" else 1.0
+
+    top_keys, pos = jax.lax.top_k(cand_keys, k_scan)
+    ids = (pos // n_easy) * tn + (tn - 1 - (top_keys & _COL_MASK))
+    ids = jnp.where(top_keys == _INT_MIN, -1, ids)
+
+    # Residual bound over everything outside the finalist set, in
+    # maximize space (dot score, or 2 q.c - ||c||^2 for l2).
+    bound_key = jnp.maximum(
+        jnp.max(bound_keys, axis=1), top_keys[:, k_scan - 1]
+    )
+    bound_val = _ikey_to_score(bound_key & ~_COL_MASK)
+    bound_val = bound_val + jnp.abs(bound_val) * 2.0 ** -11
+
+    cand = jnp.sort(ids, axis=1)  # -1 sentinels first, then id-ascending
+    rows = jnp.take(corpus, jnp.maximum(cand, 0), axis=0).astype(
+        jnp.float32
+    )
+    s_ref = jnp.einsum(
+        "qd,qmd->qm",
+        q32,
+        rows,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    s_refm = (
+        2.0 * s_ref - jnp.take(csq, jnp.maximum(cand, 0))
+        if metric == "l2"
+        else s_ref
+    )
+    s_refm = jnp.where(cand >= 0, s_refm, NEG_INF)
+    top_s, pos2 = jax.lax.top_k(s_refm, k)
+    top_i = jnp.take_along_axis(cand, pos2, axis=1).astype(jnp.int32)
+
+    q_norm = jnp.sqrt(jnp.sum(q32 * q32, axis=-1))
+    max_c_norm = jnp.sqrt(jnp.max(csq))
+    eps = err_factor * _bf16_matmul_eps(d) * q_norm * max_c_norm
+    ok = jnp.all(top_s[:, k - 1] > bound_val + eps)
+
+    def _refined(_):
+        s = top_s
+        if metric == "l2":
+            q_sq = jnp.sum(q32 * q32, axis=-1, keepdims=True)
+            s = q_sq - s
+        return s, top_i
+
+    def _full_scan(_):
+        if n_q * n * 4 <= 256 * 1024 * 1024:
+            return flat_topk_ref(q32, corpus, k, metric=metric)
+        return flat_topk_pallas(
+            q32,
+            corpus,
+            k,
+            metric=metric,
+            tile_n=1024,
+            tile_q=tile_q,
+            compute_dtype=jnp.float32,
+            mode="exact",
+            interpret=interpret,
+        )
+
+    return jax.lax.cond(ok, _refined, _full_scan, None)
+
+
+# ---------------------------------------------------------------------------
 # Pallas kernel.
 # ---------------------------------------------------------------------------
 
@@ -405,10 +660,28 @@ def _fast_topk_kernel(
 
             @pl.when(residual)
             def _full():
-                _, scores2, ids2 = _extract(keys, k)
-                cand_s2 = jnp.concatenate([out_s_ref[:]] + scores2, axis=1)
-                cand_i2 = jnp.concatenate([out_i_ref[:]] + ids2, axis=1)
-                out_s_ref[:], out_i_ref[:] = merge_topk(cand_s2, cand_i2, k)
+                # k more rank extractions, merged by sorted insertion
+                # inside a fori_loop: an unrolled extract-then-merge here
+                # accumulates one VMEM stack copy of the (QT, TN) key
+                # array per rank and overflows the 16MB scoped limit at
+                # k_scan-sized k (the two-stage exact path). The carried
+                # single buffer keeps the stack flat; insertion ties
+                # prefer the existing entry = earlier tile / lower id,
+                # matching merge_topk's first-occurrence semantics.
+                def body(_, carry):
+                    ks, rs, ri = carry
+                    m = jnp.max(ks, axis=1, keepdims=True)
+                    ks = jnp.where(ks == m, _INT_MIN, ks)
+                    b_s = _ikey_to_score(m & ~_COL_MASK)
+                    b_i = j * tile_n + (tile_n - 1 - (m & _COL_MASK))
+                    rs, ri = _insert_sorted(rs, ri, b_s, b_i)
+                    return ks, rs, ri
+
+                _, rs, ri = jax.lax.fori_loop(
+                    0, k, body, (keys, out_s_ref[:], out_i_ref[:])
+                )
+                out_s_ref[:] = rs
+                out_i_ref[:] = ri
 
     if skip_tiles:
         # Skip the whole tile when nothing can enter any query's top-k.
@@ -612,6 +885,149 @@ def _fast_group_topk_kernel(
         cand_s2 = jnp.concatenate([run_s] + scores2, axis=1)
         cand_i2 = jnp.concatenate([run_i] + ids2, axis=1)
         out_s_ref[:], out_i_ref[:] = merge_topk(cand_s2, cand_i2, k)
+
+
+def _extract_candidates_kernel(
+    q_ref,
+    c_ref,
+    cn_ref,
+    out_ref,
+    *,
+    n_actual: int,
+    tile_n: int,
+    metric: str,
+    compute_dtype,
+    n_easy: int,
+    out_w: int,
+    row_scaled: bool = False,
+    transposed: bool = False,
+):
+    """Merge-free candidate extraction: each tile writes its own top-n_easy
+    packed keys plus a remaining-max bound to a PRIVATE output block.
+
+    The running-merge kernels pay an O(k) small-array op storm per tile
+    (ruinous at k_scan~32: measured 10 ms vs 2.8 ms at k=10 for
+    512x100k). Here the kernel does only 2*n_easy+1 full-tile VPU
+    passes and NO cross-tile merging; the global top-k_scan selection
+    happens outside in one cheap XLA top_k over the (Q, J*n_easy)
+    candidate keys. Slot layout per (query tile i, corpus tile j):
+    out[:, :n_easy] = extracted keys (descending), out[:, n_easy] = max
+    remaining key — a rigorous per-tile bound on every element NOT
+    extracted, which the two-stage exact path's residual proof consumes.
+    Without revisited state the pipeline streams at full depth.
+    """
+    j = pl.program_id(1)
+
+    s = _tile_scores(q_ref, c_ref, compute_dtype, transposed)
+    if metric == "l2":
+        s = 2.0 * s - cn_ref[:]
+    elif row_scaled:
+        s = s * cn_ref[:]
+
+    qt = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (qt, tile_n), 1)
+    ikey = _score_to_ikey(s)
+    key = (ikey & ~_COL_MASK) | (tile_n - 1 - col)
+    if n_actual % tile_n != 0:
+        valid = (col + j * tile_n) < n_actual
+        key = jnp.where(valid, key, _INT_MIN)
+
+    keys = key
+    ranks = []
+    for _ in range(n_easy):
+        m = jnp.max(keys, axis=1, keepdims=True)
+        keys = jnp.where(keys == m, _INT_MIN, keys)
+        ranks.append(m.reshape(1, qt))
+    ranks.append(jnp.max(keys, axis=1, keepdims=True).reshape(1, qt))
+    # Output block is (slots, queries): TPU blocks need (8, 128)-aligned
+    # trailing dims, which a (tile_q, n_easy+1) layout can't satisfy —
+    # slots ride the sublane axis instead (out_w = 8).
+    block = jnp.concatenate(ranks, axis=0)
+    out_ref[:] = _pad_to(block, out_w, 0, value=_INT_MIN)
+
+
+def flat_topk_candidates(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    metric: str = "dot",
+    corpus_sqnorm: Optional[jnp.ndarray] = None,
+    tile_n: int = 2048,
+    tile_q: int = 256,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    n_easy: int = 3,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Run the candidate-extraction kernel over the full grid.
+
+    Returns (cand_keys (Q, J*n_easy), bound_keys (Q, J), tile_n) in
+    MAXIMIZE space (dot scores, or 2 q.c - ||c||^2 for l2): packed int32
+    keys whose high 21 bits are the quantized bf16-matmul score and low
+    bits the within-tile column. Global row id of a candidate =
+    tile * tile_n + (tile_n - 1 - (key & mask)); see `_unpack_ids`.
+    Every corpus element NOT among a tile's candidates has key <= that
+    tile's bound key.
+    """
+    n_q, d = queries.shape
+    n = corpus.shape[0]
+    tile_n = min(tile_n, _round_up(n, 128))
+    tile_q = min(tile_q, _round_up(n_q, 8))
+    assert tile_n <= 1 << _COL_BITS
+
+    d_pad = _round_up(d, 128)
+    q_pad = _round_up(n_q, tile_q)
+    n_pad = _round_up(n, tile_n)
+    q = _pad_to(_pad_to(queries, d_pad, 1), q_pad, 0)
+    c = _pad_to(_pad_to(corpus, d_pad, 1), n_pad, 0)
+
+    if metric == "l2":
+        if corpus_sqnorm is None:
+            corpus_sqnorm = jnp.sum(
+                corpus.astype(jnp.float32) * corpus.astype(jnp.float32),
+                axis=-1,
+            )
+        cn = _pad_to(corpus_sqnorm.astype(jnp.float32)[None, :], n_pad, 1)
+    else:
+        cn = jnp.zeros((1, n_pad), jnp.float32)
+
+    n_tiles = n_pad // tile_n
+    assert n_easy < 8
+    out_w = 8
+    grid = (q_pad // tile_q, n_tiles)
+    kernel = functools.partial(
+        _extract_candidates_kernel,
+        n_actual=n,
+        tile_n=tile_n,
+        metric=metric,
+        compute_dtype=compute_dtype,
+        n_easy=n_easy,
+        out_w=out_w,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_q, d_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_n, d_pad), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((out_w, tile_q), lambda i, j: (j, i)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * out_w, q_pad), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * n_pad * d_pad,
+            bytes_accessed=q_pad * d_pad * 4
+            + n_pad * d_pad * corpus.dtype.itemsize
+            + q_pad * n_tiles * out_w * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, c, cn)
+
+    out3 = out[:, :n_q].reshape(n_tiles, out_w, n_q)
+    cand_keys = jnp.transpose(out3[:, :n_easy], (2, 0, 1)).reshape(
+        n_q, n_tiles * n_easy
+    )
+    bound_keys = out3[:, n_easy].T
+    return cand_keys, bound_keys, tile_n
 
 
 def _max_only_kernel(
@@ -848,19 +1264,56 @@ def flat_topk(
     the faster exact path without an HBM blowup.
     """
     k = min(k, corpus.shape[0])
+    on_tpu = _backend() == "tpu"
     if use_pallas is None:
-        use_pallas = _backend() == "tpu"
+        use_pallas = on_tpu
     if k > 128:
         # the fused kernels unroll k extraction steps; for large k the
         # materialized reference path is both faster and safer on VMEM
         use_pallas = False
     if (
-        mode == "exact"
+        on_tpu
         and use_pallas
         and corpus_scale is None
+        and metric in ("dot", "l2")
+        and (mode == "fast" or jnp.dtype(compute_dtype) == jnp.float32)
+        and mode in ("exact", "fast")
+        and k <= 32
+        and corpus.shape[0] >= 65536
+    ):
+        # Two-stage regime: merge-free bf16 Pallas candidate extraction
+        # -> f32 refine -> residual proof with full-scan fallback.
+        # Returns results identical to the f32-HIGHEST scan over the
+        # given corpus at a fraction of its cost, never materializes
+        # anything Q*N-sized, and at this size the J = ceil(N/tile_n)
+        # corpus tiles yield J*n_easy >= 2*k_scan candidates (healthy
+        # proof margins). It also dominates the running-merge fast
+        # kernel (measured: 9.4 vs 13.2 ms at 1M), so "fast" requests
+        # land here too — they simply get exact results early.
+        return flat_topk_exact2_stream(
+            queries,
+            corpus,
+            k,
+            metric=metric,
+            k_scan=max(32, 2 * k),
+            tile_n=min(tile_n * 2, 2048),
+            tile_q=max(tile_q, 256),
+            n_easy=4,
+            interpret=not on_tpu,
+        )
+    if (
+        mode == "exact"
+        and on_tpu
+        and use_pallas
+        and corpus_scale is None
+        and metric in ("dot", "l2")
+        and jnp.dtype(compute_dtype) == jnp.float32
         and queries.shape[0] * corpus.shape[0] * 4
         <= exact_materialize_budget
     ):
+        # Materialized exact regime for corpora under the two-stage
+        # size gate: XLA's matmul+top_k beats the Pallas exact kernel
+        # when the (Q, N) score matrix fits the budget.
         return flat_topk_ref(
             queries, corpus, k, metric=metric, compute_dtype=compute_dtype
         )

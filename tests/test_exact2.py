@@ -1,0 +1,132 @@
+"""Two-stage exact search (bf16 prefilter -> f32 refine -> proof).
+
+The path must be indistinguishable from the full-precision scan
+(reference semantics: src/retrieval.py:102 FAISS flat search), including
+FAISS lower-index tie-breaking and the fallback when the residual proof
+fails.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from persian_rag_tpu.ops.flat_topk import flat_topk_exact2, flat_topk_ref
+
+from tests.test_flat_topk import numpy_exact_topk
+
+
+@pytest.mark.parametrize("metric", ["dot", "l2"])
+@pytest.mark.parametrize("n,d,q,k,m", [(5000, 64, 16, 10, 64),
+                                       (4099, 96, 9, 3, 32)])
+def test_exact2_matches_numpy(rng, metric, n, d, q, k, m):
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    want_s, want_i = numpy_exact_topk(queries, corpus, k, metric)
+    got_s, got_i = flat_topk_exact2(
+        jnp.asarray(queries), jnp.asarray(corpus), k, metric, m=m
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
+    np.testing.assert_allclose(np.asarray(got_s), want_s, rtol=1e-4, atol=1e-4)
+
+
+def test_exact2_duplicate_rows_tie_break_lower_id(rng):
+    d, k = 32, 8
+    base = rng.standard_normal((2000, d)).astype(np.float32)
+    # plant exact duplicates at scattered ids; ties must resolve low-id-first
+    base[777] = base[33]
+    base[1500] = base[33]
+    base[1999] = base[12]
+    queries = base[[33, 12]] + 0.0
+    got_s, got_i = flat_topk_exact2(
+        jnp.asarray(queries), jnp.asarray(base), k, "dot", m=64
+    )
+    want_s, want_i = flat_topk_ref(
+        jnp.asarray(queries), jnp.asarray(base), k, "dot"
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_exact2_proof_fallback_on_near_ties(rng):
+    """Adversarial corpus: thousands of rows within bf16 rounding of each
+    other force the residual proof to fail, exercising the full-scan
+    fallback — results must still match the exact reference."""
+    d, n, k, m = 64, 4000, 10, 32
+    direction = rng.standard_normal(d).astype(np.float32)
+    direction /= np.linalg.norm(direction)
+    corpus = direction[None, :] + 1e-6 * rng.standard_normal((n, d)).astype(
+        np.float32
+    )
+    queries = direction[None, :].repeat(4, axis=0).astype(np.float32)
+    got_s, got_i = flat_topk_exact2(
+        jnp.asarray(queries), jnp.asarray(corpus), k, "dot", m=m
+    )
+    # On ties this tight, f32 summation ORDER decides ranks, so the
+    # ground truth is the same-arithmetic reference scan (NumPy BLAS
+    # legitimately orders these near-ties differently).
+    want_s, want_i = flat_topk_ref(
+        jnp.asarray(queries), jnp.asarray(corpus), k, "dot"
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(got_s), np.asarray(want_s), rtol=1e-6, atol=1e-7
+    )
+    # sanity: the scenario really is within the proof's fallback regime
+    spread = float(np.asarray(got_s).max() - np.asarray(got_s).min())
+    assert spread < 1e-3
+
+
+@pytest.mark.parametrize("metric", ["dot", "l2"])
+def test_exact2_unnormalized_large_magnitude(rng, metric):
+    """The error bound scales with ||q||*max||c||; big-magnitude vectors
+    must not break exactness."""
+    n, d, q, k = 3000, 48, 8, 5
+    corpus = 100.0 * rng.standard_normal((n, d)).astype(np.float32)
+    queries = 50.0 * rng.standard_normal((q, d)).astype(np.float32)
+    want_s, want_i = numpy_exact_topk(queries, corpus, k, metric)
+    got_s, got_i = flat_topk_exact2(
+        jnp.asarray(queries), jnp.asarray(corpus), k, metric, m=64
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
+    np.testing.assert_allclose(np.asarray(got_s), want_s, rtol=1e-4)
+
+
+# -- streaming two-stage (Pallas prefilter) ---------------------------------
+
+from persian_rag_tpu.ops.flat_topk import flat_topk_exact2_stream
+
+
+@pytest.mark.parametrize("metric", ["dot", "l2"])
+@pytest.mark.parametrize("n,d,q,k,ks", [(5000, 64, 16, 10, 32),
+                                        (4097, 128, 8, 5, 16)])
+def test_exact2_stream_matches_numpy(rng, metric, n, d, q, k, ks):
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    want_s, want_i = numpy_exact_topk(queries, corpus, k, metric)
+    got_s, got_i = flat_topk_exact2_stream(
+        jnp.asarray(queries), jnp.asarray(corpus), k, metric,
+        k_scan=ks, tile_n=512, tile_q=8, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
+    np.testing.assert_allclose(np.asarray(got_s), want_s, rtol=1e-4, atol=1e-4)
+
+
+def test_exact2_stream_fallback_on_near_ties(rng):
+    d, n, k = 64, 4200, 10
+    direction = rng.standard_normal(d).astype(np.float32)
+    direction /= np.linalg.norm(direction)
+    corpus = direction[None, :] + 1e-6 * rng.standard_normal((n, d)).astype(
+        np.float32
+    )
+    queries = direction[None, :].repeat(3, axis=0).astype(np.float32)
+    got_s, got_i = flat_topk_exact2_stream(
+        jnp.asarray(queries), jnp.asarray(corpus), k, "dot",
+        k_scan=16, tile_n=512, tile_q=8, interpret=True,
+    )
+    want_s, want_i = flat_topk_ref(
+        jnp.asarray(queries), jnp.asarray(corpus), k, "dot"
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(got_s), np.asarray(want_s), rtol=1e-6, atol=1e-7
+    )
