@@ -17,6 +17,7 @@ import numpy as np
 from persian_rag_tpu.models.decoder import (
     DecoderConfig,
     LlamaDecoder,
+    cast_params,
     init_cache,
 )
 
@@ -55,7 +56,10 @@ class TextGenerator:
             params = self.model.init(
                 rng, jnp.zeros((1, 8), jnp.int32)
             )["params"]
-        self.params = params
+        # Serve weights in the compute dtype: flax init yields f32 params
+        # regardless of compute_dtype, and batch-1 decode is bound by the
+        # weight stream (f32 params = 2x the HBM bytes per step).
+        self.params = cast_params(params, config.compute_dtype)
         self._prefill_cache: Dict[int, object] = {}
         self._step = None
 

@@ -122,16 +122,20 @@ class DecoderAttention(nn.Module):
         else:
             new_cache = None
 
+        # Grouped-query attention WITHOUT materializing repeated K/V:
+        # query head h reads kv head h // groups (same mapping as
+        # jnp.repeat(k, groups, axis=2), which would stream 4x the KV
+        # cache per decode step). q: (B, S, KV, G, D) vs k: (B, L, KV, D).
         groups = c.num_heads // c.num_kv_heads
-        k = jnp.repeat(k, groups, axis=2)
-        v = jnp.repeat(v, groups, axis=2)
+        qg = q.reshape(b, s, c.num_kv_heads, groups, head_dim)
         scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
         ) / np.sqrt(head_dim)
-        scores = scores + attn_bias
+        # attn_bias is (B|1, 1, S, L); insert the group axis it broadcasts over
+        scores = scores + attn_bias[:, :, None]
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         ctx = jnp.einsum(
-            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+            "bhgqk,bkhd->bqhgd", probs, v, preferred_element_type=jnp.float32
         ).astype(x.dtype)
         out = nn.Dense(h, use_bias=False, name="o_proj")(
             ctx.reshape(b, s, c.num_heads * head_dim)
@@ -230,12 +234,33 @@ class LlamaDecoder(nn.Module):
                 new_cache["v"].append(updated[1])
         x = RMSNorm(c.rms_norm_eps, name="final_norm")(x)
         if c.tie_word_embeddings:
-            logits = embed.attend(x.astype(jnp.float32))
+            # f32 logits WITHOUT upcasting the (V, H) table: keep both
+            # operands in their stored dtype and accumulate in f32
+            # (embed.attend(x.astype(f32)) forces a full f32 read of the
+            # half-GB embedding every decode step when params are bf16).
+            logits = jax.lax.dot_general(
+                x,
+                embed.embedding,
+                dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         else:
             logits = nn.Dense(c.vocab_size, use_bias=False, name="lm_head")(x)
         if cache is not None:
             return logits, new_cache
         return logits
+
+
+def cast_params(params: Dict, dtype) -> Dict:
+    """Cast floating-point weight leaves to `dtype` (serving wants bf16:
+    batch-1 decode is HBM-bound on the weight stream, and f32 params
+    double it — measured 2x step latency on the 1B config)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        params,
+    )
 
 
 def init_cache(
