@@ -176,8 +176,11 @@ def bench_lexical(jax, jnp) -> None:
         f"{1 if index._buckets is None else len(index._buckets)})"
     )
 
+    # 512-query batches: the b-tiled sparse kernel scales with batch
+    # size (the old single-block grid stopped compiling past B~512), and
+    # serving throughput is what the BM25 config measures.
     queries = [" ".join(map(str, rng.zipf(1.3, size=8) % vocab_n))
-               for _ in range(64)]
+               for _ in range(512)]
     terms = [index._query_terms(q) for q in queries]
     qids, qvals = index._encode_queries(terms)
 
@@ -209,7 +212,7 @@ def bench_lexical(jax, jnp) -> None:
     # with the SAME term-slot shape: a changed slot count would trigger
     # a recompile, and identical values would hit the relay cache.
     queries2 = [" ".join(map(str, rng.zipf(1.3, size=8) % vocab_n))
-                for _ in range(64)]
+                for _ in range(512)]
     t0 = time.time()
     s, i = index.search(queries, K)
     warm_s = time.time() - t0  # includes compiles

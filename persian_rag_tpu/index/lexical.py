@@ -21,12 +21,14 @@ arrays -> one fused device kernel -> top-k ids.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re
 from collections import Counter
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,7 +61,9 @@ def sklearn_analyzer(text: str, ngram_range: Tuple[int, int] = (1, 2)) -> List[s
 class _Bucket:
     """One doc-length bucket: ELL arrays plus the row -> global-doc map."""
 
-    __slots__ = ("ids", "vals", "gids", "dev_ids", "dev_vals", "n_actual")
+    __slots__ = (
+        "ids", "vals", "gids", "dev_ids", "dev_vals", "dev_gids", "n_actual"
+    )
 
     def __init__(self, ids: np.ndarray, vals: np.ndarray, gids: np.ndarray):
         self.ids = ids
@@ -67,7 +71,42 @@ class _Bucket:
         self.gids = gids
         self.dev_ids = None
         self.dev_vals = None
+        self.dev_gids = None
         self.n_actual = ids.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=("kbs", "k", "use_pallas"))
+def _fused_bucket_topk(
+    bucket_ids,
+    bucket_vals,
+    bucket_gids,
+    qids,
+    qvals,
+    kbs: Tuple[int, ...],
+    k: int,
+    use_pallas,
+):
+    """All buckets' top-k plus the global merge in ONE device dispatch.
+
+    A host-side per-bucket loop pays a dispatch + readback round trip per
+    bucket (~tens of ms each over this environment's device relay), which
+    dominated bucketed lexical search latency. Here every bucket's fused
+    sparse_topk runs inside a single jit, candidate ids map to global doc
+    ids on device, and the merge reproduces the host np.lexsort tie order
+    (score desc, then lower global id) via a two-key lax.sort.
+    """
+    parts_s, parts_i = [], []
+    for ids, vals, gids, kb in zip(bucket_ids, bucket_vals, bucket_gids, kbs):
+        s, i = sparse_topk(ids, vals, qids, qvals, kb, use_pallas=use_pallas)
+        parts_s.append(s)
+        parts_i.append(gids[i])
+    cat_s = jnp.concatenate(parts_s, axis=1)
+    cat_i = jnp.concatenate(parts_i, axis=1).astype(jnp.int32)
+    _, gid_sorted, s_sorted = jax.lax.sort(
+        (-cat_s, cat_i, cat_s), dimension=1, num_keys=2
+    )
+    kk = min(k, cat_s.shape[1])
+    return s_sorted[:, :kk], gid_sorted[:, :kk]
 
 
 # ELL widths are lane-padded to multiples of 128 inside the kernel, so
@@ -150,6 +189,7 @@ class _EllIndex:
             else:
                 b.dev_ids = jnp.asarray(b.ids)
                 b.dev_vals = jnp.asarray(b.vals)
+                b.dev_gids = jnp.asarray(b.gids)
 
     def _set_ell_auto(self, ids: np.ndarray, vals: np.ndarray) -> None:
         """Bucket an already-filled (N, L) ELL (entries front-contiguous,
@@ -245,8 +285,23 @@ class _EllIndex:
                 use_pallas,
             )
         # Bucketed: per-bucket top-min(k, N_b) candidates, ids mapped to
-        # global docs, then a host merge (tiny: k * n_buckets per query)
-        # with the same lower-id-first tie order as the flat scan.
+        # global docs, merged with the same lower-id-first tie order as
+        # the flat scan. Single-chip runs ALL buckets and the merge in
+        # one jitted dispatch; the sharded path keeps per-bucket
+        # dispatches (each already merges across the mesh internally).
+        if self.mesh is None:
+            kbs = tuple(min(k, b.n_actual) for b in self._buckets)
+            s, i = _fused_bucket_topk(
+                tuple(b.dev_ids for b in self._buckets),
+                tuple(b.dev_vals for b in self._buckets),
+                tuple(b.dev_gids for b in self._buckets),
+                qids,
+                qvals,
+                kbs=kbs,
+                k=k,
+                use_pallas=use_pallas,
+            )
+            return np.asarray(s), np.asarray(i)
         parts_s, parts_i = [], []
         for b in self._buckets:
             kb = min(k, b.n_actual)

@@ -81,14 +81,16 @@ def sparse_scores_ref(
 
 
 def _score_tile(doc_ids, doc_vals, q_ids_ref, q_vals_ref, b, t):
-    """(B, TN) scores for one corpus tile.
+    """(B, TN) scores for one corpus tile, docs in TRANSPOSED ELL layout
+    ``doc_ids/doc_vals (L, TN)``.
 
-    fori_loop over query-term slots (not a Python unroll) so Mosaic
-    allocates the (B, TN, L) match intermediate once, keeping VMEM
-    footprint independent of T. Query slots are read from the ref with a
-    dynamic slice (Mosaic supports dynamic indexing on refs, not arrays).
+    With term slots on the sublane axis, L pads to a multiple of 8
+    instead of 128 (the doc-major layout wasted up to 2x VPU work and
+    VMEM on lane padding: L=64 -> 128). fori_loop over query-term slots
+    (not a Python unroll) so Mosaic allocates the (B, L, TN) match
+    intermediate once, keeping VMEM footprint independent of T.
     """
-    tn = doc_ids.shape[0]
+    tn = doc_ids.shape[1]
     q_ids = q_ids_ref[:]
     q_vals = q_vals_ref[:]
     slot = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
@@ -101,8 +103,8 @@ def _score_tile(doc_ids, doc_vals, q_ids_ref, q_vals_ref, b, t):
         sel = slot == ti
         qid = jnp.sum(jnp.where(sel, q_ids, 0), axis=1, keepdims=True)
         qval = jnp.sum(jnp.where(sel, q_vals, 0.0), axis=1, keepdims=True)
-        match = doc_ids[None, :, :] == qid[:, :, None]  # (B, TN, L)
-        contrib = jnp.sum(jnp.where(match, doc_vals[None, :, :], 0.0), axis=-1)
+        match = doc_ids[None, :, :] == qid[:, :, None]  # (B, L, TN)
+        contrib = jnp.sum(jnp.where(match, doc_vals[None, :, :], 0.0), axis=1)
         return scores + qval * contrib
 
     return jax.lax.fori_loop(0, t, body, jnp.zeros((b, tn), jnp.float32))
@@ -120,7 +122,7 @@ def _sparse_topk_kernel(
     n_actual: int,
     tile_n: int,
 ):
-    j = pl.program_id(0)
+    j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
@@ -145,19 +147,33 @@ def sparse_topk_pallas(
     q_ids: jnp.ndarray,
     q_vals: jnp.ndarray,
     k: int,
-    tile_n: int = 512,
+    tile_n: int = 2048,
+    tile_b: int = 8,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused lexical scores + top-k. Returns ((B, k) scores, (B, k) ids)."""
+    """Fused lexical scores + top-k. Returns ((B, k) scores, (B, k) ids).
+
+    Grid is (query tiles, corpus tiles): the per-tile match intermediate
+    is (tile_b, L, tile_n), so VMEM use is independent of the batch size
+    (the previous single-axis grid put the whole batch in one block and
+    stopped compiling around B~512). Docs stream in transposed ELL
+    (L, N) blocks; each query tile's running top-k stays resident across
+    the inner corpus-tile loop.
+    """
     n, el = doc_ids.shape
     b, t = q_ids.shape
     tile_n = min(tile_n, _round_up(n, 128))
     n_pad = _round_up(n, tile_n)
-    el_pad = _round_up(el, 128)
-    b_pad = _round_up(b, 8)
+    el_pad = _round_up(el, 8)
+    b_pad = _round_up(b, tile_b)
 
-    doc_ids_p = _pad_axis(_pad_axis(doc_ids, el_pad, 1, -1), n_pad, 0, -1)
-    doc_vals_p = _pad_axis(_pad_axis(doc_vals, el_pad, 1, 0.0), n_pad, 0, 0.0)
+    # transpose to (L, N): term slots ride sublanes (pad-8), docs lanes
+    doc_ids_t = _pad_axis(
+        _pad_axis(doc_ids, el_pad, 1, -1), n_pad, 0, -1
+    ).T
+    doc_vals_t = _pad_axis(
+        _pad_axis(doc_vals, el_pad, 1, 0.0), n_pad, 0, 0.0
+    ).T
     t_pad = _round_up(t, 8)
     q_ids_p = _pad_axis(_pad_axis(q_ids, t_pad, 1, -2), b_pad, 0, -2)
     q_vals_p = _pad_axis(_pad_axis(q_vals, t_pad, 1, 0.0), b_pad, 0, 0.0)
@@ -167,23 +183,29 @@ def sparse_topk_pallas(
     )
     out_s, out_i = pl.pallas_call(
         kernel,
-        grid=(n_pad // tile_n,),
+        grid=(b_pad // tile_b, n_pad // tile_n),
         in_specs=[
-            pl.BlockSpec((b_pad, t_pad), lambda j: (0, 0)),
-            pl.BlockSpec((b_pad, t_pad), lambda j: (0, 0)),
-            pl.BlockSpec((tile_n, el_pad), lambda j: (j, 0)),
-            pl.BlockSpec((tile_n, el_pad), lambda j: (j, 0)),
+            pl.BlockSpec((tile_b, t_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_b, t_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((el_pad, tile_n), lambda i, j: (0, j)),
+            pl.BlockSpec((el_pad, tile_n), lambda i, j: (0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((b_pad, k), lambda j: (0, 0)),
-            pl.BlockSpec((b_pad, k), lambda j: (0, 0)),
+            pl.BlockSpec((tile_b, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_b, k), lambda i, j: (i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
             jax.ShapeDtypeStruct((b_pad, k), jnp.int32),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * el_pad * t_pad,
+            bytes_accessed=(b_pad // tile_b) * n_pad * el_pad * 8
+            + b_pad * t_pad * 8,
+            transcendentals=0,
+        ),
         interpret=interpret,
-    )(q_ids_p, q_vals_p, doc_ids_p, doc_vals_p)
+    )(q_ids_p, q_vals_p, doc_ids_t, doc_vals_t)
     return out_s[:b], out_i[:b]
 
 
