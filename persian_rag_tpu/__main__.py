@@ -2,7 +2,13 @@
 
 Commands mirror the reference's phase scripts plus serve/bench:
   phase1 | phase2 | phase3 | phase4 | run-all | fast-test | status |
-  ui | bench
+  ui | serve | gen-serve | bench
+
+`gen-serve` is the stand-in for the reference's external llama.cpp
+server process (reference: src/llama_client.py:10 expects
+http://127.0.0.1:8080): it serves the JAX Llama-architecture decoder
+behind the same /completion + /v1/chat/completions HTTP contract, with
+request micro-batching through the batched device decode loop.
 """
 from __future__ import annotations
 
@@ -17,7 +23,7 @@ def main(argv=None) -> int:
         "command",
         choices=[
             "phase1", "phase2", "phase3", "phase4", "run-all",
-            "fast-test", "status", "ui", "serve", "bench",
+            "fast-test", "status", "ui", "serve", "gen-serve", "bench",
         ],
     )
     parser.add_argument("--config", default="config.yaml")
@@ -27,6 +33,13 @@ def main(argv=None) -> int:
     parser.add_argument("--mesh-data", type=int, default=1)
     parser.add_argument("--methods", default=None,
                         help="comma list for phase4 (bm25,tfidf,dense,hybrid)")
+    parser.add_argument("--port", type=int, default=None,
+                        help="port for serve (default 8200) / gen-serve "
+                             "(default 8080, the reference llama.cpp port)")
+    parser.add_argument("--checkpoint", default=None,
+                        help="gen-serve: HF LlamaForCausalLM checkpoint dir "
+                             "(torch .bin/.safetensors); omitted = random "
+                             "weights (smoke serving)")
     args = parser.parse_args(argv)
 
     from persian_rag_tpu.core.config import load_config
@@ -87,8 +100,73 @@ def main(argv=None) -> int:
         retriever.load_chunks_and_index(
             pd.read_csv(chunk_csv, encoding="utf-8").to_dict("records")
         )
-        server = RetrievalServer(retriever, port=8200).start()
+        server = RetrievalServer(retriever, port=args.port or 8200).start()
         print(f"retrieval API at {server.url} (POST /search, /rag)")
+        try:
+            server._thread.join()
+        except KeyboardInterrupt:
+            server.stop()
+        return 0
+    elif args.command == "gen-serve":
+        import os
+
+        import jax.numpy as jnp
+
+        from persian_rag_tpu.gen.generator import TextGenerator
+        from persian_rag_tpu.gen.local_server import LocalGenerationServer
+        from persian_rag_tpu.models.decoder import (
+            DecoderConfig,
+            params_from_llama,
+        )
+
+        params, tokenizer = None, None
+        if args.checkpoint:
+            from persian_rag_tpu.models.hf_loader import _read_state_dict
+            from persian_rag_tpu.models.tokenizer import HFTokenizer
+
+            with open(
+                os.path.join(args.checkpoint, "config.json"),
+                encoding="utf-8",
+            ) as f:
+                hf = json.load(f)
+            dec_config = DecoderConfig(
+                vocab_size=hf["vocab_size"],
+                hidden_size=hf["hidden_size"],
+                num_layers=hf["num_hidden_layers"],
+                num_heads=hf["num_attention_heads"],
+                num_kv_heads=hf.get(
+                    "num_key_value_heads", hf["num_attention_heads"]
+                ),
+                intermediate_size=hf["intermediate_size"],
+                max_position_embeddings=hf.get(
+                    "max_position_embeddings", 4096
+                ),
+                rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+                rope_theta=hf.get("rope_theta", 500_000.0),
+                tie_word_embeddings=hf.get("tie_word_embeddings", True),
+                compute_dtype=jnp.bfloat16,
+            )
+            params = params_from_llama(
+                _read_state_dict(args.checkpoint), dec_config
+            )
+            tok_path = os.path.join(args.checkpoint, "tokenizer.json")
+            if os.path.exists(tok_path):
+                tokenizer = HFTokenizer(tok_path)
+        elif args.tiny:
+            dec_config = DecoderConfig.tiny(compute_dtype=jnp.bfloat16)
+        else:
+            dec_config = DecoderConfig.llama32_1b(compute_dtype=jnp.bfloat16)
+        generator = TextGenerator(
+            dec_config, params=params, tokenizer=tokenizer, max_len=512
+        )
+        server = LocalGenerationServer(
+            generator, port=args.port or 8080
+        ).start()
+        print(
+            f"generation server at {server.url} "
+            f"(llama.cpp-compatible /completion, /v1/chat/completions; "
+            f"{'random weights — smoke only' if params is None else 'checkpoint loaded'})"
+        )
         try:
             server._thread.join()
         except KeyboardInterrupt:

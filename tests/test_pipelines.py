@@ -92,6 +92,43 @@ def test_phase4_full_rag_eval(config):
         json.load(f)  # valid JSON
 
 
+def test_phase4_full_rag_eval_with_jax_decoder(config):
+    """The COMPLETE reference stack in-process: retrieval + generation +
+    evaluation, with generation served by the real JAX decoder behind the
+    llama.cpp HTTP contract (reference runs an external llama.cpp process
+    at src/llama_client.py:10) instead of the canned fake backend."""
+    import jax.numpy as jnp
+
+    from persian_rag_tpu.gen.generator import TextGenerator
+    from persian_rag_tpu.gen.local_server import LocalGenerationServer
+    from persian_rag_tpu.models.decoder import DecoderConfig
+
+    phase3.main(config, tiny=True)  # produce chunks
+    gen = TextGenerator(
+        DecoderConfig.tiny(compute_dtype=jnp.bfloat16), max_len=96, seed=3
+    )
+    server = LocalGenerationServer(gen, max_batch=4).start()
+    try:
+        results = phase4.main(
+            config,
+            tiny=True,
+            methods=["bm25"],
+            test_data=synthetic_persian_qa(6, seed=11),
+            llama_client=LlamaClient(server.url),
+            sample_size=3,
+        )
+    finally:
+        server.stop()
+    res = results["word_bm25_results"]
+    assert res["bm25_num_samples"] == 3
+    # Retrieval must work regardless of generation quality. Random-weight
+    # generations may clean to empty answers (counted as failed, matching
+    # the reference's accounting), but every item must have completed a
+    # real HTTP round trip through the decoder server.
+    assert res["bm25_failed_retrievals"] == 0
+    assert res["bm25_avg_generation_time"] > 0.0
+
+
 def test_phase4_requires_chunks(config):
     with pytest.raises(FileNotFoundError):
         phase4.main(config, tiny=True, test_data=[{"question": "q", "answer": "a"}])
