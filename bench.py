@@ -384,17 +384,21 @@ def main() -> None:
         "TPU exact f32 (two-stage)", c32, 2, tile_q=256, tile_n=1024,
         mode="exact",
     )
-    # Upside config: bf16-resident corpus + packed-key top-k (the skip
-    # branch auto-disables at this tile_q — it stalls the pipeline).
+    # Upside config: bf16-RESIDENT corpus through the same two-stage
+    # dispatch (mode="fast" also lands there at this N/k) — exact over
+    # the stored bf16 values, so recall vs the f32 ground truth reflects
+    # the storage tier, not the kernel. The packed-key running-merge
+    # kernel no longer serves this regime; it remains the k=33..128 and
+    # sub-65536-corpus path (regression-swept by scripts/bench_kernel.py).
     c16 = jax.device_put(jnp.asarray(corpus).astype(jnp.bfloat16))
     fast_qps, fast_recall, fast_tf, fast_gb = run_config(
-        "TPU fast bf16",
+        "TPU bf16-resident (two-stage)",
         c16,
         2,
         tile_q=256,
         tile_n=2048,
         compute_dtype=jnp.bfloat16,
-        mode="fast",  # auto-drops the skip branch at tile_q=256
+        mode="fast",
     )
 
     # -- encoder throughput (docs/sec, BASELINE secondary metric) --------------

@@ -100,7 +100,7 @@ def main(argv=None) -> int:
         retriever.load_chunks_and_index(
             pd.read_csv(chunk_csv, encoding="utf-8").to_dict("records")
         )
-        server = RetrievalServer(retriever, port=args.port or 8200).start()
+        server = RetrievalServer(retriever, port=8200 if args.port is None else args.port).start()
         print(f"retrieval API at {server.url} (POST /search, /rag)")
         try:
             server._thread.join()
@@ -124,34 +124,28 @@ def main(argv=None) -> int:
             from persian_rag_tpu.models.hf_loader import _read_state_dict
             from persian_rag_tpu.models.tokenizer import HFTokenizer
 
+            tok_path = os.path.join(args.checkpoint, "tokenizer.json")
+            if not os.path.exists(tok_path):
+                # a real-weight server with the byte fallback tokenizer
+                # would emit garbage while looking healthy — refuse
+                print(
+                    f"error: {tok_path} not found; gen-serve needs the "
+                    "checkpoint's tokenizer.json (sentencepiece-only "
+                    "checkpoints: convert with transformers' "
+                    "convert_slow_tokenizer first)",
+                    file=sys.stderr,
+                )
+                return 2
+            tokenizer = HFTokenizer(tok_path)
             with open(
                 os.path.join(args.checkpoint, "config.json"),
                 encoding="utf-8",
             ) as f:
                 hf = json.load(f)
-            dec_config = DecoderConfig(
-                vocab_size=hf["vocab_size"],
-                hidden_size=hf["hidden_size"],
-                num_layers=hf["num_hidden_layers"],
-                num_heads=hf["num_attention_heads"],
-                num_kv_heads=hf.get(
-                    "num_key_value_heads", hf["num_attention_heads"]
-                ),
-                intermediate_size=hf["intermediate_size"],
-                max_position_embeddings=hf.get(
-                    "max_position_embeddings", 4096
-                ),
-                rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
-                rope_theta=hf.get("rope_theta", 500_000.0),
-                tie_word_embeddings=hf.get("tie_word_embeddings", True),
-                compute_dtype=jnp.bfloat16,
-            )
+            dec_config = DecoderConfig.from_hf(hf, compute_dtype=jnp.bfloat16)
             params = params_from_llama(
                 _read_state_dict(args.checkpoint), dec_config
             )
-            tok_path = os.path.join(args.checkpoint, "tokenizer.json")
-            if os.path.exists(tok_path):
-                tokenizer = HFTokenizer(tok_path)
         elif args.tiny:
             dec_config = DecoderConfig.tiny(compute_dtype=jnp.bfloat16)
         else:
@@ -160,7 +154,7 @@ def main(argv=None) -> int:
             dec_config, params=params, tokenizer=tokenizer, max_len=512
         )
         server = LocalGenerationServer(
-            generator, port=args.port or 8080
+            generator, port=8080 if args.port is None else args.port
         ).start()
         print(
             f"generation server at {server.url} "

@@ -104,6 +104,12 @@ class DenseIndex:
         self._device_corpus: Optional[jnp.ndarray] = None
         self._row_scales: Optional[jnp.ndarray] = None
         self._refine_corpus: Optional[jnp.ndarray] = None
+        # serving caches for the two-stage exact path: per-row ||c||^2
+        # and (f32 storage only) the bf16 stage-1 corpus image. Without
+        # them every bare search dispatch re-derives both from the full
+        # corpus — several times the search kernel's own HBM traffic.
+        self._sqnorms: Optional[jnp.ndarray] = None
+        self._stage1_bf16: Optional[jnp.ndarray] = None
         self._ntotal = 0
 
     # -- construction -------------------------------------------------------
@@ -147,6 +153,8 @@ class DenseIndex:
             corpus = _l2_normalize(corpus)
         self._pending.clear()
         self._ntotal = corpus.shape[0]
+        self._sqnorms = None
+        self._stage1_bf16 = None
         if self.storage_dtype == jnp.int8:
             absmax = np.abs(corpus).max(axis=1)
             scales = np.maximum(absmax / 127.0, 1e-12).astype(np.float32)
@@ -165,6 +173,14 @@ class DenseIndex:
             arr, _ = shard_corpus(arr, self.mesh)
         else:
             arr = jax.device_put(arr)
+            # two-stage serving caches, derived on device from the
+            # STORED values with the SAME expression the search path
+            # would otherwise evaluate per call (bit-identical csq keeps
+            # the l2 refine equal to the reference scan)
+            a32 = arr.astype(jnp.float32)
+            self._sqnorms = jnp.sum(a32 * a32, axis=-1)
+            if arr.dtype != jnp.bfloat16:
+                self._stage1_bf16 = arr.astype(jnp.bfloat16)
         self._device_corpus = arr
 
     # -- search -------------------------------------------------------------
@@ -232,7 +248,9 @@ class DenseIndex:
                 self._device_corpus,
                 k_scan,
                 metric=metric,
+                corpus_sqnorm=self._sqnorms,
                 corpus_scale=self._row_scales,
+                corpus_bf16=self._stage1_bf16,
                 use_pallas=self.use_pallas,
                 compute_dtype=compute,
                 mode=self.search_mode,
@@ -252,14 +270,16 @@ class DenseIndex:
         corpus: Optional[jnp.ndarray] = None,
         row_scales: Optional[jnp.ndarray] = None,
         refine_corpus: Optional[jnp.ndarray] = None,
+        sqnorms: Optional[jnp.ndarray] = None,
+        stage1_bf16: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Jittable single-chip search: no host transfers, traced queries OK.
 
         When called inside an outer jit, pass the corpus (and int8 row
-        scales / refine copy) explicitly as traced ARGUMENTS — closing
-        over multi-hundred-MB device constants inside a jit breaks remote
-        compilation paths and defeats donation. `fused_args()` supplies
-        them.
+        scales / refine copy / two-stage caches) explicitly as traced
+        ARGUMENTS — closing over multi-hundred-MB device constants inside
+        a jit breaks remote compilation paths and defeats donation.
+        `fused_args()` supplies them.
         """
         if self.mesh is not None:
             raise ValueError("search_device is single-chip; use search()")
@@ -269,6 +289,10 @@ class DenseIndex:
             row_scales = self._row_scales
         if refine_corpus is None:
             refine_corpus = self._refine_corpus
+        if sqnorms is None:
+            sqnorms = self._sqnorms
+        if stage1_bf16 is None:
+            stage1_bf16 = self._stage1_bf16
         if corpus is None:
             raise ValueError("index is empty; add() + commit() first")
         if self.metric == "cosine":
@@ -287,7 +311,9 @@ class DenseIndex:
             corpus,
             k_scan,
             metric=metric,
+            corpus_sqnorm=sqnorms,
             corpus_scale=row_scales,
+            corpus_bf16=stage1_bf16,
             use_pallas=self.use_pallas,
             compute_dtype=compute,
             mode=self.search_mode,
@@ -298,12 +324,25 @@ class DenseIndex:
 
     def fused_args(
         self,
-    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
-        """(corpus, row_scales, refine_corpus) device arrays to pass into
-        a jitted function that calls `search_device` with them."""
+    ) -> Tuple[
+        jnp.ndarray,
+        Optional[jnp.ndarray],
+        Optional[jnp.ndarray],
+        Optional[jnp.ndarray],
+        Optional[jnp.ndarray],
+    ]:
+        """(corpus, row_scales, refine_corpus, sqnorms, stage1_bf16)
+        device arrays to pass into a jitted function that calls
+        `search_device` with them."""
         if self._pending:
             self.commit()
-        return self._device_corpus, self._row_scales, self._refine_corpus
+        return (
+            self._device_corpus,
+            self._row_scales,
+            self._refine_corpus,
+            self._sqnorms,
+            self._stage1_bf16,
+        )
 
     # -- persistence --------------------------------------------------------
 

@@ -44,6 +44,27 @@ class DecoderConfig:
         return cls(**kw)  # defaults above are Llama-3.2-1B
 
     @classmethod
+    def from_hf(cls, cfg: Dict[str, Any], **kw) -> "DecoderConfig":
+        """Map an HF LlamaForCausalLM config.json dict (the checkpoint
+        format `params_from_llama` consumes) to a DecoderConfig."""
+        fields = dict(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=cfg["num_attention_heads"],
+            num_kv_heads=cfg.get(
+                "num_key_value_heads", cfg["num_attention_heads"]
+            ),
+            intermediate_size=cfg["intermediate_size"],
+            max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+            rope_theta=cfg.get("rope_theta", 500_000.0),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+        )
+        fields.update(kw)
+        return cls(**fields)
+
+    @classmethod
     def tiny(cls, **kw) -> "DecoderConfig":
         defaults = dict(
             vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,

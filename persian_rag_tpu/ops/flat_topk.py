@@ -306,6 +306,8 @@ def flat_topk_exact2_stream(
     tile_n: int = 2048,
     tile_q: int = 256,
     n_easy: int = 4,
+    corpus_sqnorm: Optional[jnp.ndarray] = None,
+    corpus_bf16: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming bit-exact top-k: merge-free bf16 Pallas candidate
@@ -334,7 +336,15 @@ def flat_topk_exact2_stream(
     with bump(v) = v + |v|*2^-11. If each query's refined kth score
     strictly exceeds that bound, no non-finalist can belong to the true
     top-k. The rare failing batch recomputes with the f32 exact path
-    inside lax.cond, so results always match flat_topk_ref / FAISS.
+    inside lax.cond, so the returned SET always matches flat_topk_ref /
+    FAISS. Ordering caveat: finalists are ranked by the f32-HIGHEST
+    refine contraction; if XLA lowers that einsum with a different
+    accumulation order than the reference's full (Q, N) matmul, two
+    finalists whose true scores agree to ~1 ulp could swap ranks
+    relative to the ref scan — exact ties are unaffected (both paths
+    tie-break by lower id via stable top_k). Every parity test to date
+    observes identical rounding; treat sub-ulp rank agreement as
+    empirical rather than proven.
     """
     n_q, d = queries.shape
     n = corpus.shape[0]
@@ -342,14 +352,24 @@ def flat_topk_exact2_stream(
 
     # Stage 1 computes in bf16 regardless, so stream a bf16 corpus image
     # through the kernel (halves per-tile VMEM residency and HBM
-    # traffic; XLA hoists the convert out of serving loops). l2's exact
-    # ||c||^2 comes from the f32 rows, not this image.
-    c16 = corpus if corpus.dtype == jnp.bfloat16 else corpus.astype(
-        jnp.bfloat16
-    )
-    csq = jnp.sum(
-        corpus.astype(jnp.float32) * corpus.astype(jnp.float32), axis=-1
-    )
+    # traffic). l2's exact ||c||^2 comes from the f32 rows, not this
+    # image. A bare dispatch recomputes the image and the csq reduction
+    # from the full corpus every call (~3x the kernel's own HBM traffic
+    # at 1M x 384) — serving callers should pass the precomputed
+    # corpus_bf16 / corpus_sqnorm that DenseIndex caches at commit();
+    # loop-style callers (bench's fori) get them hoisted by XLA anyway.
+    if corpus_bf16 is not None:
+        c16 = corpus_bf16
+    elif corpus.dtype == jnp.bfloat16:
+        c16 = corpus
+    else:
+        c16 = corpus.astype(jnp.bfloat16)
+    if corpus_sqnorm is not None:
+        csq = corpus_sqnorm.astype(jnp.float32)
+    else:
+        csq = jnp.sum(
+            corpus.astype(jnp.float32) * corpus.astype(jnp.float32), axis=-1
+        )
     cand_keys, bound_keys, tn = flat_topk_candidates(
         q32,
         c16,
@@ -1243,6 +1263,7 @@ def flat_topk(
     metric: str = "dot",
     corpus_sqnorm: Optional[jnp.ndarray] = None,
     corpus_scale: Optional[jnp.ndarray] = None,
+    corpus_bf16: Optional[jnp.ndarray] = None,
     use_pallas: Optional[bool] = None,
     tile_n: int = 1024,
     tile_q: int = 128,
@@ -1298,6 +1319,8 @@ def flat_topk(
             k_scan=max(32, 2 * k),
             tile_n=min(tile_n * 2, 2048),
             tile_q=max(tile_q, 256),
+            corpus_sqnorm=corpus_sqnorm,
+            corpus_bf16=corpus_bf16,
             n_easy=4,
             interpret=not on_tpu,
         )

@@ -162,9 +162,16 @@ def sparse_topk_pallas(
     """
     n, el = doc_ids.shape
     b, t = q_ids.shape
+    el_pad = _round_up(el, 8)
+    # Scale tile_n down as the ELL widens: the (tile_b, el_pad, tile_n)
+    # f32 match intermediate plus the two (el_pad, tile_n) doc blocks
+    # must fit scoped VMEM. Budget ~4MB for the intermediate: fine for
+    # BM25 (L<=128) at the 2048 default, but TF-IDF (1,2)-gram buckets
+    # reach L~1024 and would need 64MB per block without this cap.
+    budget = 4 * 1024 * 1024 // (tile_b * el_pad * 4)
+    tile_n = min(tile_n, max(128, (budget // 128) * 128))
     tile_n = min(tile_n, _round_up(n, 128))
     n_pad = _round_up(n, tile_n)
-    el_pad = _round_up(el, 8)
     b_pad = _round_up(b, tile_b)
 
     # transpose to (L, N): term slots ride sublanes (pad-8), docs lanes

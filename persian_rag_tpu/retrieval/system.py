@@ -274,7 +274,7 @@ class RetrievalSystem:
             encoder, head = enc.encoder, enc.head
 
             def step(params, input_ids, attention_mask, corpus, row_scales,
-                     refine_corpus):
+                     refine_corpus, sqnorms, stage1_bf16):
                 hidden = encoder.apply(
                     {"params": params["encoder"]}, input_ids, attention_mask
                 )
@@ -283,7 +283,8 @@ class RetrievalSystem:
                 )
                 return index.search_device(
                     emb, k, corpus=corpus, row_scales=row_scales,
-                    refine_corpus=refine_corpus,
+                    refine_corpus=refine_corpus, sqnorms=sqnorms,
+                    stage1_bf16=stage1_bf16,
                 )
 
             # None args are empty pytrees — jit handles them natively
@@ -302,11 +303,11 @@ class RetrievalSystem:
         ids, mask = enc.tokenizer.encode_batch(
             texts + [""] * pad, enc.max_seq_len
         )
-        corpus, scales, refine = self.dense_index.fused_args()
+        corpus, scales, refine, sqnorms, stage1 = self.dense_index.fused_args()
         fn = self._fused_dense_fn(min(top_k, self.dense_index.ntotal))
         scores, gids = fn(
             enc.params, jnp.asarray(ids), jnp.asarray(mask), corpus, scales,
-            refine,
+            refine, sqnorms, stage1,
         )
         return np.asarray(scores)[:real], np.asarray(gids)[:real]
 
