@@ -227,6 +227,58 @@ def bench_lexical(jax, jnp) -> None:
     )
 
 
+def bench_hybrid(jax, jnp) -> None:
+    """Hybrid fusion + rerank serving latency through RetrievalSystem
+    (BASELINE config: dense 0.6 / bm25 0.4 over-retrieve-2k fusion,
+    reference semantics src/retrieval.py:174-216). Small corpus — the
+    point is the per-batch serving cost of the fused multi-channel path,
+    not corpus-scale throughput (the flat/BM25 configs cover that)."""
+    from persian_rag_tpu.models.encoder import EncoderConfig
+    from persian_rag_tpu.models.sentence_encoder import SentenceEncoder
+    from persian_rag_tpu.models.tokenizer import HashTokenizer
+    from persian_rag_tpu.retrieval.system import RetrievalSystem
+
+    rng = np.random.default_rng(11)
+    n_docs = 20_000
+    chunks = [
+        {"id": i,
+         "text": " ".join(str(x) for x in rng.integers(0, 30_000, 12))}
+        for i in range(n_docs)
+    ]
+    emb = rng.standard_normal((n_docs, 384)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    config = EncoderConfig(
+        vocab_size=32_000, hidden_size=384, num_layers=12, num_heads=12,
+        intermediate_size=1536, max_position_embeddings=512,
+        compute_dtype=jnp.bfloat16,
+    )
+    encoder = SentenceEncoder(
+        config, tokenizer=HashTokenizer(32_000), max_seq_len=32
+    )
+    rs = RetrievalSystem(
+        method="hybrid", encoder=encoder, dense_metric="cosine"
+    )
+    rs.load_chunks_and_index(chunks, embeddings=emb)
+
+    def queries(seed):
+        r = np.random.default_rng(seed)
+        return [" ".join(str(x) for x in r.integers(0, 30_000, 8))
+                for _ in range(64)]
+
+    t0 = time.time()
+    rs.retrieve_hybrid_batch(queries(0), 10, rerank=True)
+    warm = time.time() - t0
+    t0 = time.time()
+    out = rs.retrieve_hybrid_batch(queries(1), 10, rerank=True)
+    dt = time.time() - t0
+    assert len(out) == 64 and len(out[0]) == 10
+    log(
+        f"hybrid+rerank serving N={n_docs}: {dt*1e3:.1f} ms / 64 q = "
+        f"{dt/64*1e3:.2f} ms/q ({64/dt:.0f} QPS; warm incl. compile "
+        f"{warm:.1f}s)"
+    )
+
+
 def bench_ivf(jax, jnp, corpus: np.ndarray) -> None:
     """Single-query latency: IVF nprobe scan vs flat full scan."""
     from persian_rag_tpu.index.ivf import IVFIndex, _ivf_search_step
@@ -433,6 +485,13 @@ def main() -> None:
             bench_lexical(jax, jnp)
         except Exception as e:
             log(f"lexical bench skipped: {e}")
+
+    # -- hybrid fusion + rerank serving ----------------------------------------
+    if os.environ.get("BENCH_HYBRID", "1") != "0":
+        try:
+            bench_hybrid(jax, jnp)
+        except Exception as e:
+            log(f"hybrid bench skipped: {e}")
 
     print(
         json.dumps(

@@ -346,6 +346,25 @@ class DenseIndex:
 
     # -- persistence --------------------------------------------------------
 
+    def rows(self, row_ids: np.ndarray) -> np.ndarray:
+        """Dequantized f32 copies of the given rows via ONE device gather
+        (vectors() downloads the whole corpus — ruinous for a rerank that
+        needs a few hundred rows out of a million)."""
+        if self._pending:
+            self.commit()
+        idx = jnp.asarray(np.asarray(row_ids, np.int32))
+        if self._refine_corpus is not None:
+            out = jnp.take(self._refine_corpus, idx, axis=0).astype(
+                jnp.float32
+            )
+        else:
+            out = jnp.take(self._device_corpus, idx, axis=0).astype(
+                jnp.float32
+            )
+            if self._row_scales is not None:
+                out = out * jnp.take(self._row_scales, idx)[:, None]
+        return np.asarray(out)
+
     def vectors(self) -> np.ndarray:
         """Host copy of the committed corpus as float32 (cosine:
         normalized form; bf16/int8 storage: the dequantized values)."""

@@ -129,6 +129,15 @@ class RetrievalSystem:
         else:
             self.chunks = list(chunk_file)
         texts = [str(c["text"]) for c in self.chunks]
+        # chunk id -> dense-index row, for the rerank fast path (only
+        # usable when ids are unique; positions and index rows coincide
+        # because the index is built from self.chunks in order)
+        ids_seen = [c.get("id") for c in self.chunks]
+        self._id_to_row = (
+            {cid: i for i, cid in enumerate(ids_seen)}
+            if None not in ids_seen and len(set(ids_seen)) == len(ids_seen)
+            else None
+        )
 
         if self.method in ("dense", "hybrid"):
             if embeddings is not None:
@@ -357,6 +366,29 @@ class RetrievalSystem:
     def retrieve_tfidf_batch(self, queries, top_k: int = 10):
         return self._lexical_batch(self.tfidf_index, queries, top_k)
 
+    def _candidate_embeddings(
+        self, candidates: List[List[Result]], flat_texts: List[str]
+    ) -> np.ndarray:
+        """Embeddings for rerank candidates, flattened in span order.
+
+        Fast path: gather the candidates' STORED vectors from the dense
+        index in one device dispatch — they were produced by the same
+        encoder at build time, and re-encoding hundreds of candidate
+        texts per batch costs dozens of encoder dispatches (measured to
+        dominate hybrid+rerank latency). Falls back to re-encoding when
+        there is no dense index, chunk ids are not unique, or a
+        candidate id is unknown (e.g. caller-supplied chunks)."""
+        id_map = getattr(self, "_id_to_row", None)
+        if self.dense_index is not None and id_map is not None:
+            rows = [
+                id_map.get(c.get("id"))
+                for cands in candidates
+                for c, _ in cands
+            ]
+            if None not in rows:
+                return self.dense_index.rows(np.asarray(rows, np.int64))
+        return self.embedding_model.encode(flat_texts)
+
     def rerank_batch(
         self, queries: Sequence[str], candidates: List[List[Result]]
     ) -> List[List[Result]]:
@@ -376,7 +408,7 @@ class RetrievalSystem:
         if not flat_texts:
             return candidates
         q_emb = self._encode_queries(queries)
-        c_emb = self.embedding_model.encode(flat_texts)
+        c_emb = self._candidate_embeddings(candidates, flat_texts)
         out: List[List[Result]] = []
         for qi, (start, end) in enumerate(spans):
             if start == end:

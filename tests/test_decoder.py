@@ -271,3 +271,30 @@ def test_local_server_microbatches_concurrent_requests():
             timeout=120,
         ).json()
         assert results[2]["content"] == single["content"]
+
+
+def test_decoder_config_from_hf_maps_llama_fields():
+    """from_hf consumes the HF LlamaForCausalLM config.json schema (the
+    format gen-serve --checkpoint loads; reference fine-tunes exactly
+    this architecture in its notebook)."""
+    from persian_rag_tpu.models.decoder import DecoderConfig
+
+    hf = {
+        "vocab_size": 128_256,
+        "hidden_size": 2048,
+        "num_hidden_layers": 16,
+        "num_attention_heads": 32,
+        "num_key_value_heads": 8,
+        "intermediate_size": 8192,
+        "max_position_embeddings": 131_072,
+        "rms_norm_eps": 1e-5,
+        "rope_theta": 500_000.0,
+        "tie_word_embeddings": True,
+    }
+    cfg = DecoderConfig.from_hf(hf, compute_dtype=jnp.bfloat16)
+    assert cfg.num_layers == 16 and cfg.num_kv_heads == 8
+    assert cfg.compute_dtype == jnp.bfloat16
+    # GQA fallback: no num_key_value_heads -> MHA
+    hf2 = dict(hf)
+    del hf2["num_key_value_heads"]
+    assert DecoderConfig.from_hf(hf2).num_kv_heads == 32
