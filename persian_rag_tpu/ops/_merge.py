@@ -25,14 +25,49 @@ def merge_topk(
     """
     rows, width = cand_s.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
-    new_s = []
-    new_i = []
-    for _ in range(k):
-        best = jnp.max(cand_s, axis=1, keepdims=True)
-        am = jnp.argmax(cand_s, axis=1)[:, None]
+    if k <= 32:
+        # unrolled extraction: fastest on the VPU for the common small-k
+        # serving path
+        new_s = []
+        new_i = []
+        for _ in range(k):
+            best = jnp.max(cand_s, axis=1, keepdims=True)
+            am = jnp.argmax(cand_s, axis=1)[:, None]
+            onehot = pos == am
+            chosen = jnp.sum(
+                jnp.where(onehot, cand_i, 0), axis=1, keepdims=True
+            )
+            new_s.append(best)
+            new_i.append(chosen)
+            cand_s = jnp.where(onehot, NEG_INF, cand_s)
+        return jnp.concatenate(new_s, axis=1), jnp.concatenate(new_i, axis=1)
+
+    # Large k (the int8 tier's over-retrieve runs k_scan~100): the
+    # unroll keeps ~k live (rows, width) copies on the Mosaic VMEM stack
+    # and overflows the 16MB scoped limit; a fori_loop with carried
+    # buffers keeps the stack flat at identical per-step semantics
+    # (argmax first-occurrence = lower candidate position on ties).
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1)
+
+    def body(t, carry):
+        cs, out_s, out_i = carry
+        best = jnp.max(cs, axis=1, keepdims=True)
+        am = jnp.argmax(cs, axis=1)[:, None]
         onehot = pos == am
         chosen = jnp.sum(jnp.where(onehot, cand_i, 0), axis=1, keepdims=True)
-        new_s.append(best)
-        new_i.append(chosen)
-        cand_s = jnp.where(onehot, NEG_INF, cand_s)
-    return jnp.concatenate(new_s, axis=1), jnp.concatenate(new_i, axis=1)
+        write = kpos == t
+        out_s = jnp.where(write, best, out_s)
+        out_i = jnp.where(write, chosen, out_i)
+        return jnp.where(onehot, NEG_INF, cs), out_s, out_i
+
+    _, out_s, out_i = jax.lax.fori_loop(
+        0,
+        k,
+        body,
+        (
+            cand_s,
+            jnp.full((rows, k), NEG_INF, cand_s.dtype),
+            jnp.full((rows, k), -1, cand_i.dtype),
+        ),
+    )
+    return out_s, out_i

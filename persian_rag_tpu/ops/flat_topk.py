@@ -1341,6 +1341,14 @@ def flat_topk(
             queries, corpus, k, metric=metric, compute_dtype=compute_dtype
         )
     if use_pallas:
+        if k > 32:
+            # Large-k merges hold more live (tile_q, tile_n)/(tile_q, k)
+            # copies on the kernel VMEM stack; measured: the int8 tier's
+            # k_scan=100 over-retrieve at tile_n=1024 exceeds the 16MB
+            # scoped limit by ~3MB at 1M rows. Halving the tiles keeps
+            # every current regime comfortably under it.
+            tile_n = min(tile_n, 512)
+            tile_q = min(tile_q, 128)
         return _flat_topk_pallas_jit(
             queries,
             corpus,
