@@ -29,7 +29,10 @@ import functools
 
 from persian_rag_tpu.index import faiss_io
 from persian_rag_tpu.ops._merge import NEG_INF
-from persian_rag_tpu.ops.flat_topk import flat_topk
+from persian_rag_tpu.ops.flat_topk import (
+    flat_topk,
+    flat_topk_scaled_candidates,
+)
 from persian_rag_tpu.parallel.sharded_search import shard_corpus, sharded_flat_topk
 
 _METRICS = ("l2", "ip", "cosine")
@@ -243,20 +246,36 @@ class DenseIndex:
                 k_scan = min(
                     max(refine_k or max(10 * k, 100), k), self._ntotal
                 )
-            scores, ids = flat_topk(
-                q,
-                self._device_corpus,
-                k_scan,
-                metric=metric,
-                corpus_sqnorm=self._sqnorms,
-                corpus_scale=self._row_scales,
-                corpus_bf16=self._stage1_bf16,
-                use_pallas=self.use_pallas,
-                compute_dtype=compute,
-                mode=self.search_mode,
-            )
-            if refine:
-                scores, ids = _refine_topk(q, self._refine_corpus, ids, k)
+            if (
+                refine
+                and metric == "dot"
+                and self._ntotal >= 65536
+                and jax.default_backend() == "tpu"
+            ):
+                # int8 fast path: merge-free candidate selection + exact
+                # refine (the running-merge kernel's k_scan~100
+                # over-retrieve is an order of magnitude slower)
+                cand = flat_topk_scaled_candidates(
+                    q, self._device_corpus, self._row_scales, k_scan
+                )
+                scores, ids = _refine_topk(q, self._refine_corpus, cand, k)
+            else:
+                scores, ids = flat_topk(
+                    q,
+                    self._device_corpus,
+                    k_scan,
+                    metric=metric,
+                    corpus_sqnorm=self._sqnorms,
+                    corpus_scale=self._row_scales,
+                    corpus_bf16=self._stage1_bf16,
+                    use_pallas=self.use_pallas,
+                    compute_dtype=compute,
+                    mode=self.search_mode,
+                )
+                if refine:
+                    scores, ids = _refine_topk(
+                        q, self._refine_corpus, ids, k
+                    )
         scores = np.asarray(scores)
         ids = np.asarray(ids)
         if squeeze:
@@ -306,6 +325,16 @@ class DenseIndex:
         k = min(k, self._ntotal)
         k_scan = min(max(10 * k, 100), self._ntotal) if refine else k
         queries = queries.astype(jnp.float32)
+        if (
+            refine
+            and metric == "dot"
+            and self._ntotal >= 65536
+            and jax.default_backend() == "tpu"
+        ):
+            cand = flat_topk_scaled_candidates(
+                queries, corpus, row_scales, k_scan
+            )
+            return _refine_topk(queries, refine_corpus, cand, k)
         scores, ids = flat_topk(
             queries,
             corpus,

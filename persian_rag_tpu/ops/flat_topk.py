@@ -971,6 +971,7 @@ def flat_topk_candidates(
     corpus: jnp.ndarray,
     metric: str = "dot",
     corpus_sqnorm: Optional[jnp.ndarray] = None,
+    corpus_scale: Optional[jnp.ndarray] = None,
     tile_n: int = 2048,
     tile_q: int = 256,
     compute_dtype: jnp.dtype = jnp.bfloat16,
@@ -1006,6 +1007,10 @@ def flat_topk_candidates(
                 axis=-1,
             )
         cn = _pad_to(corpus_sqnorm.astype(jnp.float32)[None, :], n_pad, 1)
+    elif corpus_scale is not None:
+        # int8 storage: fold per-row dequant scales into the tile scores
+        assert metric == "dot", metric
+        cn = _pad_to(corpus_scale.astype(jnp.float32)[None, :], n_pad, 1)
     else:
         cn = jnp.zeros((1, n_pad), jnp.float32)
 
@@ -1021,6 +1026,7 @@ def flat_topk_candidates(
         compute_dtype=compute_dtype,
         n_easy=n_easy,
         out_w=out_w,
+        row_scaled=corpus_scale is not None,
     )
     out = pl.pallas_call(
         kernel,
@@ -1048,6 +1054,51 @@ def flat_topk_candidates(
     )
     bound_keys = out3[:, n_easy].T
     return cand_keys, bound_keys, tile_n
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_scan", "tile_n", "tile_q", "n_easy", "interpret"),
+)
+def flat_topk_scaled_candidates(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    corpus_scale: jnp.ndarray,
+    k_scan: int,
+    tile_n: int = 2048,
+    tile_q: int = 256,
+    n_easy: int = 7,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Candidate-id selection over a row-scaled (int8) corpus: ONE
+    merge-free streamed pass + one small XLA top_k. Returns (Q, k_scan)
+    ids (-1 padded).
+
+    This is the int8 tier's stage-1: the running-merge kernel at its
+    k_scan~100 over-retrieve pays an O(k_scan) per-tile op storm (and
+    needed the slow fori merge to even fit VMEM). Selection here is
+    capped at n_easy candidates per (query, corpus tile); a true
+    candidate is lost only when >= n_easy rows of the SAME tile beat it
+    on int8 score — negligible for k<<k_scan on non-adversarial data,
+    and the exact refine step re-orders whatever is selected. Callers
+    needing the exact int8-score ordering (refine disabled) must use the
+    running-merge kernel instead.
+    """
+    q32 = queries.astype(jnp.float32)
+    cand_keys, _, tn = flat_topk_candidates(
+        q32,
+        corpus,
+        metric="dot",
+        corpus_scale=corpus_scale,
+        tile_n=tile_n,
+        tile_q=tile_q,
+        n_easy=n_easy,
+        interpret=interpret,
+    )
+    k_scan = min(k_scan, cand_keys.shape[1])
+    top_keys, pos = jax.lax.top_k(cand_keys, k_scan)
+    ids = (pos // n_easy) * tn + (tn - 1 - (top_keys & _COL_MASK))
+    return jnp.where(top_keys == _INT_MIN, -1, ids)
 
 
 def _max_only_kernel(

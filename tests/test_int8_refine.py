@@ -129,3 +129,39 @@ def test_int8_recommit_preserves_precision(rng):
     index.commit()
     both = np.concatenate([a, b])
     np.testing.assert_allclose(index.vectors(), both, rtol=1e-6, atol=1e-6)
+
+
+def test_scaled_candidates_contain_true_topk(rng):
+    """flat_topk_scaled_candidates (the int8 tier's merge-free stage-1)
+    must surface every true top-k row for isotropic data so the exact
+    refine can reproduce the full-precision ranking."""
+    import jax.numpy as jnp
+
+    from persian_rag_tpu.ops.flat_topk import flat_topk_scaled_candidates
+
+    n, d, q, k = 6000, 48, 8, 10
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    scales = np.maximum(np.abs(corpus).max(axis=1) / 127.0, 1e-12)
+    values = np.clip(
+        np.rint(corpus / scales[:, None]), -127, 127
+    ).astype(np.int8)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+
+    cand = np.asarray(
+        flat_topk_scaled_candidates(
+            jnp.asarray(queries),
+            jnp.asarray(values),
+            jnp.asarray(scales.astype(np.float32)),
+            k_scan=64,
+            tile_n=512,
+            tile_q=8,
+            interpret=True,
+        )
+    )
+    # ground truth over the DEQUANTIZED values (what stage-1 ranks)
+    deq = values.astype(np.float32) * scales[:, None]
+    want = np.argsort(-(queries @ deq.T), axis=1)[:, :k]
+    for r in range(q):
+        missing = set(want[r]) - set(cand[r].tolist())
+        assert not missing, (r, missing)
