@@ -246,12 +246,7 @@ class DenseIndex:
                 k_scan = min(
                     max(refine_k or max(10 * k, 100), k), self._ntotal
                 )
-            if (
-                refine
-                and metric == "dot"
-                and self._ntotal >= 65536
-                and jax.default_backend() == "tpu"
-            ):
+            if self._int8_candidates_ok(refine, metric):
                 # int8 fast path: merge-free candidate selection + exact
                 # refine (the running-merge kernel's k_scan~100
                 # over-retrieve is an order of magnitude slower)
@@ -281,6 +276,18 @@ class DenseIndex:
         if squeeze:
             return scores[0], ids[0]
         return scores, ids
+
+    def _int8_candidates_ok(self, refine: bool, metric: str) -> bool:
+        """Whether the int8 tier's stage-1 can use merge-free candidate
+        selection: refine must re-rank (it fixes selection's per-tile
+        cap), and the corpus must be big enough to yield ample
+        candidates (J*n_easy >> k_scan)."""
+        return (
+            refine
+            and metric == "dot"
+            and self._ntotal >= 65536
+            and jax.default_backend() == "tpu"
+        )
 
     def search_device(
         self,
@@ -325,12 +332,7 @@ class DenseIndex:
         k = min(k, self._ntotal)
         k_scan = min(max(10 * k, 100), self._ntotal) if refine else k
         queries = queries.astype(jnp.float32)
-        if (
-            refine
-            and metric == "dot"
-            and self._ntotal >= 65536
-            and jax.default_backend() == "tpu"
-        ):
+        if self._int8_candidates_ok(refine, metric):
             cand = flat_topk_scaled_candidates(
                 queries, corpus, row_scales, k_scan
             )

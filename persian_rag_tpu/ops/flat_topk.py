@@ -190,6 +190,38 @@ def _bf16_matmul_eps(d: int) -> float:
     return (2.0 ** -8 + 2.0 ** -18 + (d - 1) * 2.0 ** -24) * 1.25
 
 
+def _exact_refine(q32, corpus, cand, csq, metric, k):
+    """f32-HIGHEST re-score of candidate rows and top-k, shared by both
+    two-stage variants. cand is (Q, m) ids, id-ascending per row so
+    lax.top_k's stability gives FAISS lower-id tie order; -1 = pad.
+    Returns scores in MAXIMIZE space (dot, or 2 q.c - ||c||^2 for l2)."""
+    safe = jnp.maximum(cand, 0)
+    rows = jnp.take(corpus, safe, axis=0).astype(jnp.float32)
+    s_ref = jnp.einsum(
+        "qd,qmd->qm",
+        q32,
+        rows,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    s_refm = 2.0 * s_ref - jnp.take(csq, safe) if metric == "l2" else s_ref
+    s_refm = jnp.where(cand >= 0, s_refm, NEG_INF)
+    top_s, pos = jax.lax.top_k(s_refm, k)
+    return top_s, jnp.take_along_axis(cand, pos, axis=1).astype(jnp.int32)
+
+
+def _proof_eps(q32, csq, metric):
+    """Per-query rigorous bound on |bf16 stage-1 score - true score|."""
+    err_factor = 2.0 if metric == "l2" else 1.0
+    q_norm = jnp.sqrt(jnp.sum(q32 * q32, axis=-1))
+    return (
+        err_factor
+        * _bf16_matmul_eps(q32.shape[1])
+        * q_norm
+        * jnp.sqrt(jnp.max(csq))
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric", "m"))
 def flat_topk_exact2(
     queries: jnp.ndarray,
@@ -221,7 +253,6 @@ def flat_topk_exact2(
     Replaces the f32-HIGHEST full matmul (3x bf16 MXU passes over all
     N rows) with one bf16 pass plus O(Q*m*d) refine work.
     """
-    n_q, d = queries.shape
     n = corpus.shape[0]
     assert k <= m < n, (k, m, n)
     q32 = queries.astype(jnp.float32)
@@ -240,10 +271,8 @@ def flat_topk_exact2(
     if metric == "l2":
         # maximize s = 2 q.c - ||c||^2; only the matmul term is inexact
         s16m = 2.0 * s16 - csq[None, :]
-        err_factor = 2.0
     elif metric == "dot":
         s16m = s16
-        err_factor = 1.0
     else:
         raise ValueError(f"unknown metric: {metric}")
 
@@ -252,22 +281,10 @@ def flat_topk_exact2(
     cand = jnp.sort(cand_idx[:, :m], axis=1)
 
     # Stage 2: exact re-score of the m candidate rows per query.
-    rows = jnp.take(corpus, cand, axis=0).astype(jnp.float32)  # (Q, m, d)
-    s_ref = jnp.einsum(
-        "qd,qmd->qm",
-        q32,
-        rows,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    s_refm = 2.0 * s_ref - jnp.take(csq, cand) if metric == "l2" else s_ref
-    top_s, pos = jax.lax.top_k(s_refm, k)
-    top_i = jnp.take_along_axis(cand, pos, axis=1).astype(jnp.int32)
+    top_s, top_i = _exact_refine(q32, corpus, cand, csq, metric, k)
 
     # Residual proof (per query, then all-reduce over the batch).
-    q_norm = jnp.sqrt(jnp.sum(q32 * q32, axis=-1))
-    max_c_norm = jnp.sqrt(jnp.max(csq))
-    eps = err_factor * _bf16_matmul_eps(d) * q_norm * max_c_norm
+    eps = _proof_eps(q32, csq, metric)
     ok = jnp.all(top_s[:, k - 1] > bound16 + eps)
 
     def _refined(_):
@@ -383,7 +400,6 @@ def flat_topk_exact2_stream(
     )
     k_scan = min(k_scan, cand_keys.shape[1])
     assert k <= k_scan, (k, k_scan, cand_keys.shape)
-    err_factor = 2.0 if metric == "l2" else 1.0
 
     top_keys, pos = jax.lax.top_k(cand_keys, k_scan)
     ids = (pos // n_easy) * tn + (tn - 1 - (top_keys & _COL_MASK))
@@ -398,28 +414,9 @@ def flat_topk_exact2_stream(
     bound_val = bound_val + jnp.abs(bound_val) * 2.0 ** -11
 
     cand = jnp.sort(ids, axis=1)  # -1 sentinels first, then id-ascending
-    rows = jnp.take(corpus, jnp.maximum(cand, 0), axis=0).astype(
-        jnp.float32
-    )
-    s_ref = jnp.einsum(
-        "qd,qmd->qm",
-        q32,
-        rows,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    s_refm = (
-        2.0 * s_ref - jnp.take(csq, jnp.maximum(cand, 0))
-        if metric == "l2"
-        else s_ref
-    )
-    s_refm = jnp.where(cand >= 0, s_refm, NEG_INF)
-    top_s, pos2 = jax.lax.top_k(s_refm, k)
-    top_i = jnp.take_along_axis(cand, pos2, axis=1).astype(jnp.int32)
+    top_s, top_i = _exact_refine(q32, corpus, cand, csq, metric, k)
 
-    q_norm = jnp.sqrt(jnp.sum(q32 * q32, axis=-1))
-    max_c_norm = jnp.sqrt(jnp.max(csq))
-    eps = err_factor * _bf16_matmul_eps(d) * q_norm * max_c_norm
+    eps = _proof_eps(q32, csq, metric)
     ok = jnp.all(top_s[:, k - 1] > bound_val + eps)
 
     def _refined(_):
@@ -1334,6 +1331,11 @@ def flat_topk(
     fits `exact_materialize_budget` and streams through the Pallas
     kernel otherwise (large N or large batches), so callers always get
     the faster exact path without an HBM blowup.
+
+    corpus_sqnorm / corpus_bf16 are optional serving caches consumed by
+    the two-stage regime only (corpus_sqnorm also by the Pallas l2
+    kernels); other regimes derive what they need from `corpus` and
+    silently ignore corpus_bf16.
     """
     k = min(k, corpus.shape[0])
     on_tpu = _backend() == "tpu"
