@@ -130,3 +130,41 @@ def test_exact2_stream_fallback_on_near_ties(rng):
     np.testing.assert_allclose(
         np.asarray(got_s), np.asarray(want_s), rtol=1e-6, atol=1e-7
     )
+
+
+def test_flat_topk_dispatches_two_stage_on_tpu(monkeypatch):
+    """Regime gate: on TPU, exact/fast searches with k<=32 over corpora
+    >=65536 rows must route through the two-stage path; small corpora
+    must not (materialized XLA wins there). Guarded by monkeypatching
+    the backend probe — the real kernels never run here."""
+    import importlib
+
+    # `import persian_rag_tpu.ops.flat_topk as ft` resolves to the
+    # FUNCTION (the ops package re-exports it under the same name)
+    ft = importlib.import_module("persian_rag_tpu.ops.flat_topk")
+
+    calls = []
+    monkeypatch.setattr(ft, "_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        ft,
+        "flat_topk_exact2_stream",
+        lambda *a, **kw: calls.append(kw) or ("TS", "TS"),
+    )
+    monkeypatch.setattr(
+        ft, "flat_topk_ref", lambda *a, **kw: ("REF", "REF")
+    )
+    q = jnp.zeros((4, 16), jnp.float32)
+
+    big = jnp.zeros((65536, 16), jnp.float32)
+    assert ft.flat_topk(q, big, 10, metric="dot")[0] == "TS"
+    assert ft.flat_topk(q, big, 10, metric="l2", mode="fast",
+                        compute_dtype=jnp.bfloat16)[0] == "TS"
+    assert len(calls) == 2 and all(kw["n_easy"] == 4 for kw in calls)
+
+    small = jnp.zeros((4096, 16), jnp.float32)
+    assert ft.flat_topk(q, small, 10, metric="dot")[0] == "REF"
+    # k above the gate cannot use the two-stage path
+    calls.clear()
+    ft.flat_topk(q, big, 64, metric="dot", mode="fast",
+                 compute_dtype=jnp.bfloat16, use_pallas=False)
+    assert not calls
