@@ -109,9 +109,11 @@ def _fused_bucket_topk(
     return s_sorted[:, :kk], gid_sorted[:, :kk]
 
 
-# ELL widths are lane-padded to multiples of 128 inside the kernel, so
-# bucket boundaries below 128 buy nothing; widths double from there.
-_BUCKET_BASE = 128
+# The kernel streams ELL transposed (term slots on the 8-sublane axis),
+# so bucket widths need only be multiples of 8 — fine-grained buckets
+# directly cut VPU match work for short docs (the old doc-major layout
+# lane-padded L to 128, which made boundaries below 128 worthless).
+_BUCKET_BASE = 16
 
 
 def _bucket_width(length: int) -> int:
@@ -139,6 +141,7 @@ class _EllIndex:
         self._dev_vals: Optional[jnp.ndarray] = None
         self._buckets: Optional[List[_Bucket]] = None
         self._n = 0
+        self._mesh_fused_cache: Dict = {}
 
     @property
     def ntotal(self) -> int:
@@ -189,7 +192,7 @@ class _EllIndex:
             else:
                 b.dev_ids = jnp.asarray(b.ids)
                 b.dev_vals = jnp.asarray(b.vals)
-                b.dev_gids = jnp.asarray(b.gids)
+            b.dev_gids = jnp.asarray(b.gids)
 
     def _set_ell_auto(self, ids: np.ndarray, vals: np.ndarray) -> None:
         """Bucket an already-filled (N, L) ELL (entries front-contiguous,
@@ -219,12 +222,18 @@ class _EllIndex:
             self._set_ell(ids, vals)
             return
         buckets: List[_Bucket] = []
+        # clamp the top bucket to the corpus-wide max length (same rule
+        # as _set_ell_auto applies to the native builder's ELL, keeping
+        # both build paths' bucket layouts identical)
+        global_max = max(max(1, len(d)) for d in per_doc)
         for w in widths:
             sel = [
                 di for di, d in enumerate(per_doc)
                 if _bucket_width(max(1, len(d))) == w
             ]
-            ids, vals = self._fill_ell([per_doc[di] for di in sel], w)
+            ids, vals = self._fill_ell(
+                [per_doc[di] for di in sel], min(w, global_max)
+            )
             buckets.append(_Bucket(ids, vals, np.asarray(sel, np.int32)))
         self._set_buckets(buckets, n)
 
@@ -286,9 +295,10 @@ class _EllIndex:
             )
         # Bucketed: per-bucket top-min(k, N_b) candidates, ids mapped to
         # global docs, merged with the same lower-id-first tie order as
-        # the flat scan. Single-chip runs ALL buckets and the merge in
-        # one jitted dispatch; the sharded path keeps per-bucket
-        # dispatches (each already merges across the mesh internally).
+        # the flat scan — ALL buckets and the merge in one jitted
+        # dispatch on both the single-chip and mesh paths (a host-side
+        # per-bucket loop pays a dispatch + readback round trip per
+        # bucket).
         if self.mesh is None:
             kbs = tuple(min(k, b.n_actual) for b in self._buckets)
             s, i = _fused_bucket_topk(
@@ -302,24 +312,54 @@ class _EllIndex:
                 use_pallas=use_pallas,
             )
             return np.asarray(s), np.asarray(i)
-        parts_s, parts_i = [], []
-        for b in self._buckets:
-            kb = min(k, b.n_actual)
-            s, i = self._topk_one_ell(
-                b.dev_ids, b.dev_vals, qids, qvals, kb, b.n_actual,
-                use_pallas,
-            )
-            parts_s.append(s)
-            parts_i.append(b.gids[i])
-        cat_s = np.concatenate(parts_s, axis=1)
-        cat_i = np.concatenate(parts_i, axis=1)
-        out_s = np.empty((cat_s.shape[0], k), np.float32)
-        out_i = np.empty((cat_s.shape[0], k), np.int32)
-        for q in range(cat_s.shape[0]):
-            order = np.lexsort((cat_i[q], -cat_s[q]))[:k]
-            out_s[q] = cat_s[q][order]
-            out_i[q] = cat_i[q][order]
-        return out_s, out_i
+        s, i = self._sharded_bucket_topk(qids, qvals, k, use_pallas)
+        return np.asarray(s), np.asarray(i)
+
+    def _sharded_bucket_topk(self, qids, qvals, k, use_pallas):
+        """All buckets' mesh-sharded top-k plus the global merge in one
+        jitted dispatch (cached per (k, query shape)). Degenerate short
+        results carry id -1 at NEG_INF score (the old host merge mapped
+        a shard's invalid slots through gids[-1])."""
+        from persian_rag_tpu.parallel.sharded_lexical import (
+            sharded_sparse_topk,
+        )
+
+        key = (k, qids.shape, use_pallas)
+        fn = self._mesh_fused_cache.get(key)
+        if fn is None:
+            buckets, mesh = self._buckets, self.mesh
+            kbs = tuple(min(k, b.n_actual) for b in buckets)
+            n_actuals = tuple(b.n_actual for b in buckets)
+
+            def run(qi, qv, *arrays):
+                parts_s, parts_i = [], []
+                for bi in range(len(buckets)):
+                    ids_s, vals_s, gids_d = arrays[3 * bi: 3 * bi + 3]
+                    s, i = sharded_sparse_topk(
+                        ids_s, vals_s, qi, qv, kbs[bi], n_actuals[bi],
+                        mesh, use_pallas=use_pallas,
+                    )
+                    gid = jnp.where(
+                        i >= 0, gids_d[jnp.maximum(i, 0)], -1
+                    )
+                    parts_s.append(s)
+                    parts_i.append(gid)
+                cat_s = jnp.concatenate(parts_s, axis=1)
+                cat_i = jnp.concatenate(parts_i, axis=1).astype(jnp.int32)
+                _, gid_sorted, s_sorted = jax.lax.sort(
+                    (-cat_s, cat_i, cat_s), dimension=1, num_keys=2
+                )
+                kk = min(k, cat_s.shape[1])
+                return s_sorted[:, :kk], gid_sorted[:, :kk]
+
+            fn = jax.jit(run)
+            self._mesh_fused_cache[key] = fn
+        arrays = [
+            x
+            for b in self._buckets
+            for x in (b.dev_ids, b.dev_vals, b.dev_gids)
+        ]
+        return fn(qids, qvals, *arrays)
 
     def _scores_encoded(
         self, queries_terms: Sequence[List[Tuple[int, float]]]

@@ -48,8 +48,21 @@ def test_native_build_larger_random_corpus(rng):
     ]
     py = BM25Index()._build_python(corpus)
     nat = BM25Index().build(corpus, use_native=True)
-    np.testing.assert_array_equal(nat.doc_ids, py.doc_ids)
-    np.testing.assert_allclose(nat.doc_vals, py.doc_vals, rtol=1e-6, atol=1e-7)
+    # mixed doc lengths bucket the ELL; compare bucket-by-bucket
+    assert (py._buckets is None) == (nat._buckets is None)
+    if py._buckets is None:
+        np.testing.assert_array_equal(nat.doc_ids, py.doc_ids)
+        np.testing.assert_allclose(
+            nat.doc_vals, py.doc_vals, rtol=1e-6, atol=1e-7
+        )
+    else:
+        assert len(nat._buckets) == len(py._buckets)
+        for nb, pb in zip(nat._buckets, py._buckets):
+            np.testing.assert_array_equal(nb.gids, pb.gids)
+            np.testing.assert_array_equal(nb.ids, pb.ids)
+            np.testing.assert_allclose(
+                nb.vals, pb.vals, rtol=1e-6, atol=1e-7
+            )
     q = " ".join(rng.choice(vocab, size=5))
     np.testing.assert_allclose(
         nat.get_scores(q), py.get_scores(q), rtol=1e-5, atol=1e-6

@@ -64,3 +64,24 @@ def test_2d_sharded_l2(rng):
         jnp.asarray(queries), sharded, 5, n_actual, mesh, metric="l2"
     )
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+@pytest.mark.parametrize("cls", [BM25Index, TfidfIndex])
+def test_sharded_bucketed_lexical_matches_single_chip(cls):
+    """Varied doc lengths force multiple length buckets; the mesh path's
+    one-dispatch all-bucket merge must equal the single-chip result."""
+    docs = []
+    for i in range(73):
+        n_words = 3 if i % 3 == 0 else (20 if i % 3 == 1 else 90)
+        docs.append(
+            " ".join(f"tok{(i * 7 + j) % 41}" for j in range(n_words))
+        )
+    mesh = build_mesh(corpus_axis=8, data_axis=1)
+    plain = cls().build(docs)
+    sharded = cls(mesh=mesh).build(docs)
+    assert sharded._buckets is not None and len(sharded._buckets) > 1
+    queries = ["tok3 tok11 tok40", "tok0", "tok17 tok17 tok5"]
+    s1, i1 = plain.search(queries, k=9)
+    s2, i2 = sharded.search(queries, k=9)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
