@@ -176,14 +176,16 @@ class DenseIndex:
             arr, _ = shard_corpus(arr, self.mesh)
         else:
             arr = jax.device_put(arr)
-            # two-stage serving caches, derived on device from the
-            # STORED values with the SAME expression the search path
-            # would otherwise evaluate per call (bit-identical csq keeps
-            # the l2 refine equal to the reference scan)
-            a32 = arr.astype(jnp.float32)
-            self._sqnorms = jnp.sum(a32 * a32, axis=-1)
-            if arr.dtype != jnp.bfloat16:
-                self._stage1_bf16 = arr.astype(jnp.bfloat16)
+        # two-stage serving caches, derived on device from the STORED
+        # values with the SAME expression the search path would
+        # otherwise evaluate per call (bit-identical csq keeps the l2
+        # refine equal to the reference scan). On a mesh these follow
+        # the corpus row sharding (GSPMD propagates it), so each shard's
+        # local search consumes its own slice.
+        a32 = arr.astype(jnp.float32)
+        self._sqnorms = jnp.sum(a32 * a32, axis=-1)
+        if arr.dtype != jnp.bfloat16:
+            self._stage1_bf16 = arr.astype(jnp.bfloat16)
         self._device_corpus = arr
 
     # -- search -------------------------------------------------------------
@@ -229,6 +231,8 @@ class DenseIndex:
                 use_pallas=self.use_pallas,
                 compute_dtype=self.compute_dtype,
                 mode=self.search_mode,
+                corpus_sqnorm_sharded=self._sqnorms,
+                corpus_bf16_sharded=self._stage1_bf16,
             )
         else:
             compute = self.compute_dtype

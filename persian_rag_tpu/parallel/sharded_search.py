@@ -63,11 +63,17 @@ def sharded_flat_topk(
     use_pallas: Optional[bool] = None,
     compute_dtype: jnp.dtype = jnp.float32,
     mode: str = "exact",
+    corpus_sqnorm_sharded: Optional[jnp.ndarray] = None,
+    corpus_bf16_sharded: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Search a row-sharded corpus; results identical to a single-chip scan.
 
     Returns ((Q, k) scores, (Q, k) global ids), replicated on every device.
     For metric="l2" scores are squared distances ascending.
+    corpus_sqnorm_sharded / corpus_bf16_sharded are the two-stage
+    serving caches in the SAME row sharding as the corpus (DenseIndex
+    builds them at commit); each shard's local flat_topk consumes them
+    instead of re-deriving from its corpus rows every dispatch.
     """
     n_shards = mesh.shape[CORPUS_AXIS]
     k = min(k, n_actual)
@@ -84,14 +90,19 @@ def sharded_flat_topk(
     pad_total = local_n_static * n_shards - n_actual
     k_local = min(k + pad_total, local_n_static)
 
-    def local_search(q, c_local):
+    def local_search(q, c_local, *extras):
         shard = jax.lax.axis_index(CORPUS_AXIS)
         local_n = c_local.shape[0]
+        it = iter(extras)
+        csq_local = next(it) if corpus_sqnorm_sharded is not None else None
+        c16_local = next(it) if corpus_bf16_sharded is not None else None
         s, i = flat_topk(
             q,
             c_local,
             k_local,
             metric=metric,
+            corpus_sqnorm=csq_local,
+            corpus_bf16=c16_local,
             use_pallas=use_pallas,
             compute_dtype=compute_dtype,
             mode=mode,
@@ -120,14 +131,22 @@ def sharded_flat_topk(
         top_i = jnp.take_along_axis(cand_i, pos, axis=1)
         return top_s, top_i.astype(jnp.int32)
 
+    args = [queries, corpus_sharded]
+    specs = [P(), P(CORPUS_AXIS, None)]
+    if corpus_sqnorm_sharded is not None:
+        args.append(corpus_sqnorm_sharded)
+        specs.append(P(CORPUS_AXIS))
+    if corpus_bf16_sharded is not None:
+        args.append(corpus_bf16_sharded)
+        specs.append(P(CORPUS_AXIS, None))
     fn = shard_map(
         local_search,
         mesh=mesh,
-        in_specs=(P(), P(CORPUS_AXIS, None)),
+        in_specs=tuple(specs),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(fn)(queries, corpus_sharded)
+    return jax.jit(fn)(*args)
 
 
 def sharded_flat_topk_2d(
