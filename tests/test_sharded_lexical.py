@@ -85,3 +85,25 @@ def test_sharded_bucketed_lexical_matches_single_chip(cls):
     s2, i2 = sharded.search(queries, k=9)
     np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_sharded_bucketed_k_exceeds_corpus():
+    """k > ntotal over a tiny multi-bucket corpus must clamp identically
+    on the mesh and single-chip paths (short-result edge of the fused
+    all-bucket merge)."""
+    docs = [
+        "a b c",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+        "a a a",
+        "z y x w v u t s r q p o n m l k j i h g f e d c b a",
+        "b c",
+    ]
+    mesh = build_mesh(corpus_axis=8, data_axis=1)
+    plain = BM25Index().build(docs)
+    sharded = BM25Index(mesh=mesh).build(docs)
+    assert sharded._buckets is not None and len(sharded._buckets) > 1
+    s1, i1 = plain.search(["a b", "zzz"], k=10)
+    s2, i2 = sharded.search(["a b", "zzz"], k=10)
+    assert s1.shape == s2.shape == (2, len(docs))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
