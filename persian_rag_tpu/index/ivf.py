@@ -173,6 +173,7 @@ class IVFIndex:
         self._cell_ids: Optional[jnp.ndarray] = None   # (C, cap) int32, -1 pad
         self._overflow: Optional[jnp.ndarray] = None   # (O, d)
         self._overflow_ids: Optional[jnp.ndarray] = None
+        self._row_loc: Optional[np.ndarray] = None     # row -> storage slot
         self._ntotal = 0
 
     @property
@@ -230,6 +231,53 @@ class IVFIndex:
         else:
             self._overflow = None
             self._overflow_ids = None
+        self._row_loc = None  # rebuilt lazily by rows()
+
+    def _build_row_loc(self) -> None:
+        """Host-side map: global row id -> flat storage slot, where slots
+        [0, C*cap) index cells.reshape(C*cap, d) and slots >= C*cap index
+        the overflow block. Derived from cell_ids so it works for built,
+        loaded, and FAISS-imported indexes alike."""
+        cell_ids = np.asarray(self._cell_ids)
+        flat_ids = cell_ids.reshape(-1)
+        loc = np.full(self._ntotal, -1, np.int64)
+        valid = flat_ids >= 0
+        loc[flat_ids[valid]] = np.nonzero(valid)[0]
+        if self._overflow_ids is not None:
+            o_ids = np.asarray(self._overflow_ids)
+            loc[o_ids] = cell_ids.size + np.arange(o_ids.shape[0])
+        self._row_loc = loc
+
+    def rows(self, row_ids: np.ndarray) -> np.ndarray:
+        """Float32 copies of the given rows via at most two device
+        gathers (cells block + overflow block) — the IVF counterpart of
+        DenseIndex.rows, used by the rerank stored-vector fast path
+        (cosine metric: the stored, i.e. normalized, form is returned,
+        matching DenseIndex semantics)."""
+        if self._cells is None:
+            raise ValueError("index not built")
+        if self._row_loc is None:
+            self._build_row_loc()
+        idx = np.asarray(row_ids, np.int64)
+        loc = self._row_loc[idx]
+        n_cell_slots = int(np.asarray(self._cell_ids).size)
+        out = np.zeros((idx.shape[0], self.dim), np.float32)
+        in_cells = (loc >= 0) & (loc < n_cell_slots)
+        if in_cells.any():
+            flat = self._cells.reshape(-1, self.dim)
+            out[in_cells] = np.asarray(
+                jnp.take(flat, jnp.asarray(loc[in_cells]), axis=0)
+            )
+        in_ovf = loc >= n_cell_slots
+        if in_ovf.any():
+            out[in_ovf] = np.asarray(
+                jnp.take(
+                    self._overflow,
+                    jnp.asarray(loc[in_ovf] - n_cell_slots),
+                    axis=0,
+                )
+            )
+        return out
 
     # -- FAISS IVF file interop ------------------------------------------------
 

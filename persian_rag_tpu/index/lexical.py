@@ -149,6 +149,9 @@ class _EllIndex:
 
     def _set_ell(self, ids: np.ndarray, vals: np.ndarray) -> None:
         """Single flat ELL (bucketing disabled or only one bucket)."""
+        # rebuilt indexes invalidate jitted mesh closures, which bake the
+        # previous build's bucket count / kbs / n_actuals
+        self._mesh_fused_cache.clear()
         self.doc_ids, self.doc_vals = ids, vals
         self._buckets = None
         self._n = ids.shape[0]
@@ -176,6 +179,7 @@ class _EllIndex:
         return ids, vals
 
     def _set_buckets(self, buckets: List[_Bucket], n: int) -> None:
+        self._mesh_fused_cache.clear()
         self.doc_ids = None
         self.doc_vals = None
         self._dev_ids = None

@@ -113,6 +113,7 @@ class RetrievalSystem:
         chunk_file,
         faiss_index_file: Optional[str] = None,
         embeddings: Optional[np.ndarray] = None,
+        embeddings_from_encoder: bool = True,
     ) -> bool:
         """Load chunks (CSV path or list of dicts) and build/load indexes.
 
@@ -120,6 +121,14 @@ class RetrievalSystem:
         or native index file, or encoding the chunks with the embedding
         model (the reference requires a prebuilt FAISS file — reference:
         src/retrieval.py:52-59).
+
+        embeddings_from_encoder: contract flag for caller-supplied
+        `embeddings` — True (default) asserts row i was produced by THIS
+        system's encoder from chunk i, which lets rerank gather stored
+        index vectors instead of re-encoding candidate texts. Pass False
+        for vectors from another embedding space; rerank then falls back
+        to re-encoding. Index files loaded from disk are always treated
+        as foreign (rerank re-encodes) since their provenance is unknown.
         """
         if isinstance(chunk_file, str):
             import pandas as pd
@@ -139,9 +148,13 @@ class RetrievalSystem:
             else None
         )
 
+        # whether stored index rows live in this system's embedding space
+        # (gates the rerank stored-vector fast path)
+        self._rows_match_encoder = False
         if self.method in ("dense", "hybrid"):
             if embeddings is not None:
                 self._build_dense(np.asarray(embeddings, np.float32))
+                self._rows_match_encoder = bool(embeddings_from_encoder)
             elif faiss_index_file:
                 if faiss_index_file.endswith(".npz"):
                     self.dense_index = DenseIndex.load(
@@ -166,6 +179,7 @@ class RetrievalSystem:
                     [self.passage_prefix + t for t in texts]
                 )
                 self._build_dense(vectors)
+                self._rows_match_encoder = True
             else:
                 print("dense retrieval needs embeddings, an index file, or an encoder")
                 return False
@@ -372,14 +386,21 @@ class RetrievalSystem:
         """Embeddings for rerank candidates, flattened in span order.
 
         Fast path: gather the candidates' STORED vectors from the dense
-        index in one device dispatch — they were produced by the same
-        encoder at build time, and re-encoding hundreds of candidate
+        index in one device dispatch — re-encoding hundreds of candidate
         texts per batch costs dozens of encoder dispatches (measured to
-        dominate hybrid+rerank latency). Falls back to re-encoding when
-        there is no dense index, chunk ids are not unique, or a
-        candidate id is unknown (e.g. caller-supplied chunks)."""
+        dominate hybrid+rerank latency). The path engages only when the
+        index rows are known to live in this system's embedding space
+        (built by encoding here, or caller-certified embeddings — see
+        load_chunks_and_index). Falls back to re-encoding when that
+        contract is absent, the index type has no row gather, chunk ids
+        are not unique, or a candidate id is unknown."""
         id_map = getattr(self, "_id_to_row", None)
-        if self.dense_index is not None and id_map is not None:
+        if (
+            self.dense_index is not None
+            and id_map is not None
+            and getattr(self, "_rows_match_encoder", False)
+            and hasattr(self.dense_index, "rows")
+        ):
             rows = [
                 id_map.get(c.get("id"))
                 for cands in candidates
