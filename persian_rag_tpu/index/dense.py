@@ -221,7 +221,22 @@ class DenseIndex:
         metric = "l2" if self.metric == "l2" else "dot"
         k = min(k, self._ntotal)
         if self.mesh is not None:
-            scores, ids = sharded_flat_topk(
+            from persian_rag_tpu.core.mesh import DATA_AXIS
+            from persian_rag_tpu.parallel.sharded_search import (
+                sharded_flat_topk_2d,
+            )
+
+            # With a data axis in the mesh, queries shard over it (each
+            # device scans its corpus rows for its query slice) instead
+            # of every corpus shard redundantly scanning the full batch.
+            if (
+                self.mesh.shape.get(DATA_AXIS, 1) > 1
+                and queries.shape[0] >= self.mesh.shape[DATA_AXIS]
+            ):
+                search_fn = sharded_flat_topk_2d
+            else:
+                search_fn = sharded_flat_topk
+            scores, ids = search_fn(
                 q,
                 self._device_corpus,
                 k,

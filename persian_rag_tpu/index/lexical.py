@@ -365,6 +365,29 @@ class _EllIndex:
         ]
         return fn(qids, qvals, *arrays)
 
+    def device_arrays(self) -> Tuple[jnp.ndarray, ...]:
+        """Device arrays for jittable single-chip search, to be passed
+        into an outer jit as traced ARGUMENTS (closures over large
+        device constants break remote compile paths). Flat layout:
+        (dev_ids, dev_vals); bucketed: (ids, vals, gids) per bucket.
+        Pair with `bucket_kbs(k)` for the matching static metadata."""
+        if self.mesh is not None:
+            raise ValueError("device_arrays is single-chip; use search()")
+        if self._buckets is None:
+            return (self._dev_ids, self._dev_vals)
+        return tuple(
+            x
+            for b in self._buckets
+            for x in (b.dev_ids, b.dev_vals, b.dev_gids)
+        )
+
+    def bucket_kbs(self, k: int) -> Tuple[int, ...]:
+        """Per-bucket top-k widths (static jit metadata); empty tuple
+        for the flat single-ELL layout."""
+        if self._buckets is None:
+            return ()
+        return tuple(min(k, b.n_actual) for b in self._buckets)
+
     def _scores_encoded(
         self, queries_terms: Sequence[List[Tuple[int, float]]]
     ) -> np.ndarray:

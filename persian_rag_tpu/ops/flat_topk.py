@@ -311,7 +311,8 @@ def flat_topk_exact2(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "metric", "k_scan", "tile_n", "tile_q", "n_easy", "interpret"
+        "k", "metric", "k_scan", "tile_n", "tile_q", "n_easy", "interpret",
+        "bf16_transposed",
     ),
 )
 def flat_topk_exact2_stream(
@@ -326,6 +327,7 @@ def flat_topk_exact2_stream(
     corpus_sqnorm: Optional[jnp.ndarray] = None,
     corpus_bf16: Optional[jnp.ndarray] = None,
     interpret: bool = False,
+    bf16_transposed: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming bit-exact top-k: merge-free bf16 Pallas candidate
     extraction -> one small XLA top_k -> f32 refine -> residual proof.
@@ -375,12 +377,18 @@ def flat_topk_exact2_stream(
     # at 1M x 384) — serving callers should pass the precomputed
     # corpus_bf16 / corpus_sqnorm that DenseIndex caches at commit();
     # loop-style callers (bench's fori) get them hoisted by XLA anyway.
+    # bf16_transposed: corpus_bf16 is stored (d, N) so the candidate
+    # kernel's MXU contraction needs no per-tile corpus transpose.
     if corpus_bf16 is not None:
         c16 = corpus_bf16
     elif corpus.dtype == jnp.bfloat16:
-        c16 = corpus
+        c16 = corpus.T if bf16_transposed else corpus
     else:
-        c16 = corpus.astype(jnp.bfloat16)
+        c16 = (
+            corpus.astype(jnp.bfloat16).T
+            if bf16_transposed
+            else corpus.astype(jnp.bfloat16)
+        )
     if corpus_sqnorm is not None:
         csq = corpus_sqnorm.astype(jnp.float32)
     else:
@@ -397,6 +405,7 @@ def flat_topk_exact2_stream(
         compute_dtype=jnp.bfloat16,
         n_easy=n_easy,
         interpret=interpret,
+        corpus_transposed=bf16_transposed,
     )
     k_scan = min(k_scan, cand_keys.shape[1])
     assert k <= k_scan, (k, k_scan, cand_keys.shape)
@@ -974,6 +983,7 @@ def flat_topk_candidates(
     compute_dtype: jnp.dtype = jnp.bfloat16,
     n_easy: int = 3,
     interpret: bool = False,
+    corpus_transposed: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
     """Run the candidate-extraction kernel over the full grid.
 
@@ -984,9 +994,14 @@ def flat_topk_candidates(
     tile * tile_n + (tile_n - 1 - (key & mask)); see `_unpack_ids`.
     Every corpus element NOT among a tile's candidates has key <= that
     tile's bound key.
+
+    corpus_transposed: corpus is stored (d, N), feeding each tile to the
+    MXU as a plain (QT, d) x (d, TN) matmul — the (N, d) layout
+    contracts dim 1 of both operands, inserting a corpus-tile transpose
+    on the critical path.
     """
     n_q, d = queries.shape
-    n = corpus.shape[0]
+    n = corpus.shape[1] if corpus_transposed else corpus.shape[0]
     tile_n = min(tile_n, _round_up(n, 128))
     tile_q = min(tile_q, _round_up(n_q, 8))
     assert tile_n <= 1 << _COL_BITS
@@ -995,13 +1010,16 @@ def flat_topk_candidates(
     q_pad = _round_up(n_q, tile_q)
     n_pad = _round_up(n, tile_n)
     q = _pad_to(_pad_to(queries, d_pad, 1), q_pad, 0)
-    c = _pad_to(_pad_to(corpus, d_pad, 1), n_pad, 0)
+    if corpus_transposed:
+        c = _pad_to(_pad_to(corpus, d_pad, 0), n_pad, 1)
+    else:
+        c = _pad_to(_pad_to(corpus, d_pad, 1), n_pad, 0)
 
     if metric == "l2":
         if corpus_sqnorm is None:
             corpus_sqnorm = jnp.sum(
                 corpus.astype(jnp.float32) * corpus.astype(jnp.float32),
-                axis=-1,
+                axis=0 if corpus_transposed else -1,
             )
         cn = _pad_to(corpus_sqnorm.astype(jnp.float32)[None, :], n_pad, 1)
     elif corpus_scale is not None:
@@ -1024,13 +1042,19 @@ def flat_topk_candidates(
         n_easy=n_easy,
         out_w=out_w,
         row_scaled=corpus_scale is not None,
+        transposed=corpus_transposed,
+    )
+    c_spec = (
+        pl.BlockSpec((d_pad, tile_n), lambda i, j: (0, j))
+        if corpus_transposed
+        else pl.BlockSpec((tile_n, d_pad), lambda i, j: (j, 0))
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_q, d_pad), lambda i, j: (i, 0)),
-            pl.BlockSpec((tile_n, d_pad), lambda i, j: (j, 0)),
+            c_spec,
             pl.BlockSpec((1, tile_n), lambda i, j: (0, j)),
         ],
         out_specs=pl.BlockSpec((out_w, tile_q), lambda i, j: (j, i)),

@@ -159,6 +159,8 @@ def sharded_flat_topk_2d(
     use_pallas: Optional[bool] = None,
     compute_dtype: jnp.dtype = jnp.float32,
     mode: str = "exact",
+    corpus_sqnorm_sharded: Optional[jnp.ndarray] = None,
+    corpus_bf16_sharded: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """2-D parallel search: queries shard over the ``data`` axis while the
     corpus shards over ``corpus`` — each device scans its corpus rows for
@@ -166,7 +168,11 @@ def sharded_flat_topk_2d(
     results stay data-sharded (no redundant query work, unlike
     `sharded_flat_topk` which replicates queries on every corpus shard).
 
-    Queries are padded to a multiple of the data-axis size.
+    Queries are padded to a multiple of the data-axis size. The
+    two-stage serving caches (per-row ||c||^2, bf16 stage-1 image) ride
+    the SAME corpus-row sharding as the corpus; each device's local
+    flat_topk consumes its own slice instead of re-deriving them from
+    the corpus rows every dispatch.
     """
     from persian_rag_tpu.core.mesh import DATA_AXIS
 
@@ -187,12 +193,18 @@ def sharded_flat_topk_2d(
     pad_total = local_n_static * n_corpus_shards - n_actual
     k_local = min(k + pad_total, local_n_static)
 
-    def local_search(q, c_local):
+    def local_search(q, c_local, *extras):
         shard = jax.lax.axis_index(CORPUS_AXIS)
         local_n = c_local.shape[0]
+        it = iter(extras)
+        csq_local = next(it) if corpus_sqnorm_sharded is not None else None
+        c16_local = next(it) if corpus_bf16_sharded is not None else None
         s, i = flat_topk(
             q, c_local, k_local,
-            metric=metric, use_pallas=use_pallas,
+            metric=metric,
+            corpus_sqnorm=csq_local,
+            corpus_bf16=c16_local,
+            use_pallas=use_pallas,
             compute_dtype=compute_dtype, mode=mode,
         )
         kl = s.shape[1]
@@ -215,12 +227,20 @@ def sharded_flat_topk_2d(
         top_i = jnp.take_along_axis(cand_i, pos, axis=1)
         return top_s, top_i.astype(jnp.int32)
 
+    args = [queries, corpus_sharded]
+    specs = [P(DATA_AXIS, None), P(CORPUS_AXIS, None)]
+    if corpus_sqnorm_sharded is not None:
+        args.append(corpus_sqnorm_sharded)
+        specs.append(P(CORPUS_AXIS))
+    if corpus_bf16_sharded is not None:
+        args.append(corpus_bf16_sharded)
+        specs.append(P(CORPUS_AXIS, None))
     fn = shard_map(
         local_search,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(CORPUS_AXIS, None)),
+        in_specs=tuple(specs),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
         check_vma=False,
     )
-    scores, ids = jax.jit(fn)(queries, corpus_sharded)
+    scores, ids = jax.jit(fn)(*args)
     return scores[:n_q], ids[:n_q]

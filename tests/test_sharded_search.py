@@ -56,3 +56,91 @@ def test_sharded_fast_mode_set_recall(rng):
     )
     for q in range(5):
         assert set(np.asarray(got_i)[q]) == set(np.asarray(want_i)[q])
+
+
+# -- 2-D (query-dp x corpus) serving path ------------------------------------
+
+
+@pytest.mark.parametrize("metric", ["dot", "l2"])
+def test_2d_path_with_serving_caches_matches_ref(rng, metric):
+    """sharded_flat_topk_2d with threaded sqnorm/bf16 caches returns the
+    same ids as the unsharded reference scan (non-divisible N and a
+    query count not divisible by the data axis)."""
+    from persian_rag_tpu.parallel.sharded_search import sharded_flat_topk_2d
+
+    n, d, k = 1003, 32, 7
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((9, d)).astype(np.float32)
+    want_s, want_i = flat_topk_ref(
+        jnp.asarray(queries), jnp.asarray(corpus), k, metric
+    )
+    mesh = build_mesh(corpus_axis=4, data_axis=2)
+    sharded, n_actual = shard_corpus(jnp.asarray(corpus), mesh)
+    csq = jnp.sum(sharded.astype(jnp.float32) ** 2, axis=-1)
+    c16 = sharded.astype(jnp.bfloat16)
+    got_s, got_i = sharded_flat_topk_2d(
+        jnp.asarray(queries), sharded, k, n_actual, mesh, metric=metric,
+        corpus_sqnorm_sharded=csq, corpus_bf16_sharded=c16,
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(got_s), np.asarray(want_s), rtol=1e-4, atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_dense_index_mesh_routes_2d_with_caches(rng, metric):
+    """DenseIndex.search on a (4, 2) mesh uses the 2-D data-parallel
+    path for batches >= data axis and returns single-chip-identical
+    results, with the commit()-built caches threaded through."""
+    from persian_rag_tpu.index.dense import DenseIndex
+
+    n, d, k = 515, 24, 6
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((10, d)).astype(np.float32)
+
+    single = DenseIndex(d, metric=metric)
+    single.add(vectors)
+    single.commit()
+    want_s, want_i = single.search(queries, k)
+    ref_metric = "dot" if metric == "ip" else metric
+    ref_s, ref_i = flat_topk_ref(
+        jnp.asarray(queries), jnp.asarray(vectors), k, ref_metric
+    )
+    np.testing.assert_array_equal(want_i, np.asarray(ref_i))
+
+    mesh = build_mesh(corpus_axis=4, data_axis=2)
+    idx = DenseIndex(d, metric=metric, mesh=mesh)
+    idx.add(vectors)
+    idx.commit()
+    assert idx._sqnorms is not None  # caches built and sharded
+    got_s, got_i = idx.search(queries, k)
+    np.testing.assert_array_equal(got_i, want_i)
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-4, atol=1e-4)
+
+    # small batches (< data axis) fall back to the replicated-query path
+    got_s1, got_i1 = idx.search(queries[:1], k)
+    np.testing.assert_array_equal(got_i1, want_i[:1])
+
+
+def test_dense_index_bf16_storage_on_mesh_matches_single_chip(rng):
+    """bf16 storage tier on a data-axis mesh: ids identical to the
+    single-chip bf16 tier (the corpus IS the stage-1 image)."""
+    from persian_rag_tpu.index.dense import DenseIndex
+
+    n, d, k = 700, 32, 8
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((6, d)).astype(np.float32)
+
+    single = DenseIndex(d, metric="ip", storage_dtype=jnp.bfloat16)
+    single.add(vectors)
+    single.commit()
+    want_s, want_i = single.search(queries, k)
+
+    mesh = build_mesh(corpus_axis=4, data_axis=2)
+    idx = DenseIndex(d, metric="ip", mesh=mesh, storage_dtype=jnp.bfloat16)
+    idx.add(vectors)
+    idx.commit()
+    got_s, got_i = idx.search(queries, k)
+    np.testing.assert_array_equal(got_i, want_i)
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-2, atol=1e-2)
