@@ -75,19 +75,27 @@ class DenseIndex:
         refine_dtype: Optional[str] = "float32",
     ):
         """storage_dtype=bfloat16 halves HBM residency and bandwidth
-        (Recall@10 ~0.99 on isotropic data); storage_dtype=int8 quarters
-        it (per-row absmax scales folded in post-matmul; dot/cosine
-        only, single-chip) — int8 is a CANDIDATE-GENERATION tier: on
-        worst-case isotropic data the true top-10 lands in its top-100
-        ~96% of the time, so `search(refine_k=...)` over-retrieves on
-        the int8 stream and re-ranks the candidates exactly against a
+        (Recall@10 ~0.99 isotropic, ~0.97 on real embedding geometry —
+        blended bootstrap of the reference's shipped vectors);
+        storage_dtype=int8 quarters it (per-row absmax scales folded in
+        post-matmul; dot/cosine only, single-chip) — int8 is a
+        CANDIDATE-GENERATION tier: `search(refine_k=...)` over-retrieves
+        on the int8 stream and re-ranks the candidates exactly against a
         `refine_dtype` copy (default float32; set refine_dtype=None to
-        store the int8 tier alone and skip refinement). The hot N-row
-        scan streams 4x less HBM; the refine gather touches only Q*R
-        rows. search_mode="fast" uses the packed-key kernel (scores
-        quantized to 21 bits, ordering may permute inside
-        ~2^-12-relative ties). Defaults are bit-exact FAISS-parity
-        behavior."""
+        store the int8 tier alone and skip refinement). int8 rows are
+        stored MEAN-CENTERED: real sentence embeddings share a dominant
+        mean direction (the reference's shipped vectors have
+        ||mean|| ~ 0.999 of the row norm after normalization), which
+        compresses raw scores into a band narrower than int8 resolution
+        — measured Recall@10 0.18 uncentered vs 0.995+ centered at 20k
+        real-geometry rows. Centering is ranking-invariant
+        (<q, c-mu> = <q, c> - <q, mu>, constant per query); the refine
+        step restores exact scores, and no-refine searches add <q, mu>
+        back. The hot N-row scan streams 4x less HBM; the refine gather
+        touches only Q*R rows. search_mode="fast" uses the packed-key
+        kernel (scores quantized to 21 bits, ordering may permute
+        inside ~2^-12-relative ties). Defaults are bit-exact
+        FAISS-parity behavior."""
         if metric not in _METRICS:
             raise ValueError(f"metric must be one of {_METRICS}, got {metric}")
         if jnp.dtype(storage_dtype) == jnp.int8:
@@ -106,6 +114,7 @@ class DenseIndex:
         self._pending: list[np.ndarray] = []
         self._device_corpus: Optional[jnp.ndarray] = None
         self._row_scales: Optional[jnp.ndarray] = None
+        self._center: Optional[jnp.ndarray] = None  # int8: (d,) row mean
         self._refine_corpus: Optional[jnp.ndarray] = None
         # serving caches for the two-stage exact path: per-row ||c||^2
         # and (f32 storage only) the bf16 stage-1 corpus image. Without
@@ -147,6 +156,8 @@ class DenseIndex:
                 existing = np.asarray(self._device_corpus.astype(jnp.float32))
                 if self._row_scales is not None:
                     existing = existing * np.asarray(self._row_scales)[:, None]
+                if self._center is not None:
+                    existing = existing + np.asarray(self._center)[None, :]
             parts.append(existing[: self._ntotal])
         parts.extend(self._pending)
         if not parts:
@@ -158,12 +169,19 @@ class DenseIndex:
         self._ntotal = corpus.shape[0]
         self._sqnorms = None
         self._stage1_bf16 = None
+        self._center = None
         if self.storage_dtype == jnp.int8:
-            absmax = np.abs(corpus).max(axis=1)
+            # quantize mean-CENTERED rows: ranking-invariant, and on real
+            # (anisotropic) embedding geometry it is the difference
+            # between Recall@10 ~0.18 and ~0.995 (see class docstring)
+            center = corpus.mean(axis=0).astype(np.float32)
+            centered = corpus - center[None, :]
+            absmax = np.abs(centered).max(axis=1)
             scales = np.maximum(absmax / 127.0, 1e-12).astype(np.float32)
             values = np.clip(
-                np.rint(corpus / scales[:, None]), -127, 127
+                np.rint(centered / scales[:, None]), -127, 127
             ).astype(np.int8)
+            self._center = jax.device_put(jnp.asarray(center))
             self._row_scales = jax.device_put(jnp.asarray(scales))
             self._device_corpus = jax.device_put(jnp.asarray(values))
             if self.refine_dtype is not None:
@@ -290,6 +308,10 @@ class DenseIndex:
                     scores, ids = _refine_topk(
                         q, self._refine_corpus, ids, k
                     )
+                elif self._center is not None:
+                    # centered-int8 stage-1 scores are <q, c - mu>;
+                    # ranking is unchanged, restore true dot values
+                    scores = scores + (q @ self._center)[:, None]
         scores = np.asarray(scores)
         ids = np.asarray(ids)
         if squeeze:
@@ -317,6 +339,7 @@ class DenseIndex:
         refine_corpus: Optional[jnp.ndarray] = None,
         sqnorms: Optional[jnp.ndarray] = None,
         stage1_bf16: Optional[jnp.ndarray] = None,
+        center: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Jittable single-chip search: no host transfers, traced queries OK.
 
@@ -338,6 +361,8 @@ class DenseIndex:
             sqnorms = self._sqnorms
         if stage1_bf16 is None:
             stage1_bf16 = self._stage1_bf16
+        if center is None:
+            center = self._center
         if corpus is None:
             raise ValueError("index is empty; add() + commit() first")
         if self.metric == "cosine":
@@ -370,6 +395,8 @@ class DenseIndex:
         )
         if refine:
             scores, ids = _refine_topk(queries, refine_corpus, ids, k)
+        elif center is not None:
+            scores = scores + (queries @ center)[:, None]
         return scores, ids
 
     def fused_args(
@@ -380,9 +407,10 @@ class DenseIndex:
         Optional[jnp.ndarray],
         Optional[jnp.ndarray],
         Optional[jnp.ndarray],
+        Optional[jnp.ndarray],
     ]:
-        """(corpus, row_scales, refine_corpus, sqnorms, stage1_bf16)
-        device arrays to pass into a jitted function that calls
+        """(corpus, row_scales, refine_corpus, sqnorms, stage1_bf16,
+        center) device arrays to pass into a jitted function that calls
         `search_device` with them."""
         if self._pending:
             self.commit()
@@ -392,6 +420,7 @@ class DenseIndex:
             self._refine_corpus,
             self._sqnorms,
             self._stage1_bf16,
+            self._center,
         )
 
     # -- persistence --------------------------------------------------------
@@ -413,6 +442,8 @@ class DenseIndex:
             )
             if self._row_scales is not None:
                 out = out * jnp.take(self._row_scales, idx)[:, None]
+            if self._center is not None:
+                out = out + self._center[None, :]
         return np.asarray(out)
 
     def vectors(self) -> np.ndarray:
@@ -426,6 +457,8 @@ class DenseIndex:
             out = np.asarray(self._device_corpus.astype(jnp.float32))
             if self._row_scales is not None:
                 out = out * np.asarray(self._row_scales)[:, None]
+            if self._center is not None:
+                out = out + np.asarray(self._center)[None, :]
         return out[: self._ntotal]
 
     def save(self, path: str) -> None:

@@ -312,7 +312,7 @@ def flat_topk_exact2(
     jax.jit,
     static_argnames=(
         "k", "metric", "k_scan", "tile_n", "tile_q", "n_easy", "interpret",
-        "bf16_transposed",
+        "bf16_transposed", "return_ok", "group",
     ),
 )
 def flat_topk_exact2_stream(
@@ -328,6 +328,8 @@ def flat_topk_exact2_stream(
     corpus_bf16: Optional[jnp.ndarray] = None,
     interpret: bool = False,
     bf16_transposed: bool = False,
+    return_ok: bool = False,
+    group: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming bit-exact top-k: merge-free bf16 Pallas candidate
     extraction -> one small XLA top_k -> f32 refine -> residual proof.
@@ -342,6 +344,11 @@ def flat_topk_exact2_stream(
     f32 HIGHEST (the reference arithmetic); candidates are sorted by
     ascending id so lax.top_k's stability reproduces FAISS lower-index
     tie-breaking.
+
+    return_ok=True additionally returns the batch's residual-proof
+    verdict (True = the refined result was proven exact without the
+    full-scan fallback) — a diagnostic for measuring fallback rates on
+    real embedding geometries.
 
     Exactness proof, per query: every corpus element is either a
     finalist (exactly re-scored), a non-finalist candidate (its key <=
@@ -406,6 +413,7 @@ def flat_topk_exact2_stream(
         n_easy=n_easy,
         interpret=interpret,
         corpus_transposed=bf16_transposed,
+        group=group,
     )
     k_scan = min(k_scan, cand_keys.shape[1])
     assert k <= k_scan, (k, k_scan, cand_keys.shape)
@@ -438,19 +446,27 @@ def flat_topk_exact2_stream(
     def _full_scan(_):
         if n_q * n * 4 <= 256 * 1024 * 1024:
             return flat_topk_ref(q32, corpus, k, metric=metric)
+        # Cold proof-failure path: conservative tiles — the exact
+        # kernel's per-tile merge stack at tile_q=256/tile_n=1024
+        # exceeds the 16MB scoped-VMEM limit at 1M rows (the branch
+        # compiles even when never taken), and reliability beats speed
+        # on a branch whose measured hit rate is ~0.
         return flat_topk_pallas(
             q32,
             corpus,
             k,
             metric=metric,
-            tile_n=1024,
-            tile_q=tile_q,
+            tile_n=512,
+            tile_q=128,
             compute_dtype=jnp.float32,
             mode="exact",
             interpret=interpret,
         )
 
-    return jax.lax.cond(ok, _refined, _full_scan, None)
+    out = jax.lax.cond(ok, _refined, _full_scan, None)
+    if return_ok:
+        return out + (ok,)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -972,6 +988,75 @@ def _extract_candidates_kernel(
     out_ref[:] = _pad_to(block, out_w, 0, value=_INT_MIN)
 
 
+def _extract_candidates_grouped_kernel(
+    q_ref,
+    c_ref,
+    cn_ref,
+    out_ref,
+    *,
+    n_actual: int,
+    tile_n: int,
+    metric: str,
+    compute_dtype,
+    n_easy: int,
+    out_w: int,
+    group: int,
+    row_scaled: bool = False,
+    transposed: bool = False,
+):
+    """Group-reduced merge-free candidate extraction.
+
+    The plain candidates kernel pays 2*n_easy+1 full-(QT, TILE_N) VPU
+    passes per tile (max + mask per rank, plus the bound). Here the tile
+    first reduces to per-slot best/second-best — reshape keys to
+    (QT, GROUP, TILE_N/GROUP), 3 full passes — and the n_easy ranks are
+    extracted from the 2*TILE_N/GROUP-wide reduced array (GROUP/2 x
+    cheaper per rank). The per-tile bound stays rigorous: every
+    non-extracted element is either still in the reduced array
+    (<= max(remaining)) or was hidden behind its slot's top-2
+    (<= that slot's r2 <= max(r2)), so bound = max(remaining, max r2).
+    The price is a weaker bound than the exact kernel's (n_easy+1)-th
+    best — max(r2) can reach the tile's 2nd-best when two strong rows
+    share a slot — which the two-stage proof absorbs via its fallback.
+    """
+    j = pl.program_id(1)
+
+    s = _tile_scores(q_ref, c_ref, compute_dtype, transposed)
+    if metric == "l2":
+        s = 2.0 * s - cn_ref[:]
+    elif row_scaled:
+        s = s * cn_ref[:]
+
+    qt = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (qt, tile_n), 1)
+    ikey = _score_to_ikey(s)
+    key = (ikey & ~_COL_MASK) | (tile_n - 1 - col)
+    if n_actual % tile_n != 0:
+        valid = (col + j * tile_n) < n_actual
+        key = jnp.where(valid, key, _INT_MIN)
+
+    c_slots = tile_n // group
+    keys3 = key.reshape(qt, group, c_slots)
+    r1 = jnp.max(keys3, axis=1)                       # (qt, C)
+    masked3 = jnp.where(keys3 == r1[:, None, :], _INT_MIN, keys3)
+    r2 = jnp.max(masked3, axis=1)                     # (qt, C)
+    reduced = jnp.concatenate([r1, r2], axis=1)       # (qt, 2C)
+
+    keys = reduced
+    ranks = []
+    for _ in range(n_easy):
+        m = jnp.max(keys, axis=1, keepdims=True)
+        keys = jnp.where(keys == m, _INT_MIN, keys)
+        ranks.append(m.reshape(1, qt))
+    bound = jnp.maximum(
+        jnp.max(keys, axis=1, keepdims=True),
+        jnp.max(r2, axis=1, keepdims=True),
+    )
+    ranks.append(bound.reshape(1, qt))
+    block = jnp.concatenate(ranks, axis=0)
+    out_ref[:] = _pad_to(block, out_w, 0, value=_INT_MIN)
+
+
 def flat_topk_candidates(
     queries: jnp.ndarray,
     corpus: jnp.ndarray,
@@ -984,6 +1069,7 @@ def flat_topk_candidates(
     n_easy: int = 3,
     interpret: bool = False,
     corpus_transposed: bool = False,
+    group: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
     """Run the candidate-extraction kernel over the full grid.
 
@@ -999,6 +1085,10 @@ def flat_topk_candidates(
     MXU as a plain (QT, d) x (d, TN) matmul — the (N, d) layout
     contracts dim 1 of both operands, inserting a corpus-tile transpose
     on the critical path.
+
+    group > 0 selects the group-reduced kernel (3 full-tile VPU passes
+    instead of 2*n_easy+1; slightly weaker per-tile bound — see
+    `_extract_candidates_grouped_kernel`).
     """
     n_q, d = queries.shape
     n = corpus.shape[1] if corpus_transposed else corpus.shape[0]
@@ -1033,17 +1123,32 @@ def flat_topk_candidates(
     assert n_easy < 8
     out_w = 8
     grid = (q_pad // tile_q, n_tiles)
-    kernel = functools.partial(
-        _extract_candidates_kernel,
-        n_actual=n,
-        tile_n=tile_n,
-        metric=metric,
-        compute_dtype=compute_dtype,
-        n_easy=n_easy,
-        out_w=out_w,
-        row_scaled=corpus_scale is not None,
-        transposed=corpus_transposed,
-    )
+    if group:
+        assert tile_n % group == 0, (tile_n, group)
+        kernel = functools.partial(
+            _extract_candidates_grouped_kernel,
+            n_actual=n,
+            tile_n=tile_n,
+            metric=metric,
+            compute_dtype=compute_dtype,
+            n_easy=n_easy,
+            out_w=out_w,
+            group=group,
+            row_scaled=corpus_scale is not None,
+            transposed=corpus_transposed,
+        )
+    else:
+        kernel = functools.partial(
+            _extract_candidates_kernel,
+            n_actual=n,
+            tile_n=tile_n,
+            metric=metric,
+            compute_dtype=compute_dtype,
+            n_easy=n_easy,
+            out_w=out_w,
+            row_scaled=corpus_scale is not None,
+            transposed=corpus_transposed,
+        )
     c_spec = (
         pl.BlockSpec((d_pad, tile_n), lambda i, j: (0, j))
         if corpus_transposed

@@ -297,7 +297,7 @@ class RetrievalSystem:
             encoder, head = enc.encoder, enc.head
 
             def step(params, input_ids, attention_mask, corpus, row_scales,
-                     refine_corpus, sqnorms, stage1_bf16):
+                     refine_corpus, sqnorms, stage1_bf16, center):
                 hidden = encoder.apply(
                     {"params": params["encoder"]}, input_ids, attention_mask
                 )
@@ -307,7 +307,7 @@ class RetrievalSystem:
                 return index.search_device(
                     emb, k, corpus=corpus, row_scales=row_scales,
                     refine_corpus=refine_corpus, sqnorms=sqnorms,
-                    stage1_bf16=stage1_bf16,
+                    stage1_bf16=stage1_bf16, center=center,
                 )
 
             # None args are empty pytrees — jit handles them natively
@@ -360,8 +360,8 @@ class RetrievalSystem:
             n_buckets = len(kbs)
 
             def step(params, input_ids, attention_mask, corpus, row_scales,
-                     refine_corpus, sqnorms, stage1_bf16, qids, qvals,
-                     *lex_arrays):
+                     refine_corpus, sqnorms, stage1_bf16, center, qids,
+                     qvals, *lex_arrays):
                 hidden = encoder.apply(
                     {"params": params["encoder"]}, input_ids, attention_mask
                 )
@@ -371,7 +371,7 @@ class RetrievalSystem:
                 d_s, d_i = index.search_device(
                     emb, m_d, corpus=corpus, row_scales=row_scales,
                     refine_corpus=refine_corpus, sqnorms=sqnorms,
-                    stage1_bf16=stage1_bf16,
+                    stage1_bf16=stage1_bf16, center=center,
                 )
                 if n_buckets == 0:
                     l_s, l_i = sparse_topk(
@@ -424,13 +424,15 @@ class RetrievalSystem:
         m_d = min(top_k * 2, n)
         m_b = min(top_k * 2, bm.ntotal)
         k = min(top_k, n)
-        corpus, scales, refine, sqnorms, stage1 = self.dense_index.fused_args()
+        (corpus, scales, refine, sqnorms, stage1,
+         center) = self.dense_index.fused_args()
         fn = self._fused_hybrid_fn(
             k, m_d, m_b, rerank, dense_weight, bm25_weight
         )
         scores, gids = fn(
             enc.params, jnp.asarray(ids), jnp.asarray(mask), corpus, scales,
-            refine, sqnorms, stage1, qids, qvals, *bm.device_arrays(),
+            refine, sqnorms, stage1, center, qids, qvals,
+            *bm.device_arrays(),
         )
         scores = np.asarray(scores)[:real]
         gids = np.asarray(gids)[:real]
@@ -457,11 +459,12 @@ class RetrievalSystem:
         ids, mask = enc.tokenizer.encode_batch(
             texts + [""] * pad, enc.max_seq_len
         )
-        corpus, scales, refine, sqnorms, stage1 = self.dense_index.fused_args()
+        (corpus, scales, refine, sqnorms, stage1,
+         center) = self.dense_index.fused_args()
         fn = self._fused_dense_fn(min(top_k, self.dense_index.ntotal))
         scores, gids = fn(
             enc.params, jnp.asarray(ids), jnp.asarray(mask), corpus, scales,
-            refine, sqnorms, stage1,
+            refine, sqnorms, stage1, center,
         )
         return np.asarray(scores)[:real], np.asarray(gids)[:real]
 

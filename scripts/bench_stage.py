@@ -12,7 +12,7 @@ Recall@10 vs a NumPy exact reference on a fresh probe batch, so a proof
 fallback or selection loss is visible, not silent.
 
 Usage: python scripts/bench_stage.py [--n 1000000] [--configs a,b,...]
-  config = name:kind:tile_q:tile_n:n_easy[:T]
+  config = name:kind:tile_q:tile_n:n_easy[:T|:g<group>|:Tg<group>]
   kind in {maxonly, xlamax, cand, e2s}
 """
 from __future__ import annotations
@@ -94,7 +94,11 @@ def main() -> None:
     for spec in args.configs.split(","):
         parts = spec.split(":")
         name, kind, tile_q, tile_n, n_easy = parts[:5]
-        transposed = len(parts) > 5 and parts[5] == "T"
+        flag = parts[5] if len(parts) > 5 else ""
+        transposed = flag.startswith("T")
+        group = int(flag.lstrip("T").lstrip("g") or 0) if (
+            "g" in flag
+        ) else 0
         tile_q, tile_n, n_easy = int(tile_q), int(tile_n), int(n_easy)
 
         if kind == "maxonly":
@@ -119,29 +123,40 @@ def main() -> None:
         elif kind == "cand":
             cdev = c16t if transposed else c16
 
-            def search(q, c, tq=tile_q, tn=tile_n, ne=n_easy, tr=transposed):
+            def search(q, c, tq=tile_q, tn=tile_n, ne=n_easy, tr=transposed,
+                       g=group):
                 keys, bounds, _ = flat_topk_candidates(
                     q, c, metric="dot", tile_n=tn, tile_q=tq,
                     n_easy=ne, interpret=interpret, corpus_transposed=tr,
+                    group=g,
                 )
                 return keys[:, :K].astype(jnp.float32), bounds[:, :K]
         elif kind == "e2s":
             cdev = c32
 
-            def search(q, c, tq=tile_q, tn=tile_n, ne=n_easy, tr=transposed):
+            # csq/c16 ride as explicit args: a closure would bake them
+            # into the outer timing jit as 768MB captured constants and
+            # blow the remote-compile body limit (HTTP 413, CLAUDE.md)
+            def search(q, c, extra, tq=tile_q, tn=tile_n, ne=n_easy,
+                       tr=transposed, g=group):
+                e_csq, e_c16 = extra
                 return flat_topk_exact2_stream(
                     q, c, K, metric="dot", k_scan=32, tile_n=tn,
-                    tile_q=tq, n_easy=ne, corpus_sqnorm=csq,
-                    corpus_bf16=c16t if tr else c16,
-                    interpret=interpret, bf16_transposed=tr,
+                    tile_q=tq, n_easy=ne, corpus_sqnorm=e_csq,
+                    corpus_bf16=e_c16,
+                    interpret=interpret, bf16_transposed=tr, group=g,
                 )
         else:
             raise ValueError(kind)
 
+        extra = (csq, c16t if transposed else c16) if kind == "e2s" else ()
+
         if kind == "e2s":
             t_first = time.time()
             got = np.asarray(
-                jax.block_until_ready(search(jnp.asarray(probe), cdev))[1]
+                jax.block_until_ready(
+                    search(jnp.asarray(probe), cdev, extra)
+                )[1]
             )
             compile_s = time.time() - t_first
             recall = float(np.mean([
@@ -152,19 +167,19 @@ def main() -> None:
             recall, compile_s = float("nan"), 0.0
 
         @jax.jit
-        def timed(c, seed):
+        def timed(c, extra, seed):
             def body(i, acc):
                 key = jax.random.fold_in(jax.random.PRNGKey(0), seed + i)
                 q = jax.random.normal(key, (BATCH, D), jnp.float32)
-                s, idx = search(q, c)
+                s, idx = search(q, c, *((extra,) if extra else ()))
                 return acc + jnp.sum(s) + jnp.sum(idx).astype(jnp.float32)
             return jax.lax.fori_loop(0, args.reps, body, 0.0)
 
         t_c = time.time()
-        np.asarray(timed(cdev, 0))  # compile + warm
+        np.asarray(timed(cdev, extra, 0))  # compile + warm
         compile_s = max(compile_s, time.time() - t_c)
         t0 = time.time()
-        np.asarray(timed(cdev, 50_000))
+        np.asarray(timed(cdev, extra, 50_000))
         dt = (time.time() - t0) / args.reps
         flops = 2.0 * BATCH * N * D
         q_tiles = -(-BATCH // tile_q) if tile_q else 1

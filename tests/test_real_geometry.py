@@ -1,0 +1,223 @@
+"""Recall-tier validation on the reference's REAL embedding geometry.
+
+The bf16/int8 storage-tier recall claims were previously measured only
+on isotropic Gaussian data. The reference ships real embedding vectors
+in /root/reference/results/faiss/*.index (121-125 chunks per model x
+{384, 512, 768} dims, produced by actual sentence encoders on the Drugs
+corpus — reference: src/create_embeddings.py:130-136); real embeddings
+are anisotropic and clustered, which is the harder case for quantized
+tie-handling. These tests exercise the tiers both on the shipped
+vectors directly and on bootstrapped scale-ups (resample + small
+perturbation) that preserve the clustered geometry.
+"""
+import glob
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from persian_rag_tpu.index import faiss_io
+from persian_rag_tpu.index.dense import DenseIndex
+
+FAISS_DIR = "/root/reference/results/faiss"
+# one file per model family (384/512/768-d)
+FAMILIES = [
+    "paraphrase-multilingual-MiniLM-L12-v2_finetuned_drugs_word_chunks.index",
+    "distiluse-base-multilingual-cased-v2_drugs_word_chunks.index",
+    "multilingual-e5-base_finetuned_drugs_sentence_chunks.index",
+]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FAISS_DIR), reason="reference artifacts not present"
+)
+
+
+def _load(name: str) -> np.ndarray:
+    vectors, metric = faiss_io.read_faiss_flat(os.path.join(FAISS_DIR, name))
+    assert metric == "l2"
+    return vectors
+
+
+def _queries_for(vectors: np.ndarray, rng) -> np.ndarray:
+    """Probe queries stressing the real geometry: the vectors themselves
+    (exact-hit ties), midpoints of near-neighbor pairs (near-ties), and
+    small perturbations."""
+    n = vectors.shape[0]
+    # 0.55/0.45 blend: near-tie stress WITHOUT exact mathematical ties
+    # (a true midpoint is exactly equidistant, so its ordering is pure
+    # rounding noise between distance formulas)
+    mids = 0.55 * vectors[: n // 2] + 0.45 * vectors[n // 2 : 2 * (n // 2)]
+    noise = vectors + 0.01 * rng.standard_normal(vectors.shape).astype(
+        np.float32
+    ) * vectors.std()
+    return np.concatenate([vectors, mids, noise]).astype(np.float32)
+
+
+def _recall_at(got_ids, want_ids, k=10):
+    return float(
+        np.mean(
+            [
+                len(set(got_ids[i][:k]) & set(want_ids[i][:k])) / k
+                for i in range(got_ids.shape[0])
+            ]
+        )
+    )
+
+
+@pytest.mark.parametrize("name", FAMILIES)
+def test_f32_exact_on_shipped_vectors(rng, name):
+    """f32 search over the real vectors must match NumPy argsort ids
+    exactly, including FAISS lower-id tie order."""
+    vectors = _load(name)
+    queries = _queries_for(vectors, rng)
+    k = 10
+    index = DenseIndex(vectors.shape[1], metric="l2")
+    index.add(vectors)
+    index.commit()
+    scores, ids = index.search(queries, k)
+    from persian_rag_tpu.ops.flat_topk import flat_topk_ref
+
+    want_s, want = flat_topk_ref(
+        jnp.asarray(queries), jnp.asarray(vectors), k, "l2"
+    )
+    np.testing.assert_array_equal(ids, np.asarray(want))
+    np.testing.assert_allclose(scores, np.asarray(want_s), rtol=1e-5)
+
+
+@pytest.mark.parametrize("name", FAMILIES)
+def test_bf16_tier_recall_on_real_geometry(rng, name):
+    vectors = _load(name)
+    queries = _queries_for(vectors, rng)
+    k = 10
+    exact = DenseIndex(vectors.shape[1], metric="l2")
+    exact.add(vectors)
+    exact.commit()
+    _, want = exact.search(queries, k)
+
+    bf16 = DenseIndex(
+        vectors.shape[1], metric="l2", storage_dtype=jnp.bfloat16
+    )
+    bf16.add(vectors)
+    bf16.commit()
+    _, got = bf16.search(queries, k)
+    recall = _recall_at(got, want)
+    assert recall >= 0.97, f"{name}: bf16 recall {recall:.4f}"
+
+
+@pytest.mark.parametrize("name", FAMILIES)
+def test_int8_refined_tier_recall_on_real_geometry(rng, name):
+    """int8 candidate tier + exact refine, cosine metric (int8 supports
+    ip/cosine), on the real vectors."""
+    vectors = _load(name)
+    queries = _queries_for(vectors, rng)
+    k = 10
+    exact = DenseIndex(vectors.shape[1], metric="cosine")
+    exact.add(vectors)
+    exact.commit()
+    _, want = exact.search(queries, k)
+
+    int8 = DenseIndex(
+        vectors.shape[1], metric="cosine", storage_dtype=jnp.int8
+    )
+    int8.add(vectors)
+    int8.commit()
+    _, got = int8.search(queries, k)  # default over-retrieve + refine
+    recall = _recall_at(got, want)
+    assert recall >= 0.98, f"{name}: int8+refine recall {recall:.4f}"
+
+
+def _blended_bootstrap(vectors, n_target, rng):
+    """Diverse 20k+ corpus preserving the real vectors' clustered
+    anisotropic geometry: random convex blends of base pairs plus a
+    small perturbation. (A pure clone bootstrap — ~160 copies of each
+    base vector — makes every top-10 a set of rows separated by LESS
+    than the quantization step, which no sub-f32 tier can rank; see
+    test_tiers_on_clone_adversarial_geometry.)"""
+    i = rng.integers(0, len(vectors), n_target)
+    j = rng.integers(0, len(vectors), n_target)
+    alpha = rng.uniform(0.25, 0.75, (n_target, 1)).astype(np.float32)
+    noise = 0.05 * vectors.std(axis=0) * rng.standard_normal(
+        (n_target, vectors.shape[1])
+    ).astype(np.float32)
+    return (alpha * vectors[i] + (1 - alpha) * vectors[j] + noise).astype(
+        np.float32
+    )
+
+
+def _tier_recalls(corpus, queries, k=10):
+    exact = DenseIndex(corpus.shape[1], metric="l2")
+    exact.add(corpus)
+    exact.commit()
+    _, want = exact.search(queries, k)
+
+    bf16 = DenseIndex(corpus.shape[1], metric="l2",
+                      storage_dtype=jnp.bfloat16)
+    bf16.add(corpus)
+    bf16.commit()
+    _, got16 = bf16.search(queries, k)
+
+    exact_c = DenseIndex(corpus.shape[1], metric="cosine")
+    exact_c.add(corpus)
+    exact_c.commit()
+    _, want_c = exact_c.search(queries, k)
+    int8 = DenseIndex(corpus.shape[1], metric="cosine",
+                      storage_dtype=jnp.int8)
+    int8.add(corpus)
+    int8.commit()
+    _, got8 = int8.search(queries, k)
+    return _recall_at(got16, want), _recall_at(got8, want_c)
+
+
+def test_tiers_on_bootstrapped_real_geometry(rng):
+    """Scale the MiniLM real vectors to 20k rows (blended bootstrap)
+    and re-measure the tier recalls against the f32 scan. The int8
+    threshold here is what motivated mean-centered int8 storage:
+    uncentered quantization scores 0.18 on this geometry (real
+    embeddings concentrate in a tight cone: ||mean|| ~ 0.999 of the
+    row norm), centered scores 0.99+."""
+    vectors = _load(FAMILIES[0])
+    corpus = _blended_bootstrap(vectors, 20_000, rng)
+    queries = _queries_for(vectors, rng)
+    recall16, recall8 = _tier_recalls(corpus, queries)
+    print(f"bootstrapped 20k real-geometry: bf16 R@10={recall16:.4f}, "
+          f"int8(centered)+refine R@10={recall8:.4f}")
+    assert recall16 >= 0.95, recall16
+    assert recall8 >= 0.98, recall8
+
+
+def test_tiers_on_clone_adversarial_geometry(rng):
+    """Adversarial clone bootstrap: ~160 near-copies of each base
+    vector, separated below the bf16/int8 quantization step — the
+    quantized tiers CANNOT fully rank such rows (documented bound, not
+    a regression): measured bf16 ~0.46, centered int8 ~0.62. The exact
+    f32 tier must still return reference-identical ids; the quantized
+    tiers must clear the documented floors (uncentered int8 scored
+    0.16-0.19 here)."""
+    vectors = _load(FAMILIES[0])
+    n_target = 20_000
+    pick = rng.integers(0, vectors.shape[0], n_target)
+    corpus = (
+        vectors[pick]
+        + 0.05 * vectors.std(axis=0) * rng.standard_normal(
+            (n_target, vectors.shape[1])
+        ).astype(np.float32)
+    ).astype(np.float32)
+    queries = _queries_for(vectors, rng)[:64]
+
+    from persian_rag_tpu.ops.flat_topk import flat_topk_ref
+
+    exact = DenseIndex(corpus.shape[1], metric="l2")
+    exact.add(corpus)
+    exact.commit()
+    _, got = exact.search(queries, 10)
+    _, want = flat_topk_ref(
+        jnp.asarray(queries), jnp.asarray(corpus), 10, "l2"
+    )
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+    recall16, recall8 = _tier_recalls(corpus, queries)
+    print(f"clone-adversarial 20k: bf16 R@10={recall16:.4f}, "
+          f"int8(centered)+refine R@10={recall8:.4f}")
+    assert recall16 >= 0.35, recall16
+    assert recall8 >= 0.45, recall8
