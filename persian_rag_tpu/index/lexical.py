@@ -32,7 +32,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from persian_rag_tpu.ops.sparse_scores import sparse_scores_ref, sparse_topk
+from persian_rag_tpu.ops.sparse_scores import (
+    hash_segments,
+    sparse_scores_ref,
+    sparse_topk,
+    sparse_topk_hashed,
+)
 
 _TOKEN_RE = re.compile(r"(?u)\b\w\w+\b")
 
@@ -97,7 +102,14 @@ def _fused_bucket_topk(
     """
     parts_s, parts_i = [], []
     for ids, vals, gids, kb in zip(bucket_ids, bucket_vals, bucket_gids, kbs):
-        s, i = sparse_topk(ids, vals, qids, qvals, kb, use_pallas=use_pallas)
+        if ids.ndim == 3:  # hashed-segment device layout
+            s, i = sparse_topk_hashed(
+                ids, vals, qids, qvals, kb, use_pallas=use_pallas
+            )
+        else:
+            s, i = sparse_topk(
+                ids, vals, qids, qvals, kb, use_pallas=use_pallas
+            )
         parts_s.append(s)
         parts_i.append(gids[i])
     cat_s = jnp.concatenate(parts_s, axis=1)
@@ -114,6 +126,20 @@ def _fused_bucket_topk(
 # directly cut VPU match work for short docs (the old doc-major layout
 # lane-padded L to 128, which made boundaries below 128 worthless).
 _BUCKET_BASE = 16
+
+# Hashed-segment device layout: docs' terms partition into S = tid % S
+# segments so a query term matches only its own (Ls, TN) segment —
+# measured 1.7x over the flat kernel at 200k x L=47 single-bucket (the
+# kernel is VPU-match-bound; scripts/bench_lexical_hashed.py). The gate
+# is DATA-DRIVEN and strict: fine-grained length buckets already
+# minimize L, and for narrow buckets (L<=49, Zipf 60-token docs) the
+# repack's extra HBM stream outweighs the work win (measured 635 ms vs
+# 333 ms at 1M — a strict gate keeps those flat). It engages for wide
+# ELLs — realistic 150-word chunks (L~128+) and TF-IDF n-gram buckets
+# (L up to ~1024). Single-chip only (the mesh path keeps 2-D shard_ell).
+_HASH_MIN_L = 64       # below this, buckets stay flat outright
+_HASH_MAX_WORK = 3.0   # require Ls <= L_pad / 3 (a >=3x match-work win)
+_HASH_MAX_STORE = 2.5  # require S * Ls <= 2.5 * L_pad (HBM stream cap)
 
 
 def _bucket_width(length: int) -> int:
@@ -162,8 +188,30 @@ class _EllIndex:
                 jnp.asarray(ids), jnp.asarray(vals), self.mesh
             )
         else:
-            self._dev_ids = jnp.asarray(ids)
-            self._dev_vals = jnp.asarray(vals)
+            self._dev_ids, self._dev_vals = self._device_ell(ids, vals)
+
+    @staticmethod
+    def _device_ell(
+        ids: np.ndarray, vals: np.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Single-chip device form of an ELL: hashed-segment (N, S, Ls)
+        when the ACTUAL repacked height clears the work/stream gates,
+        flat (N, L) otherwise. Candidate segment counts are tried
+        largest-first; the first plan passing both gates wins (larger S
+        means less match work at more stream, bounded by the store
+        gate)."""
+        el = ids.shape[1]
+        el_pad = ((el + 7) // 8) * 8
+        if el >= _HASH_MIN_L:
+            for s in (16, 8, 4):
+                ids3, vals3 = hash_segments(ids, vals, s)
+                ls = ids3.shape[2]
+                if (
+                    ls * _HASH_MAX_WORK <= el_pad
+                    and s * ls <= _HASH_MAX_STORE * el_pad
+                ):
+                    return jnp.asarray(ids3), jnp.asarray(vals3)
+        return jnp.asarray(ids), jnp.asarray(vals)
 
     @staticmethod
     def _fill_ell(
@@ -194,8 +242,7 @@ class _EllIndex:
                     jnp.asarray(b.ids), jnp.asarray(b.vals), self.mesh
                 )
             else:
-                b.dev_ids = jnp.asarray(b.ids)
-                b.dev_vals = jnp.asarray(b.vals)
+                b.dev_ids, b.dev_vals = self._device_ell(b.ids, b.vals)
             b.dev_gids = jnp.asarray(b.gids)
 
     def _set_ell_auto(self, ids: np.ndarray, vals: np.ndarray) -> None:
@@ -278,6 +325,10 @@ class _EllIndex:
             s, i = sharded_sparse_topk(
                 dev_ids, dev_vals, qids, qvals, k, n_actual, self.mesh,
                 use_pallas=use_pallas,
+            )
+        elif dev_ids.ndim == 3:  # hashed-segment layout
+            s, i = sparse_topk_hashed(
+                dev_ids, dev_vals, qids, qvals, k, use_pallas=use_pallas
             )
         else:
             s, i = sparse_topk(
@@ -393,8 +444,14 @@ class _EllIndex:
     ) -> np.ndarray:
         qids, qvals = self._encode_queries(queries_terms)
         if self._buckets is None:
+            # dense scoring reads the host ELL (the device arrays may be
+            # in the 3-D hashed-segment layout)
+            dev_i, dev_v = self._dev_ids, self._dev_vals
+            if dev_i is None or dev_i.ndim == 3:
+                dev_i = jnp.asarray(self.doc_ids)
+                dev_v = jnp.asarray(self.doc_vals)
             scores = np.asarray(
-                sparse_scores_ref(self._dev_ids, self._dev_vals, qids, qvals)
+                sparse_scores_ref(dev_i, dev_v, qids, qvals)
             )
             # With a mesh, _dev_ids is padded to a shard multiple; trim the
             # pad rows so get_scores always returns exactly (N,) per query.

@@ -226,6 +226,251 @@ def sparse_scores(
     return sparse_scores_ref(doc_ids, doc_vals, q_ids, q_vals)
 
 
+# ---------------------------------------------------------------------------
+# Hashed-segment ELL: per-term matching touches L/S rows instead of L.
+#
+# The plain kernel's per-query-term match scans ALL L term slots of every
+# doc — measured pure-VPU-bound (tile_b sweep: constant 59 ms at 200k
+# regardless of HBM stream). Here each doc's terms are partitioned into
+# S segments by hash (tid % S) at build time; a query term can only
+# match inside segment (qid % S), which the kernel loads by DYNAMIC
+# indexing on the leading (untiled) block dimension — the one dynamic
+# index Mosaic supports without relayout. Per-term work drops from
+# B*L*TN to B*Ls*TN where Ls = padded max segment height (~L/S for
+# balanced hashing).
+# ---------------------------------------------------------------------------
+
+
+def hash_segments(
+    per_doc_ids: jnp.ndarray,
+    per_doc_vals: jnp.ndarray,
+    n_segments: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Host-side repack of an (N, L) ELL into (N, S, Ls) hashed-segment
+    form (NumPy; build-time only). Segment g of a doc holds its terms
+    with tid % S == g, -1/0 padded to the corpus-wide max segment
+    height (padded to a multiple of 8)."""
+    import numpy as np
+
+    ids = np.asarray(per_doc_ids)
+    vals = np.asarray(per_doc_vals)
+    n, el = ids.shape
+    seg_of = np.where(ids >= 0, ids % n_segments, -1)
+    # per-(doc, segment) counts -> corpus-wide max height
+    counts = np.zeros((n, n_segments), np.int64)
+    for g in range(n_segments):
+        counts[:, g] = (seg_of == g).sum(axis=1)
+    ls = max(1, int(counts.max()))
+    ls = ((ls + 7) // 8) * 8
+    out_ids = np.full((n, n_segments, ls), -1, np.int32)
+    out_vals = np.zeros((n, n_segments, ls), np.float32)
+    # stable fill: for each segment, order of appearance in the ELL row
+    doc_idx, slot_idx = np.nonzero(ids >= 0)
+    segs = seg_of[doc_idx, slot_idx]
+    # position within (doc, segment): cumulative count in appearance order
+    order = np.lexsort((slot_idx, segs, doc_idx))
+    d_o, s_o, g_o = doc_idx[order], slot_idx[order], segs[order]
+    pos = np.zeros(len(order), np.int64)
+    if len(order):
+        new_group = np.ones(len(order), bool)
+        new_group[1:] = (d_o[1:] != d_o[:-1]) | (g_o[1:] != g_o[:-1])
+        starts = np.nonzero(new_group)[0]
+        pos = np.arange(len(order)) - np.repeat(
+            starts, np.diff(np.append(starts, len(order)))
+        )
+    out_ids[d_o, g_o, pos] = ids[d_o, s_o]
+    out_vals[d_o, g_o, pos] = vals[d_o, s_o]
+    return out_ids, out_vals
+
+
+def _hashed_score_tile(
+    doc_ids_ref, doc_vals_ref, q_ids_ref, q_vals_ref, b, t, n_segments
+):
+    """(B, TN) scores for one corpus tile in hashed-segment transposed
+    layout ``doc_ids/doc_vals (S, Ls, TN)``.
+
+    q_ids/q_vals live in SMEM, so each (row, slot) scalar reads with
+    dynamic indices; the segment for a term loads by dynamic indexing
+    the LEADING (untiled) block dimension — the one dynamic index form
+    Mosaic supports without relayout. Loop structure: outer fori over
+    the tile_b query rows, inner fori over T term slots accumulating a
+    (1, TN) row score, then one one-hot merge into the (B, TN) tile
+    scores per row (not per term)."""
+    tn = doc_ids_ref.shape[2]
+
+    def row_body(bi, scores):
+        def term_body(ti, row_acc):
+            rid = q_ids_ref[bi, ti]
+            rval = q_vals_ref[bi, ti]
+            g = jnp.where(rid >= 0, rid % n_segments, 0)
+            seg_ids = doc_ids_ref[g]   # (Ls, TN)
+            seg_vals = doc_vals_ref[g]
+            contrib = jnp.sum(
+                jnp.where(seg_ids == rid, seg_vals, 0.0),
+                axis=0,
+                keepdims=True,
+            )                           # (1, TN)
+            return row_acc + rval * contrib
+
+        row = jax.lax.fori_loop(
+            0, t, term_body, jnp.zeros((1, tn), jnp.float32)
+        )
+        onehot = jax.lax.broadcasted_iota(jnp.int32, (b, tn), 0) == bi
+        return scores + jnp.where(onehot, row, 0.0)
+
+    return jax.lax.fori_loop(
+        0, b, row_body, jnp.zeros((b, tn), jnp.float32)
+    )
+
+
+def _sparse_topk_hashed_kernel(
+    q_ids_ref,
+    q_vals_ref,
+    doc_ids_ref,
+    doc_vals_ref,
+    out_s_ref,
+    out_i_ref,
+    *,
+    k: int,
+    n_actual: int,
+    tile_n: int,
+    n_segments: int,
+):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
+        out_i_ref[:] = jnp.full_like(out_i_ref, -1)
+
+    b, t = q_ids_ref.shape
+    scores = _hashed_score_tile(
+        doc_ids_ref, doc_vals_ref, q_ids_ref, q_vals_ref, b, t, n_segments
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1) + j * tile_n
+    scores = jnp.where(col < n_actual, scores, NEG_INF)
+
+    cand_s = jnp.concatenate([out_s_ref[:], scores], axis=1)
+    cand_i = jnp.concatenate([out_i_ref[:], col], axis=1)
+    out_s_ref[:], out_i_ref[:] = merge_topk(cand_s, cand_i, k)
+
+
+def sparse_topk_hashed_pallas(
+    doc_ids3: jnp.ndarray,
+    doc_vals3: jnp.ndarray,
+    q_ids: jnp.ndarray,
+    q_vals: jnp.ndarray,
+    k: int,
+    tile_n: int = 2048,
+    tile_b: int = 32,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused lexical top-k over an (N, S, Ls) hashed-segment corpus.
+    Returns ((B, k) scores, (B, k) ids), identical values to the flat
+    ELL kernel (segments merely partition the same (tid, val) entries).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, s, ls = doc_ids3.shape
+    b, t = q_ids.shape
+    tile_n = min(tile_n, _round_up(n, 128))
+    n_pad = _round_up(n, tile_n)
+    b_pad = _round_up(b, tile_b)
+
+    # (N, S, Ls) -> (S, Ls, N): segments lead (untiled, dynamically
+    # indexable), term slots ride sublanes, docs ride lanes.
+    doc_ids_t = jnp.transpose(
+        _pad_axis(doc_ids3, n_pad, 0, -1), (1, 2, 0)
+    )
+    doc_vals_t = jnp.transpose(
+        _pad_axis(doc_vals3, n_pad, 0, 0.0), (1, 2, 0)
+    )
+    q_ids_p = _pad_axis(q_ids, b_pad, 0, -2)
+    q_vals_p = _pad_axis(q_vals, b_pad, 0, 0.0)
+
+    kernel = functools.partial(
+        _sparse_topk_hashed_kernel,
+        k=k,
+        n_actual=n,
+        tile_n=tile_n,
+        n_segments=s,
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=(b_pad // tile_b, n_pad // tile_n),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_b, t), lambda i, j: (i, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (tile_b, t), lambda i, j: (i, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((s, ls, tile_n), lambda i, j: (0, 0, j)),
+            pl.BlockSpec((s, ls, tile_n), lambda i, j: (0, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_b, k), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * ls * t,
+            bytes_accessed=(b_pad // tile_b) * n_pad * s * ls * 8
+            + b_pad * t * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_ids_p, q_vals_p, doc_ids_t, doc_vals_t)
+    return out_s[:b], out_i[:b]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "tile_b", "interpret")
+)
+def _sparse_topk_hashed_jit(
+    doc_ids3, doc_vals3, q_ids, q_vals, k, tile_n, tile_b, interpret
+):
+    return sparse_topk_hashed_pallas(
+        doc_ids3, doc_vals3, q_ids, q_vals, k, tile_n=tile_n,
+        tile_b=tile_b, interpret=interpret,
+    )
+
+
+def sparse_topk_hashed(
+    doc_ids3: jnp.ndarray,
+    doc_vals3: jnp.ndarray,
+    q_ids: jnp.ndarray,
+    q_vals: jnp.ndarray,
+    k: int,
+    use_pallas: Optional[bool] = None,
+    tile_n: int = 2048,
+    tile_b: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dispatching entry for the hashed-segment layout; the non-Pallas
+    path flattens segments back to an (N, S*Ls) ELL for the reference
+    scorer (identical scores — segments partition the same entries)."""
+    k = min(k, doc_ids3.shape[0])
+    backend = jax.default_backend()
+    if use_pallas is None:
+        use_pallas = backend == "tpu"
+    if use_pallas:
+        return _sparse_topk_hashed_jit(
+            doc_ids3, doc_vals3, q_ids, q_vals, k, tile_n, tile_b,
+            backend != "tpu",
+        )
+    n, s, ls = doc_ids3.shape
+    flat_ids = doc_ids3.reshape(n, s * ls)
+    flat_vals = doc_vals3.reshape(n, s * ls)
+    scores = sparse_scores_ref(flat_ids, flat_vals, q_ids, q_vals)
+    top_s, top_i = jax.lax.top_k(scores, k)
+    return top_s, top_i.astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "tile_n", "interpret")
 )

@@ -346,7 +346,10 @@ class RetrievalSystem:
             gather_rows_device,
             rerank_cosine,
         )
-        from persian_rag_tpu.ops.sparse_scores import sparse_topk
+        from persian_rag_tpu.ops.sparse_scores import (
+            sparse_topk,
+            sparse_topk_hashed,
+        )
 
         kbs = self.bm25_index.bucket_kbs(m_b)
         key = ("hybrid", k, m_d, m_b, rerank, dense_weight, bm25_weight, kbs)
@@ -374,7 +377,12 @@ class RetrievalSystem:
                     stage1_bf16=stage1_bf16, center=center,
                 )
                 if n_buckets == 0:
-                    l_s, l_i = sparse_topk(
+                    lex_fn = (
+                        sparse_topk_hashed
+                        if lex_arrays[0].ndim == 3
+                        else sparse_topk
+                    )
+                    l_s, l_i = lex_fn(
                         lex_arrays[0], lex_arrays[1], qids, qvals, m_b
                     )
                 else:

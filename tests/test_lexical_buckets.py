@@ -75,3 +75,31 @@ def test_bucketed_sharded_matches_single_device():
     s1, i1 = sharded.search([q], k=6)
     np.testing.assert_array_equal(i0, i1)
     np.testing.assert_allclose(s0, s1, rtol=1e-5)
+
+
+def test_hashed_device_layout_engages_and_matches_dense():
+    """Wide-ELL buckets adopt the (N, S, Ls) hashed device layout on a
+    single chip; search results stay identical to the dense argsort."""
+    from persian_rag_tpu.index.lexical import BM25Index, _HASH_MIN_L
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(900)]
+    # realistic chunk-scale docs: ~90 unique terms (the reference's
+    # 150-word chunks land at L~110-160; the hashed gate needs L>=64)
+    docs = [
+        " ".join(rng.choice(vocab, size=90, replace=False))
+        for _ in range(150)
+    ]
+    index = BM25Index().build(docs, use_native=False)
+    buckets = index._buckets
+    arrays = (
+        [b.dev_ids for b in buckets] if buckets else [index._dev_ids]
+    )
+    assert any(a.ndim == 3 for a in arrays), "hashed layout not engaged"
+
+    query = " ".join(vocab[:12])
+    dense = index.get_scores(query)
+    scores, ids = index.search([query], k=7)
+    want = np.lexsort((np.arange(len(dense)), -dense))[:7]
+    np.testing.assert_array_equal(ids[0], want)
+    np.testing.assert_allclose(scores[0], dense[want], rtol=1e-5)

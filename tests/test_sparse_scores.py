@@ -90,3 +90,110 @@ def test_dispatcher_cpu_path(rng):
         jnp.asarray(ids), jnp.asarray(vals), jnp.asarray(qids), jnp.asarray(qvals), k=3
     )
     assert s.shape == (2, 3) and i.shape == (2, 3)
+
+
+# -- hashed-segment layout ----------------------------------------------------
+
+
+def _random_ell(rng, n=300, el=17, vocab=500):
+    ids = np.full((n, el), -1, np.int32)
+    vals = np.zeros((n, el), np.float32)
+    for d in range(n):
+        nt = int(rng.integers(2, el))
+        terms = rng.choice(vocab, nt, replace=False)
+        ids[d, :nt] = terms
+        vals[d, :nt] = rng.random(nt).astype(np.float32) * 2 - 0.5
+    return ids, vals
+
+
+def _random_queries(rng, b=10, t=9, vocab=500):
+    qids = np.full((b, t), -2, np.int32)
+    qvals = np.zeros((b, t), np.float32)
+    for i in range(b):
+        nt = int(rng.integers(1, t))
+        qids[i, :nt] = rng.choice(vocab, nt, replace=False)
+        qvals[i, :nt] = rng.integers(1, 4, nt)
+    return qids, qvals
+
+
+@pytest.mark.parametrize("n_segments", [4, 8, 16])
+def test_hash_segments_partition_invariants(rng, n_segments):
+    from persian_rag_tpu.ops.sparse_scores import hash_segments
+
+    ids, vals = _random_ell(rng)
+    ids3, vals3 = hash_segments(ids, vals, n_segments)
+    assert ids3.shape[:2] == (ids.shape[0], n_segments)
+    assert ids3.shape[2] % 8 == 0
+    # every (tid, val) entry survives, in its hash segment
+    for d in range(0, ids.shape[0], 37):
+        orig = sorted(
+            (int(t_), float(v)) for t_, v in zip(ids[d], vals[d]) if t_ >= 0
+        )
+        repacked = sorted(
+            (int(t_), float(v))
+            for g in range(n_segments)
+            for t_, v in zip(ids3[d, g], vals3[d, g])
+            if t_ >= 0
+        )
+        assert orig == repacked
+        for g in range(n_segments):
+            seg = ids3[d, g][ids3[d, g] >= 0]
+            assert (seg % n_segments == g).all()
+
+
+def test_hashed_kernel_matches_flat_reference(rng):
+    from persian_rag_tpu.ops.sparse_scores import (
+        hash_segments,
+        sparse_scores_ref,
+        sparse_topk,
+        sparse_topk_hashed,
+        sparse_topk_hashed_pallas,
+    )
+
+    ids, vals = _random_ell(rng, n=700, el=23)
+    qids, qvals = _random_queries(rng, b=12)
+    ids3, vals3 = hash_segments(ids, vals, 8)
+    want_s, want_i = sparse_topk(
+        jnp.asarray(ids), jnp.asarray(vals),
+        jnp.asarray(qids), jnp.asarray(qvals), 8, use_pallas=False,
+    )
+    got_s, got_i = sparse_topk_hashed_pallas(
+        jnp.asarray(ids3), jnp.asarray(vals3),
+        jnp.asarray(qids), jnp.asarray(qvals), 8,
+        tile_n=256, tile_b=8, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(got_s), np.asarray(want_s), rtol=1e-5, atol=1e-6
+    )
+    # dispatcher's non-pallas path
+    ds, di = sparse_topk_hashed(
+        jnp.asarray(ids3), jnp.asarray(vals3),
+        jnp.asarray(qids), jnp.asarray(qvals), 8, use_pallas=False,
+    )
+    np.testing.assert_array_equal(np.asarray(di), np.asarray(want_i))
+
+
+def test_hashed_kernel_tile_boundaries_and_negative_vals(rng):
+    """N not a tile multiple + negative contributions (floored-idf BM25
+    rows can be negative; pad columns must not win)."""
+    from persian_rag_tpu.ops.sparse_scores import (
+        hash_segments,
+        sparse_topk,
+        sparse_topk_hashed_pallas,
+    )
+
+    ids, vals = _random_ell(rng, n=391, el=11, vocab=60)
+    vals = -np.abs(vals)  # all-negative scores
+    qids, qvals = _random_queries(rng, b=5, t=5, vocab=60)
+    ids3, vals3 = hash_segments(ids, vals, 4)
+    want_s, want_i = sparse_topk(
+        jnp.asarray(ids), jnp.asarray(vals),
+        jnp.asarray(qids), jnp.asarray(qvals), 6, use_pallas=False,
+    )
+    got_s, got_i = sparse_topk_hashed_pallas(
+        jnp.asarray(ids3), jnp.asarray(vals3),
+        jnp.asarray(qids), jnp.asarray(qvals), 6,
+        tile_n=128, tile_b=8, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
