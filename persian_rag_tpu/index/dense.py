@@ -101,8 +101,12 @@ class DenseIndex:
         if jnp.dtype(storage_dtype) == jnp.int8:
             if metric == "l2":
                 raise ValueError("int8 storage supports ip/cosine only")
-            if mesh is not None:
-                raise ValueError("int8 storage is single-chip for now")
+            if mesh is not None and refine_dtype is None:
+                raise ValueError(
+                    "int8 storage on a mesh requires a refine copy "
+                    "(the sharded tier re-scores per-shard candidates "
+                    "exactly; raw int8-score serving is single-chip)"
+                )
         self.dim = dim
         self.metric = metric
         self.mesh = mesh
@@ -181,6 +185,31 @@ class DenseIndex:
             values = np.clip(
                 np.rint(centered / scales[:, None]), -127, 127
             ).astype(np.int8)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from persian_rag_tpu.core.mesh import (
+                    CORPUS_AXIS,
+                    replicated_sharding,
+                )
+
+                self._device_corpus, _ = shard_corpus(
+                    jnp.asarray(values), self.mesh
+                )
+                n_pad = self._device_corpus.shape[0]
+                scales_p = np.zeros(n_pad, np.float32)
+                scales_p[: scales.shape[0]] = scales
+                self._row_scales = jax.device_put(
+                    jnp.asarray(scales_p),
+                    NamedSharding(self.mesh, P(CORPUS_AXIS)),
+                )
+                self._refine_corpus, _ = shard_corpus(
+                    jnp.asarray(corpus).astype(self.refine_dtype),
+                    self.mesh,
+                )
+                self._center = jax.device_put(
+                    jnp.asarray(center), replicated_sharding(self.mesh)
+                )
+                return
             self._center = jax.device_put(jnp.asarray(center))
             self._row_scales = jax.device_put(jnp.asarray(scales))
             self._device_corpus = jax.device_put(jnp.asarray(values))
@@ -238,7 +267,26 @@ class DenseIndex:
         q = jnp.asarray(queries)
         metric = "l2" if self.metric == "l2" else "dot"
         k = min(k, self._ntotal)
-        if self.mesh is not None:
+        if self.mesh is not None and self.storage_dtype == jnp.int8:
+            from persian_rag_tpu.parallel.sharded_search import (
+                sharded_int8_topk,
+            )
+
+            k_scan = min(
+                max(refine_k or max(10 * k, 100), k), self._ntotal
+            )
+            scores, ids = sharded_int8_topk(
+                q,
+                self._device_corpus,
+                self._row_scales,
+                self._refine_corpus,
+                k,
+                self._ntotal,
+                self.mesh,
+                k_scan=k_scan,
+                use_pallas=self.use_pallas,
+            )
+        elif self.mesh is not None:
             from persian_rag_tpu.core.mesh import DATA_AXIS
             from persian_rag_tpu.parallel.sharded_search import (
                 sharded_flat_topk_2d,

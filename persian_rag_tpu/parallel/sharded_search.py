@@ -149,6 +149,84 @@ def sharded_flat_topk(
     return jax.jit(fn)(*args)
 
 
+def sharded_int8_topk(
+    queries: jnp.ndarray,
+    values_sharded: jnp.ndarray,
+    scales_sharded: jnp.ndarray,
+    refine_sharded: jnp.ndarray,
+    k: int,
+    n_actual: int,
+    mesh: Mesh,
+    k_scan: int = 100,
+    use_pallas: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Row-sharded int8 candidate-generation tier with per-shard exact
+    refine and an ICI-merged global top-k.
+
+    Each shard scans its LOCAL int8 rows for k_scan candidates (packed-
+    key merge-free kernel on TPU, exact int8-score selection elsewhere),
+    re-scores them exactly against its local full-precision refine rows,
+    and contributes its refined local top-k to the all_gather merge.
+    The union of per-shard candidate sets is a superset of the global
+    int8 top-k_scan, so recall is >= the single-chip two-stage tier's.
+    dot/cosine metrics only (matches the single-chip int8 tier).
+    """
+    from persian_rag_tpu.index.dense import _refine_topk
+    from persian_rag_tpu.ops.flat_topk import flat_topk_scaled_candidates
+
+    n_shards = mesh.shape[CORPUS_AXIS]
+    k = min(k, n_actual)
+    if use_pallas is None:
+        use_pallas = _mesh_on_tpu(mesh)
+    local_n_static = values_sharded.shape[0] // n_shards
+    pad_total = local_n_static * n_shards - n_actual
+    k_local = min(k + pad_total, local_n_static)
+    k_scan_local = min(max(k_scan, k_local), local_n_static)
+
+    def local_search(q, v_local, s_local, r_local):
+        shard = jax.lax.axis_index(CORPUS_AXIS)
+        local_n = v_local.shape[0]
+        if use_pallas and local_n >= 4096:
+            cand = flat_topk_scaled_candidates(
+                q, v_local, s_local, k_scan_local
+            )
+        else:
+            _, cand = flat_topk(
+                q, v_local, k_scan_local, metric="dot",
+                corpus_scale=s_local, use_pallas=False,
+            )
+        s, i = _refine_topk(q, r_local, cand, k_local)
+        gid = jnp.where(i >= 0, i + shard * local_n, -1)
+        invalid = (gid >= n_actual) | (gid < 0)
+        s = jnp.where(invalid, NEG_INF, s)
+        gid = jnp.where(invalid, -1, gid)
+
+        all_s = jax.lax.all_gather(s, CORPUS_AXIS)
+        all_i = jax.lax.all_gather(gid, CORPUS_AXIS)
+        q_n = q.shape[0]
+        cand_s = jnp.moveaxis(all_s, 0, 1).reshape(q_n, n_shards * k_local)
+        cand_i = jnp.moveaxis(all_i, 0, 1).reshape(q_n, n_shards * k_local)
+        top_s, pos = jax.lax.top_k(cand_s, k)
+        top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return top_s, top_i.astype(jnp.int32)
+
+    fn = shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(CORPUS_AXIS, None),
+            P(CORPUS_AXIS),
+            P(CORPUS_AXIS, None),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(
+        queries, values_sharded, scales_sharded, refine_sharded
+    )
+
+
 def sharded_flat_topk_2d(
     queries: jnp.ndarray,
     corpus_sharded: jnp.ndarray,

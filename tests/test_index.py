@@ -142,14 +142,18 @@ def test_int8_storage_high_recall(rng):
     assert (i[:, 0] == np.arange(5)).all()
 
 
-def test_int8_rejects_l2_and_mesh(rng):
+def test_int8_rejects_l2_and_unrefined_mesh(rng):
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         DenseIndex(8, metric="l2", storage_dtype="int8")
+    # a mesh int8 tier is supported WITH a refine copy (round 3); only
+    # the raw no-refine int8 serving mode stays single-chip
     mesh = build_mesh(corpus_axis=2, data_axis=1)
     with _pytest.raises(ValueError):
-        DenseIndex(8, metric="cosine", storage_dtype="int8", mesh=mesh)
+        DenseIndex(8, metric="cosine", storage_dtype="int8", mesh=mesh,
+                   refine_dtype=None)
+    DenseIndex(8, metric="cosine", storage_dtype="int8", mesh=mesh)
 
 
 def test_int8_incremental_add(rng):

@@ -144,3 +144,61 @@ def test_dense_index_bf16_storage_on_mesh_matches_single_chip(rng):
     got_s, got_i = idx.search(queries, k)
     np.testing.assert_array_equal(got_i, want_i)
     np.testing.assert_allclose(got_s, want_s, rtol=1e-2, atol=1e-2)
+
+
+def test_dense_index_int8_tier_on_mesh(rng):
+    """int8 candidate tier + exact refine on a corpus-sharded mesh.
+    Per-shard candidate sets are a superset of the single-chip global
+    selection, so recall vs the exact scan must be >= the single-chip
+    int8 tier's; a 1-device mesh must match the single-chip tier
+    exactly."""
+    from persian_rag_tpu.index.dense import DenseIndex
+
+    n, d, k = 1003, 32, 10
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((16, d)).astype(np.float32)
+
+    exact = DenseIndex(d, metric="cosine")
+    exact.add(vectors)
+    exact.commit()
+    _, want = exact.search(queries, k)
+
+    single = DenseIndex(d, metric="cosine", storage_dtype=jnp.int8)
+    single.add(vectors)
+    single.commit()
+    _, got1 = single.search(queries, k)
+
+    def recall(got):
+        return np.mean(
+            [len(set(got[q]) & set(want[q])) / k for q in range(len(got))]
+        )
+
+    mesh1 = build_mesh(corpus_axis=1, data_axis=1)
+    idx1 = DenseIndex(d, metric="cosine", mesh=mesh1,
+                      storage_dtype=jnp.int8)
+    idx1.add(vectors)
+    idx1.commit()
+    s1m, i1m = idx1.search(queries, k)
+    np.testing.assert_array_equal(i1m, got1)
+
+    mesh = build_mesh(corpus_axis=8, data_axis=1)
+    idx = DenseIndex(d, metric="cosine", mesh=mesh, storage_dtype=jnp.int8)
+    idx.add(vectors)
+    idx.commit()
+    s8, i8 = idx.search(queries, k)
+    assert recall(i8) >= recall(got1) - 1e-9
+    assert recall(i8) >= 0.95
+    # refined scores are exact cosines for the rows they name
+    vn = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    true = np.einsum("qd,qkd->qk", qn, vn[np.maximum(i8, 0)])
+    np.testing.assert_allclose(s8, true, rtol=1e-4, atol=1e-5)
+
+
+def test_dense_index_int8_mesh_requires_refine_copy():
+    from persian_rag_tpu.index.dense import DenseIndex
+
+    mesh = build_mesh(corpus_axis=8, data_axis=1)
+    with pytest.raises(ValueError, match="refine"):
+        DenseIndex(16, metric="ip", mesh=mesh, storage_dtype=jnp.int8,
+                   refine_dtype=None)
