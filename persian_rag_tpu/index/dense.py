@@ -75,8 +75,10 @@ class DenseIndex:
         refine_dtype: Optional[str] = "float32",
     ):
         """storage_dtype=bfloat16 halves HBM residency and bandwidth
-        (Recall@10 ~0.99 isotropic, ~0.97 on real embedding geometry —
-        blended bootstrap of the reference's shipped vectors);
+        (Recall@10 ~0.99 isotropic; on real embedding geometry ~0.97
+        for l2 and ~0.93 for dot/cosine, whose rows are stored
+        mean-centered like the int8 tier — uncentered cosine-bf16
+        measured 0.09 on the tight cone real embeddings occupy);
         storage_dtype=int8 quarters it (per-row absmax scales folded in
         post-matmul; dot/cosine only, single-chip) — int8 is a
         CANDIDATE-GENERATION tier: `search(refine_k=...)` over-retrieves
@@ -126,6 +128,17 @@ class DenseIndex:
         # corpus — several times the search kernel's own HBM traffic.
         self._sqnorms: Optional[jnp.ndarray] = None
         self._stage1_bf16: Optional[jnp.ndarray] = None
+        # stage-1 centering (f32 storage): the bf16 image holds c - mu
+        self._stage1_center: Optional[jnp.ndarray] = None
+        self._center_sqmax: Optional[jnp.ndarray] = None
+        # commit-time margin probe outcome: "bf16" (one-pass stage 1),
+        # "bf16x2" (hi/lo split, 3 MXU passes, ~100x tighter proof
+        # bound), or "scan" (margin-free corpus: the residual proof
+        # cannot hold at any stage-1 precision, so exact serving goes
+        # straight to the chunked f32 scan instead of paying a doomed
+        # candidate pass per dispatch)
+        self._stage1_mode: str = "bf16"
+        self._stage1_lo: Optional[jnp.ndarray] = None
         self._ntotal = 0
 
     # -- construction -------------------------------------------------------
@@ -173,6 +186,10 @@ class DenseIndex:
         self._ntotal = corpus.shape[0]
         self._sqnorms = None
         self._stage1_bf16 = None
+        self._stage1_center = None
+        self._center_sqmax = None
+        self._stage1_mode = "bf16"
+        self._stage1_lo = None
         self._center = None
         if self.storage_dtype == jnp.int8:
             # quantize mean-CENTERED rows: ranking-invariant, and on real
@@ -218,7 +235,29 @@ class DenseIndex:
                     jnp.asarray(corpus).astype(self.refine_dtype)
                 )
             return
-        arr = jnp.asarray(corpus).astype(self.storage_dtype)
+        # bf16 storage for dot/cosine stores MEAN-CENTERED rows, exactly
+        # like the int8 tier: real embeddings concentrate in a tight
+        # cone, and the discriminative part of a raw dot is smaller than
+        # bf16's 8-bit mantissa step (measured Recall@10 0.09 uncentered
+        # vs ~0.93 centered on real-geometry cosine — the residual
+        # misses are near-ties inside bf16's own mantissa step; the
+        # int8+refine tier is the high-recall compact option). The shift
+        # <q, mu> is restored after search; ranking is unchanged. l2
+        # keeps uncentered storage (its ranking information rides the
+        # exact f32 ||c||^2 cache, measured unaffected).
+        store_src = corpus
+        if self.storage_dtype == jnp.bfloat16 and self.metric != "l2":
+            center = corpus.mean(axis=0).astype(np.float32)
+            store_src = corpus - center[None, :]
+            if self.mesh is not None:
+                from persian_rag_tpu.core.mesh import replicated_sharding
+
+                self._center = jax.device_put(
+                    jnp.asarray(center), replicated_sharding(self.mesh)
+                )
+            else:
+                self._center = jax.device_put(jnp.asarray(center))
+        arr = jnp.asarray(store_src).astype(self.storage_dtype)
         if self.mesh is not None:
             arr, _ = shard_corpus(arr, self.mesh)
         else:
@@ -232,8 +271,79 @@ class DenseIndex:
         a32 = arr.astype(jnp.float32)
         self._sqnorms = jnp.sum(a32 * a32, axis=-1)
         if arr.dtype != jnp.bfloat16:
-            self._stage1_bf16 = arr.astype(jnp.bfloat16)
+            # stage-1 image is MEAN-CENTERED: the uncentered bf16 proof
+            # fails on every batch of real embedding geometry (rows in
+            # a tight cone -> score spread below the bf16 rounding
+            # bound), silently degrading the exact path to its
+            # full-scan fallback. Centering is ranking-invariant; the
+            # two-stage path translates its bound by <q, mu> and uses
+            # the centered norms for eps (flat_topk_exact2_stream).
+            mu = jnp.mean(a32, axis=0)
+            centered = a32 - mu[None, :]
+            if self.mesh is not None:
+                from persian_rag_tpu.core.mesh import replicated_sharding
+
+                rep = replicated_sharding(self.mesh)
+                self._stage1_center = jax.device_put(mu, rep)
+                self._center_sqmax = jax.device_put(
+                    jnp.max(jnp.sum(centered * centered, axis=-1)), rep
+                )
+            else:
+                self._stage1_center = mu
+                self._center_sqmax = jnp.max(
+                    jnp.sum(centered * centered, axis=-1)
+                )
+            hi = centered.astype(jnp.bfloat16)
+            self._stage1_bf16 = hi
+            self._stage1_mode = self._probe_stage1_mode(a32, centered)
+            if self._stage1_mode == "bf16x2":
+                self._stage1_lo = (
+                    centered - hi.astype(jnp.float32)
+                ).astype(jnp.bfloat16)
         self._device_corpus = arr
+
+    def _probe_stage1_mode(self, a32, centered) -> str:
+        """Commit-time margin probe: can the two-stage residual proof be
+        expected to HOLD on this corpus's geometry?
+
+        The proof needs (kth refined score) - (candidate bound) > eps.
+        Real embedding corpora are near-tie continuums around the top-k
+        boundary — measured 0/20 batches passing at 500k real-geometry
+        rows with the plain bf16 stage — so probing 64 synthetic queries
+        (perturbed corpus rows) against the centered corpus picks the
+        cheapest stage-1 whose eps clears the observed gaps with 2x
+        slack. A wrong pick costs speed only (the per-dispatch proof
+        still guards exactness)."""
+        import jax.random as jrandom
+
+        from persian_rag_tpu.ops.flat_topk import (
+            _bf16_matmul_eps,
+            _bf16x2_matmul_eps,
+        )
+
+        n, d = a32.shape
+        if n < 65536:
+            return "bf16"  # two-stage regime not engaged below this
+        pn = 64
+        key = jrandom.PRNGKey(n)
+        k1, k2 = jrandom.split(key)
+        idx = jrandom.randint(k1, (pn,), 0, n)
+        probe = a32[idx] + 0.05 * jnp.std(a32) * jrandom.normal(
+            k2, (pn, d), jnp.float32
+        )
+        s = probe @ centered.T
+        top = jax.lax.top_k(s, 33)[0]
+        gap = np.asarray(top[:, 9] - top[:, 32])
+        qn = np.asarray(jnp.linalg.norm(probe, axis=1))
+        err_f = 2.0 if self.metric == "l2" else 1.0
+        cn = float(np.sqrt(np.asarray(self._center_sqmax)))
+        eps16 = err_f * _bf16_matmul_eps(d) * qn * cn
+        eps_x2 = err_f * _bf16x2_matmul_eps(d) * qn * cn
+        if (gap > 2.0 * eps16).all():
+            return "bf16"
+        if (gap > 2.0 * eps_x2).all():
+            return "bf16x2"
+        return "scan"
 
     # -- search -------------------------------------------------------------
 
@@ -302,6 +412,12 @@ class DenseIndex:
                 search_fn = sharded_flat_topk_2d
             else:
                 search_fn = sharded_flat_topk
+            mode_eff = (
+                "scan"
+                if self._stage1_mode == "scan"
+                and self.search_mode == "exact"
+                else self.search_mode
+            )
             scores, ids = search_fn(
                 q,
                 self._device_corpus,
@@ -311,10 +427,16 @@ class DenseIndex:
                 metric=metric,
                 use_pallas=self.use_pallas,
                 compute_dtype=self.compute_dtype,
-                mode=self.search_mode,
+                mode=mode_eff,
                 corpus_sqnorm_sharded=self._sqnorms,
                 corpus_bf16_sharded=self._stage1_bf16,
+                corpus_center=self._stage1_center,
+                center_sqmax=self._center_sqmax,
+                corpus_bf16_lo_sharded=self._stage1_lo,
             )
+            if self._center is not None:
+                # centered bf16 storage: restore the <q, mu> shift
+                scores = scores + (q @ self._center)[:, None]
         else:
             compute = self.compute_dtype
             refine = (
@@ -340,6 +462,12 @@ class DenseIndex:
                 )
                 scores, ids = _refine_topk(q, self._refine_corpus, cand, k)
             else:
+                mode_eff = (
+                    "scan"
+                    if self._stage1_mode == "scan"
+                    and self.search_mode == "exact"
+                    else self.search_mode
+                )
                 scores, ids = flat_topk(
                     q,
                     self._device_corpus,
@@ -350,7 +478,10 @@ class DenseIndex:
                     corpus_bf16=self._stage1_bf16,
                     use_pallas=self.use_pallas,
                     compute_dtype=compute,
-                    mode=self.search_mode,
+                    mode=mode_eff,
+                    corpus_center=self._stage1_center,
+                    center_sqmax=self._center_sqmax,
+                    corpus_bf16_lo=self._stage1_lo,
                 )
                 if refine:
                     scores, ids = _refine_topk(
@@ -388,6 +519,9 @@ class DenseIndex:
         sqnorms: Optional[jnp.ndarray] = None,
         stage1_bf16: Optional[jnp.ndarray] = None,
         center: Optional[jnp.ndarray] = None,
+        stage1_center: Optional[jnp.ndarray] = None,
+        center_sqmax: Optional[jnp.ndarray] = None,
+        stage1_lo: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Jittable single-chip search: no host transfers, traced queries OK.
 
@@ -411,6 +545,12 @@ class DenseIndex:
             stage1_bf16 = self._stage1_bf16
         if center is None:
             center = self._center
+        if stage1_center is None:
+            stage1_center = self._stage1_center
+        if center_sqmax is None:
+            center_sqmax = self._center_sqmax
+        if stage1_lo is None:
+            stage1_lo = self._stage1_lo
         if corpus is None:
             raise ValueError("index is empty; add() + commit() first")
         if self.metric == "cosine":
@@ -429,6 +569,11 @@ class DenseIndex:
                 queries, corpus, row_scales, k_scan
             )
             return _refine_topk(queries, refine_corpus, cand, k)
+        mode_eff = (
+            "scan"
+            if self._stage1_mode == "scan" and self.search_mode == "exact"
+            else self.search_mode
+        )
         scores, ids = flat_topk(
             queries,
             corpus,
@@ -439,7 +584,10 @@ class DenseIndex:
             corpus_bf16=stage1_bf16,
             use_pallas=self.use_pallas,
             compute_dtype=compute,
-            mode=self.search_mode,
+            mode=mode_eff,
+            corpus_center=stage1_center,
+            center_sqmax=center_sqmax,
+            corpus_bf16_lo=stage1_lo,
         )
         if refine:
             scores, ids = _refine_topk(queries, refine_corpus, ids, k)
@@ -447,19 +595,11 @@ class DenseIndex:
             scores = scores + (queries @ center)[:, None]
         return scores, ids
 
-    def fused_args(
-        self,
-    ) -> Tuple[
-        jnp.ndarray,
-        Optional[jnp.ndarray],
-        Optional[jnp.ndarray],
-        Optional[jnp.ndarray],
-        Optional[jnp.ndarray],
-        Optional[jnp.ndarray],
-    ]:
+    def fused_args(self) -> Tuple[Optional[jnp.ndarray], ...]:
         """(corpus, row_scales, refine_corpus, sqnorms, stage1_bf16,
-        center) device arrays to pass into a jitted function that calls
-        `search_device` with them."""
+        center, stage1_center, center_sqmax, stage1_lo) device arrays to
+        pass into a jitted function that calls `search_device` with
+        them."""
         if self._pending:
             self.commit()
         return (
@@ -469,6 +609,9 @@ class DenseIndex:
             self._sqnorms,
             self._stage1_bf16,
             self._center,
+            self._stage1_center,
+            self._center_sqmax,
+            self._stage1_lo,
         )
 
     # -- persistence --------------------------------------------------------

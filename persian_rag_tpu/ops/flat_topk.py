@@ -210,16 +210,23 @@ def _exact_refine(q32, corpus, cand, csq, metric, k):
     return top_s, jnp.take_along_axis(cand, pos, axis=1).astype(jnp.int32)
 
 
-def _proof_eps(q32, csq, metric):
-    """Per-query rigorous bound on |bf16 stage-1 score - true score|."""
+def _proof_eps(q32, csq, metric, max_cnorm_sq=None, eps_mm=None):
+    """Per-query rigorous bound on |bf16 stage-1 score - true score|.
+
+    max_cnorm_sq: max squared norm of the rows the bf16 matmul actually
+    SAW (the centered rows when a centered stage-1 image is in use —
+    their norms are a small fraction of the raw rows' on real embedding
+    geometry, which is precisely why centering rescues the proof
+    margins there). Defaults to max(csq) (uncentered image).
+    eps_mm: relative matmul bound (defaults to the plain-bf16 bound;
+    the bf16x2 stage passes `_bf16x2_matmul_eps`)."""
     err_factor = 2.0 if metric == "l2" else 1.0
     q_norm = jnp.sqrt(jnp.sum(q32 * q32, axis=-1))
-    return (
-        err_factor
-        * _bf16_matmul_eps(q32.shape[1])
-        * q_norm
-        * jnp.sqrt(jnp.max(csq))
-    )
+    if max_cnorm_sq is None:
+        max_cnorm_sq = jnp.max(csq)
+    if eps_mm is None:
+        eps_mm = _bf16_matmul_eps(q32.shape[1])
+    return err_factor * eps_mm * q_norm * jnp.sqrt(max_cnorm_sq)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "m"))
@@ -330,9 +337,35 @@ def flat_topk_exact2_stream(
     bf16_transposed: bool = False,
     return_ok: bool = False,
     group: int = 0,
+    corpus_center: Optional[jnp.ndarray] = None,
+    center_sqmax: Optional[jnp.ndarray] = None,
+    corpus_bf16_lo: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming bit-exact top-k: merge-free bf16 Pallas candidate
     extraction -> one small XLA top_k -> f32 refine -> residual proof.
+
+    corpus_bf16_lo: bf16 rounding residues of the (centered) stage-1
+    rows. When given, stage 1 runs the bf16x2 kernel (3 MXU passes,
+    ~2^-17-relative scores) whose ~100x tighter proof bound survives
+    real-geometry margins that defeat plain bf16 (see
+    `_extract_candidates_x2_kernel`). corpus_bf16 must then hold the
+    bf16 HI parts (centered when corpus_center is set).
+
+    corpus_center: (d,) row mean for a MEAN-CENTERED stage-1 image.
+    When given, the bf16 image streamed by the candidate kernel holds
+    (c - mu) rows (pass the precomputed image via corpus_bf16, or let
+    this function derive it); candidate RANKING is unchanged (the shift
+    <q, mu> is constant per query), the refine stage re-scores against
+    the ORIGINAL rows so returned scores are exact, and the residual
+    proof translates its bound by <q, mu> (2<q, mu> for l2) and uses
+    the centered row norms (center_sqmax = max ||c - mu||^2, cached by
+    callers) for the bf16 rounding term. On real embedding geometry —
+    rows concentrated in a tight cone — the uncentered proof FAILS ON
+    EVERY BATCH (measured 0/20 at 500k real-geometry rows: scores
+    cluster within the bf16 rounding bound of each other), silently
+    degrading every search to the full-scan fallback; centering
+    restores the margins because both the score spread and the error
+    bound live in the centered space.
 
     Stage 1 streams the corpus once through `flat_topk_candidates`
     (per-tile top-n_easy packed keys + a per-tile remaining-max bound;
@@ -386,22 +419,31 @@ def flat_topk_exact2_stream(
     # loop-style callers (bench's fori) get them hoisted by XLA anyway.
     # bf16_transposed: corpus_bf16 is stored (d, N) so the candidate
     # kernel's MXU contraction needs no per-tile corpus transpose.
+    # With corpus_center set, a caller-supplied corpus_bf16 MUST already
+    # hold the centered rows (DenseIndex builds it that way at commit).
     if corpus_bf16 is not None:
         c16 = corpus_bf16
-    elif corpus.dtype == jnp.bfloat16:
-        c16 = corpus.T if bf16_transposed else corpus
     else:
-        c16 = (
-            corpus.astype(jnp.bfloat16).T
-            if bf16_transposed
-            else corpus.astype(jnp.bfloat16)
-        )
+        src = corpus
+        if corpus_center is not None:
+            src = corpus.astype(jnp.float32) - corpus_center[None, :]
+        if src.dtype == jnp.bfloat16:
+            c16 = src.T if bf16_transposed else src
+        else:
+            c16 = (
+                src.astype(jnp.bfloat16).T
+                if bf16_transposed
+                else src.astype(jnp.bfloat16)
+            )
     if corpus_sqnorm is not None:
         csq = corpus_sqnorm.astype(jnp.float32)
     else:
         csq = jnp.sum(
             corpus.astype(jnp.float32) * corpus.astype(jnp.float32), axis=-1
         )
+    q_lo = None
+    if corpus_bf16_lo is not None:
+        q_lo = q32 - q32.astype(jnp.bfloat16).astype(jnp.float32)
     cand_keys, bound_keys, tn = flat_topk_candidates(
         q32,
         c16,
@@ -414,6 +456,8 @@ def flat_topk_exact2_stream(
         interpret=interpret,
         corpus_transposed=bf16_transposed,
         group=group,
+        corpus_lo=corpus_bf16_lo,
+        queries_lo=q_lo,
     )
     k_scan = min(k_scan, cand_keys.shape[1])
     assert k <= k_scan, (k, k_scan, cand_keys.shape)
@@ -433,7 +477,30 @@ def flat_topk_exact2_stream(
     cand = jnp.sort(ids, axis=1)  # -1 sentinels first, then id-ascending
     top_s, top_i = _exact_refine(q32, corpus, cand, csq, metric, k)
 
-    eps = _proof_eps(q32, csq, metric)
+    eps_mm = (
+        _bf16x2_matmul_eps(q32.shape[1])
+        if corpus_bf16_lo is not None
+        else None
+    )
+    if corpus_center is not None:
+        # stage-1 keys/bounds live in centered space: translate the
+        # bound back to true-score space (<q, mu> per query; the l2
+        # maximize space 2 q.c - ||c||^2 shifts by 2<q, mu>), and bound
+        # the bf16 rounding term by the CENTERED row norms.
+        qc = q32 @ corpus_center.astype(jnp.float32)
+        bound_val = bound_val + (2.0 * qc if metric == "l2" else qc)
+        if center_sqmax is None:
+            # rigorous fallback: ||c - mu|| <= ||c|| + ||mu||
+            mu_norm = jnp.sqrt(
+                jnp.sum(corpus_center.astype(jnp.float32) ** 2)
+            )
+            max_cn = (jnp.sqrt(jnp.max(csq)) + mu_norm) ** 2
+        else:
+            max_cn = center_sqmax
+        eps = _proof_eps(q32, csq, metric, max_cnorm_sq=max_cn,
+                         eps_mm=eps_mm)
+    else:
+        eps = _proof_eps(q32, csq, metric, eps_mm=eps_mm)
     ok = jnp.all(top_s[:, k - 1] > bound_val + eps)
 
     def _refined(_):
@@ -446,21 +513,13 @@ def flat_topk_exact2_stream(
     def _full_scan(_):
         if n_q * n * 4 <= 256 * 1024 * 1024:
             return flat_topk_ref(q32, corpus, k, metric=metric)
-        # Cold proof-failure path: conservative tiles — the exact
-        # kernel's per-tile merge stack at tile_q=256/tile_n=1024
-        # exceeds the 16MB scoped-VMEM limit at 1M rows (the branch
-        # compiles even when never taken), and reliability beats speed
-        # on a branch whose measured hit rate is ~0.
-        return flat_topk_pallas(
-            q32,
-            corpus,
-            k,
-            metric=metric,
-            tile_n=512,
-            tile_q=128,
-            compute_dtype=jnp.float32,
-            mode="exact",
-            interpret=interpret,
+        # Proof-failure path: the chunked XLA scan (f32 HIGHEST,
+        # Q x chunk memory) — several times faster than the
+        # conservative-tile Pallas exact kernel that previously served
+        # this branch, which matters because margin-free corpora (real
+        # embedding near-tie continuums) can hit it persistently.
+        return flat_topk_scan(
+            q32, corpus, k, metric=metric, chunk=16_384
         )
 
     out = jax.lax.cond(ok, _refined, _full_scan, None)
@@ -929,6 +988,71 @@ def _fast_group_topk_kernel(
         out_s_ref[:], out_i_ref[:] = merge_topk(cand_s2, cand_i2, k)
 
 
+def _extract_candidates_x2_kernel(
+    q_ref,
+    qlo_ref,
+    c_ref,
+    clo_ref,
+    cn_ref,
+    out_ref,
+    *,
+    n_actual: int,
+    tile_n: int,
+    metric: str,
+    n_easy: int,
+    out_w: int,
+):
+    """bf16x2 candidate extraction: stage-1 scores from the hi/lo split
+    s = q_hi.c_hi + q_hi.c_lo + q_lo.c_hi (f32 accumulation; the
+    dropped q_lo.c_lo term is <= 2^-18 ||q|| ||c||). Three MXU passes
+    instead of one buy a ~2^-17-relative stage-1, whose rigorous proof
+    bound (`_bf16x2_matmul_eps`) is ~100x tighter than plain bf16's —
+    the difference between the residual proof holding and failing on
+    real embedding geometry (margins there are ~3e-5, vs bf16 eps
+    ~1e-3)."""
+    j = pl.program_id(1)
+
+    def dot16(a_ref, b_ref):
+        return jax.lax.dot_general(
+            a_ref[:].astype(jnp.bfloat16),
+            b_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    s = dot16(q_ref, c_ref) + dot16(q_ref, clo_ref) + dot16(qlo_ref, c_ref)
+    if metric == "l2":
+        s = 2.0 * s - cn_ref[:]
+
+    qt = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (qt, tile_n), 1)
+    ikey = _score_to_ikey(s)
+    key = (ikey & ~_COL_MASK) | (tile_n - 1 - col)
+    if n_actual % tile_n != 0:
+        valid = (col + j * tile_n) < n_actual
+        key = jnp.where(valid, key, _INT_MIN)
+
+    keys = key
+    ranks = []
+    for _ in range(n_easy):
+        m = jnp.max(keys, axis=1, keepdims=True)
+        keys = jnp.where(keys == m, _INT_MIN, keys)
+        ranks.append(m.reshape(1, qt))
+    ranks.append(jnp.max(keys, axis=1, keepdims=True).reshape(1, qt))
+    block = jnp.concatenate(ranks, axis=0)
+    out_ref[:] = _pad_to(block, out_w, 0, value=_INT_MIN)
+
+
+def _bf16x2_matmul_eps(d: int) -> float:
+    """Rigorous relative bound for the 3-term bf16x2 contraction, in
+    units of ||q||*||c||: the dropped q_lo.c_lo term (<= 2^-18), the
+    second-level rounding of each lo part (2 x 2^-18(1+2^-9)), and f32
+    accumulation over three d-term matmuls (3(d-1) 2^-24), with the
+    same 25% slack as the bf16 bound."""
+    return (3.0 * 2.0 ** -18 * (1 + 2.0 ** -9)
+            + 3.0 * (d - 1) * 2.0 ** -24) * 1.25
+
+
 def _extract_candidates_kernel(
     q_ref,
     c_ref,
@@ -1070,6 +1194,8 @@ def flat_topk_candidates(
     interpret: bool = False,
     corpus_transposed: bool = False,
     group: int = 0,
+    corpus_lo: Optional[jnp.ndarray] = None,
+    queries_lo: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
     """Run the candidate-extraction kernel over the full grid.
 
@@ -1089,6 +1215,11 @@ def flat_topk_candidates(
     group > 0 selects the group-reduced kernel (3 full-tile VPU passes
     instead of 2*n_easy+1; slightly weaker per-tile bound — see
     `_extract_candidates_grouped_kernel`).
+
+    corpus_lo/queries_lo select the bf16x2 kernel (hi/lo split scores,
+    `_extract_candidates_x2_kernel`); corpus must then hold the bf16
+    hi parts and queries the f32 originals (queries_lo = the rounding
+    residues). Untransposed, ungrouped layout only.
     """
     n_q, d = queries.shape
     n = corpus.shape[1] if corpus_transposed else corpus.shape[0]
@@ -1123,6 +1254,46 @@ def flat_topk_candidates(
     assert n_easy < 8
     out_w = 8
     grid = (q_pad // tile_q, n_tiles)
+    if corpus_lo is not None:
+        assert not corpus_transposed and not group and corpus_scale is None
+        q_lo = _pad_to(_pad_to(queries_lo, d_pad, 1), q_pad, 0)
+        c_lo = _pad_to(_pad_to(corpus_lo, d_pad, 1), n_pad, 0)
+        kernel = functools.partial(
+            _extract_candidates_x2_kernel,
+            n_actual=n,
+            tile_n=tile_n,
+            metric=metric,
+            n_easy=n_easy,
+            out_w=out_w,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_q, d_pad), lambda i, j: (i, 0)),
+                pl.BlockSpec((tile_q, d_pad), lambda i, j: (i, 0)),
+                pl.BlockSpec((tile_n, d_pad), lambda i, j: (j, 0)),
+                pl.BlockSpec((tile_n, d_pad), lambda i, j: (j, 0)),
+                pl.BlockSpec((1, tile_n), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((out_w, tile_q), lambda i, j: (j, i)),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_tiles * out_w, q_pad), jnp.int32
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=6 * q_pad * n_pad * d_pad,
+                bytes_accessed=q_pad * d_pad * 8 + n_pad * d_pad * 4
+                + q_pad * n_tiles * out_w * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(q, q_lo, c, c_lo, cn)
+        out3 = out[:, :n_q].reshape(n_tiles, out_w, n_q)
+        cand_keys = jnp.transpose(out3[:, :n_easy], (2, 0, 1)).reshape(
+            n_q, n_tiles * n_easy
+        )
+        bound_keys = out3[:, n_easy].T
+        return cand_keys, bound_keys, tile_n
     if group:
         assert tile_n % group == 0, (tile_n, group)
         kernel = functools.partial(
@@ -1447,8 +1618,17 @@ def flat_topk(
     compute_dtype: jnp.dtype = jnp.float32,
     mode: str = "exact",
     exact_materialize_budget: int = 256 * 1024 * 1024,
+    corpus_center: Optional[jnp.ndarray] = None,
+    center_sqmax: Optional[jnp.ndarray] = None,
+    corpus_bf16_lo: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dispatching entry point: Pallas on TPU, pure-JAX elsewhere.
+
+    mode="scan" bypasses the two-stage machinery entirely and runs the
+    chunked f32-HIGHEST scan — the right exact path for margin-free
+    corpora where the residual proof cannot hold (DenseIndex selects it
+    via its commit-time margin probe). corpus_bf16_lo upgrades the
+    two-stage regime's stage 1 to the bf16x2 split.
 
     mode="exact" reproduces FAISS bit-exactly; mode="fast" uses the
     packed-key kernel (scores quantized to 21 bits, ~1e-6 relative).
@@ -1467,6 +1647,8 @@ def flat_topk(
     silently ignore corpus_bf16.
     """
     k = min(k, corpus.shape[0])
+    if mode == "scan":
+        return flat_topk_scan(queries, corpus, k, metric=metric)
     on_tpu = _backend() == "tpu"
     if use_pallas is None:
         use_pallas = on_tpu
@@ -1505,6 +1687,9 @@ def flat_topk(
             corpus_bf16=corpus_bf16,
             n_easy=4,
             interpret=not on_tpu,
+            corpus_center=corpus_center,
+            center_sqmax=center_sqmax,
+            corpus_bf16_lo=corpus_bf16_lo,
         )
     if (
         mode == "exact"

@@ -65,6 +65,9 @@ def sharded_flat_topk(
     mode: str = "exact",
     corpus_sqnorm_sharded: Optional[jnp.ndarray] = None,
     corpus_bf16_sharded: Optional[jnp.ndarray] = None,
+    corpus_center: Optional[jnp.ndarray] = None,
+    center_sqmax: Optional[jnp.ndarray] = None,
+    corpus_bf16_lo_sharded: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Search a row-sharded corpus; results identical to a single-chip scan.
 
@@ -96,6 +99,9 @@ def sharded_flat_topk(
         it = iter(extras)
         csq_local = next(it) if corpus_sqnorm_sharded is not None else None
         c16_local = next(it) if corpus_bf16_sharded is not None else None
+        ctr = next(it) if corpus_center is not None else None
+        sqm = next(it) if center_sqmax is not None else None
+        c16lo = next(it) if corpus_bf16_lo_sharded is not None else None
         s, i = flat_topk(
             q,
             c_local,
@@ -106,6 +112,9 @@ def sharded_flat_topk(
             use_pallas=use_pallas,
             compute_dtype=compute_dtype,
             mode=mode,
+            corpus_center=ctr,
+            center_sqmax=sqm,
+            corpus_bf16_lo=c16lo,
         )
         kl = s.shape[1]
         gid = i + shard * local_n
@@ -138,6 +147,15 @@ def sharded_flat_topk(
         specs.append(P(CORPUS_AXIS))
     if corpus_bf16_sharded is not None:
         args.append(corpus_bf16_sharded)
+        specs.append(P(CORPUS_AXIS, None))
+    if corpus_center is not None:
+        args.append(corpus_center)
+        specs.append(P(None))
+    if center_sqmax is not None:
+        args.append(center_sqmax)
+        specs.append(P())
+    if corpus_bf16_lo_sharded is not None:
+        args.append(corpus_bf16_lo_sharded)
         specs.append(P(CORPUS_AXIS, None))
     fn = shard_map(
         local_search,
@@ -239,6 +257,9 @@ def sharded_flat_topk_2d(
     mode: str = "exact",
     corpus_sqnorm_sharded: Optional[jnp.ndarray] = None,
     corpus_bf16_sharded: Optional[jnp.ndarray] = None,
+    corpus_center: Optional[jnp.ndarray] = None,
+    center_sqmax: Optional[jnp.ndarray] = None,
+    corpus_bf16_lo_sharded: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """2-D parallel search: queries shard over the ``data`` axis while the
     corpus shards over ``corpus`` — each device scans its corpus rows for
@@ -277,6 +298,9 @@ def sharded_flat_topk_2d(
         it = iter(extras)
         csq_local = next(it) if corpus_sqnorm_sharded is not None else None
         c16_local = next(it) if corpus_bf16_sharded is not None else None
+        ctr = next(it) if corpus_center is not None else None
+        sqm = next(it) if center_sqmax is not None else None
+        c16lo = next(it) if corpus_bf16_lo_sharded is not None else None
         s, i = flat_topk(
             q, c_local, k_local,
             metric=metric,
@@ -284,6 +308,9 @@ def sharded_flat_topk_2d(
             corpus_bf16=c16_local,
             use_pallas=use_pallas,
             compute_dtype=compute_dtype, mode=mode,
+            corpus_center=ctr,
+            center_sqmax=sqm,
+            corpus_bf16_lo=c16lo,
         )
         kl = s.shape[1]
         gid = i + shard * local_n
@@ -312,6 +339,15 @@ def sharded_flat_topk_2d(
         specs.append(P(CORPUS_AXIS))
     if corpus_bf16_sharded is not None:
         args.append(corpus_bf16_sharded)
+        specs.append(P(CORPUS_AXIS, None))
+    if corpus_center is not None:
+        args.append(corpus_center)
+        specs.append(P(None))
+    if center_sqmax is not None:
+        args.append(center_sqmax)
+        specs.append(P())
+    if corpus_bf16_lo_sharded is not None:
+        args.append(corpus_bf16_lo_sharded)
         specs.append(P(CORPUS_AXIS, None))
     fn = shard_map(
         local_search,

@@ -297,7 +297,8 @@ class RetrievalSystem:
             encoder, head = enc.encoder, enc.head
 
             def step(params, input_ids, attention_mask, corpus, row_scales,
-                     refine_corpus, sqnorms, stage1_bf16, center):
+                     refine_corpus, sqnorms, stage1_bf16, center,
+                     stage1_center, center_sqmax, stage1_lo):
                 hidden = encoder.apply(
                     {"params": params["encoder"]}, input_ids, attention_mask
                 )
@@ -308,6 +309,8 @@ class RetrievalSystem:
                     emb, k, corpus=corpus, row_scales=row_scales,
                     refine_corpus=refine_corpus, sqnorms=sqnorms,
                     stage1_bf16=stage1_bf16, center=center,
+                    stage1_center=stage1_center, center_sqmax=center_sqmax,
+                    stage1_lo=stage1_lo,
                 )
 
             # None args are empty pytrees — jit handles them natively
@@ -363,8 +366,9 @@ class RetrievalSystem:
             n_buckets = len(kbs)
 
             def step(params, input_ids, attention_mask, corpus, row_scales,
-                     refine_corpus, sqnorms, stage1_bf16, center, qids,
-                     qvals, *lex_arrays):
+                     refine_corpus, sqnorms, stage1_bf16, center,
+                     stage1_center, center_sqmax, stage1_lo, qids, qvals,
+                     *lex_arrays):
                 hidden = encoder.apply(
                     {"params": params["encoder"]}, input_ids, attention_mask
                 )
@@ -375,6 +379,8 @@ class RetrievalSystem:
                     emb, m_d, corpus=corpus, row_scales=row_scales,
                     refine_corpus=refine_corpus, sqnorms=sqnorms,
                     stage1_bf16=stage1_bf16, center=center,
+                    stage1_center=stage1_center, center_sqmax=center_sqmax,
+                    stage1_lo=stage1_lo,
                 )
                 if n_buckets == 0:
                     lex_fn = (
@@ -432,15 +438,15 @@ class RetrievalSystem:
         m_d = min(top_k * 2, n)
         m_b = min(top_k * 2, bm.ntotal)
         k = min(top_k, n)
-        (corpus, scales, refine, sqnorms, stage1,
-         center) = self.dense_index.fused_args()
+        (corpus, scales, refine, sqnorms, stage1, center,
+         s1_center, c_sqmax, s1_lo) = self.dense_index.fused_args()
         fn = self._fused_hybrid_fn(
             k, m_d, m_b, rerank, dense_weight, bm25_weight
         )
         scores, gids = fn(
             enc.params, jnp.asarray(ids), jnp.asarray(mask), corpus, scales,
-            refine, sqnorms, stage1, center, qids, qvals,
-            *bm.device_arrays(),
+            refine, sqnorms, stage1, center, s1_center, c_sqmax, s1_lo,
+            qids, qvals, *bm.device_arrays(),
         )
         scores = np.asarray(scores)[:real]
         gids = np.asarray(gids)[:real]
@@ -467,12 +473,12 @@ class RetrievalSystem:
         ids, mask = enc.tokenizer.encode_batch(
             texts + [""] * pad, enc.max_seq_len
         )
-        (corpus, scales, refine, sqnorms, stage1,
-         center) = self.dense_index.fused_args()
+        (corpus, scales, refine, sqnorms, stage1, center,
+         s1_center, c_sqmax, s1_lo) = self.dense_index.fused_args()
         fn = self._fused_dense_fn(min(top_k, self.dense_index.ntotal))
         scores, gids = fn(
             enc.params, jnp.asarray(ids), jnp.asarray(mask), corpus, scales,
-            refine, sqnorms, stage1, center,
+            refine, sqnorms, stage1, center, s1_center, c_sqmax, s1_lo,
         )
         return np.asarray(scores)[:real], np.asarray(gids)[:real]
 

@@ -1,0 +1,107 @@
+"""Adaptive stage-1 selection for the exact two-stage path.
+
+Real embedding corpora are near-tie continuums around the top-k
+boundary: the residual proof that certifies the bf16 two-stage result
+fails on EVERY batch there (measured 0/20 at 500k real-geometry rows),
+silently degrading each search to its full-scan fallback. DenseIndex
+now probes the margin at commit and picks bf16 (isotropic data),
+bf16x2 (hi/lo split stage 1, ~100x tighter bound), or a direct chunked
+f32 scan (margin-free data) — a wrong pick costs speed only, never
+exactness.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from persian_rag_tpu.index.dense import DenseIndex
+from persian_rag_tpu.ops.flat_topk import (
+    flat_topk_exact2_stream,
+    flat_topk_ref,
+    flat_topk_scan,
+)
+
+
+def test_bf16x2_stream_exact_and_proof_on_cone():
+    """On tight-cone data the plain-bf16 proof fails but the bf16x2
+    proof holds (dot metric); ids equal the reference either way.
+    (Seed pinned: the cone's margins are near the x2 bound, so the
+    proof outcome is seed-sensitive — which is exactly why the commit
+    probe exists.)"""
+    rng = np.random.default_rng(1)
+    n, d, q_n, k = 8000, 64, 24, 10
+    base = rng.standard_normal((1, d)).astype(np.float32)
+    c = base + 0.05 * rng.standard_normal((n, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    q = c[:q_n] + 0.02 * rng.standard_normal((q_n, d)).astype(np.float32)
+    c32 = jnp.asarray(c)
+    mu = jnp.mean(c32, axis=0)
+    cen = c32 - mu[None, :]
+    hi = cen.astype(jnp.bfloat16)
+    lo = (cen - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    sqmax = jnp.max(jnp.sum(cen * cen, axis=-1))
+
+    ws, wi = flat_topk_ref(jnp.asarray(q), c32, k, "dot")
+    gs, gi, ok16 = flat_topk_exact2_stream(
+        jnp.asarray(q), c32, k, metric="dot", tile_n=1024, tile_q=32,
+        corpus_bf16=hi, corpus_center=mu, center_sqmax=sqmax,
+        interpret=True, return_ok=True,
+    )
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+    gs2, gi2, ok_x2 = flat_topk_exact2_stream(
+        jnp.asarray(q), c32, k, metric="dot", tile_n=1024, tile_q=32,
+        corpus_bf16=hi, corpus_bf16_lo=lo, corpus_center=mu,
+        center_sqmax=sqmax, interpret=True, return_ok=True,
+    )
+    np.testing.assert_array_equal(np.asarray(gi2), np.asarray(wi))
+    np.testing.assert_allclose(np.asarray(gs2), np.asarray(ws), rtol=1e-5)
+    assert not bool(ok16), "premise: plain bf16 proof should fail here"
+    assert bool(ok_x2), "bf16x2 proof should hold on this cone"
+
+
+def test_scan_mode_matches_ref(rng):
+    n, d, q_n, k = 3000, 48, 9, 7
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((q_n, d)).astype(np.float32)
+    for metric in ("dot", "l2"):
+        ws, wi = flat_topk_ref(jnp.asarray(q), jnp.asarray(c), k, metric)
+        gs, gi = flat_topk_scan(
+            jnp.asarray(q), jnp.asarray(c), k, metric, chunk=512
+        )
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+        np.testing.assert_allclose(
+            np.asarray(gs), np.asarray(ws), rtol=1e-5, atol=1e-6
+        )
+
+
+@pytest.mark.slow
+def test_commit_probe_picks_bf16_on_isotropic(rng):
+    n, d = 70_000, 48
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    idx = DenseIndex(d, metric="ip")
+    idx.add(c)
+    idx.commit()
+    assert idx._stage1_mode == "bf16"
+    assert idx._stage1_lo is None
+
+
+@pytest.mark.slow
+def test_commit_probe_escalates_on_cone_and_stays_exact(rng):
+    """Tight-cone corpus at two-stage scale: the probe must NOT pick
+    plain bf16, and the search must still equal the reference scan."""
+    n, d = 70_000, 48
+    base = rng.standard_normal((1, d)).astype(np.float32)
+    c = base + 0.05 * rng.standard_normal((n, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    idx = DenseIndex(d, metric="ip")
+    idx.add(c)
+    idx.commit()
+    assert idx._stage1_mode in ("bf16x2", "scan"), idx._stage1_mode
+    if idx._stage1_mode == "bf16x2":
+        assert idx._stage1_lo is not None
+
+    q = c[:6] + 0.02 * rng.standard_normal((6, d)).astype(np.float32)
+    s, i = idx.search(q, 10)
+    ws, wi = flat_topk_ref(jnp.asarray(q), jnp.asarray(c), 10, "dot")
+    np.testing.assert_array_equal(i, np.asarray(wi))
+    np.testing.assert_allclose(s, np.asarray(ws), rtol=1e-5)
