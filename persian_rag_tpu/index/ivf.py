@@ -63,8 +63,14 @@ def _ivf_search_step(
     qn, p, cap, d = gathered.shape
     flat = gathered.reshape(qn, p * cap, d)
     ids = gathered_ids.reshape(qn, p * cap)
+    # precision pinned: TPU's default f32 matmul path truncates to
+    # bf16, which cannot rank real embedding geometry (tight-cone dots
+    # differ below bf16 resolution) — measured R@10 0.58-0.90 varying
+    # by SHAPE at 100k real-geometry rows vs 0.97 with exact scores.
+    # The probe touches only nprobe*cap rows, so HIGHEST is ~free.
     scores = jnp.einsum(
-        "qd,qnd->qn", q, flat, preferred_element_type=jnp.float32
+        "qd,qnd->qn", q, flat, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     if metric == "l2":
         d2 = (
@@ -75,7 +81,8 @@ def _ivf_search_step(
         scores = -d2
     if has_overflow:
         o_scores = jnp.einsum(
-            "qd,nd->qn", q, overflow, preferred_element_type=jnp.float32
+            "qd,nd->qn", q, overflow, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         if metric == "l2":
             o_d2 = (
@@ -202,6 +209,25 @@ class IVFIndex:
         self._populate(vectors, np.asarray(assign))
         return self
 
+    def _auto_cap(self, counts: np.ndarray) -> int:
+        """Cost-optimal cell capacity. A probe scans nprobe*cap padded
+        rows plus the always-scanned overflow block, so padding cells to
+        the MAX occupancy is ruinous on clustered data (k-means cells
+        are imbalanced there: measured cap=812 vs mean 316 at 100k real
+        geometry -> every probe scans 2.5x the useful rows). Choose cap
+        minimizing nprobe*cap + sum(max(0, count - cap)) over the
+        observed occupancies — on balanced (isotropic) corpora this
+        degenerates to ~max occupancy (zero overflow), so nothing
+        regresses there."""
+        cands = np.unique(counts[counts > 0])
+        if cands.size == 0:
+            return 1
+        overflow = np.maximum(
+            0, counts[None, :] - cands[:, None]
+        ).sum(axis=1)
+        cost = self.nprobe * cands + overflow
+        return max(1, int(cands[int(np.argmin(cost))]))
+
     def _populate(self, vectors: np.ndarray, assign: np.ndarray) -> None:
         """Fill capacity-padded cells (+ overflow block) from a per-row
         cell assignment. Requires self.centroids/n_cells already set."""
@@ -209,7 +235,7 @@ class IVFIndex:
         self._ntotal = n
         n_cells = self.n_cells
         counts = np.bincount(assign, minlength=n_cells)
-        cap = self.cell_cap or max(1, int(counts.max()))
+        cap = self.cell_cap or self._auto_cap(counts)
         cells = np.zeros((n_cells, cap, self.dim), np.float32)
         cell_ids = np.full((n_cells, cap), -1, np.int32)
         # Vectorized fill (a per-row Python loop costs seconds at 100k+
