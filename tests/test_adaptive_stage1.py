@@ -105,3 +105,24 @@ def test_commit_probe_escalates_on_cone_and_stays_exact(rng):
     ws, wi = flat_topk_ref(jnp.asarray(q), jnp.asarray(c), 10, "dot")
     np.testing.assert_array_equal(i, np.asarray(wi))
     np.testing.assert_allclose(s, np.asarray(ws), rtol=1e-5)
+
+
+def test_sliced_proof_fallback_stays_exact():
+    """Batches above the proof-slice width apply the residual proof per
+    256-query slice (the ALL-quantifier fails almost surely at large
+    batches — measured 3.1 ms -> 20.8 ms at 2048x100k from whole-batch
+    fallback); failing slices rescan independently and results stay
+    bit-identical to the reference."""
+    rng = np.random.default_rng(1)
+    n, d, k = 9000, 64, 10
+    base = rng.standard_normal((1, d)).astype(np.float32)
+    c = base + 0.05 * rng.standard_normal((n, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    q = c[:600] + 0.02 * rng.standard_normal((600, d)).astype(np.float32)
+    ws, wi = flat_topk_ref(jnp.asarray(q), jnp.asarray(c), k, "dot")
+    gs, gi = flat_topk_exact2_stream(
+        jnp.asarray(q), jnp.asarray(c), k, metric="dot",
+        tile_n=1024, tile_q=32, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), rtol=1e-5)
