@@ -144,3 +144,29 @@ def test_rerank_cosine_invalid_slots_stay_masked(rng):
     i = np.asarray(i)[0]
     assert set(i[:2]) == {4, 2}
     assert i[2] == -1
+
+
+def test_hybrid_on_mesh_matches_single_chip(hybrid_rs):
+    """Hybrid retrieval composes with mesh-sharded dense + lexical
+    indexes (fused single-dispatch is single-chip-only; on a mesh the
+    host fusion consumes the sharded channels) and must return the same
+    ids/scores as the single-chip host path."""
+    import jax
+
+    from persian_rag_tpu.core.mesh import build_mesh
+    from persian_rag_tpu.retrieval.system import RetrievalSystem
+
+    mesh = build_mesh(corpus_axis=2, data_axis=2,
+                      devices=jax.devices()[:4])
+    rs_mesh = RetrievalSystem(
+        method="hybrid", encoder=make_encoder(), mesh=mesh
+    )
+    assert rs_mesh.load_chunks_and_index(CHUNKS)
+    assert not rs_mesh._hybrid_fused_supported()
+    host = hybrid_rs.retrieve_hybrid_batch(QUERIES, top_k=4, fused=False)
+    got = rs_mesh.retrieve_hybrid_batch(QUERIES, top_k=4)
+    for h, d in zip(host, got):
+        assert [c["id"] for c, _ in h] == [c["id"] for c, _ in d]
+        np.testing.assert_allclose(
+            [s for _, s in h], [s for _, s in d], rtol=1e-4, atol=1e-5
+        )
