@@ -108,8 +108,13 @@ def main() -> None:
     want = np.argsort(-s, axis=1, kind="stable")[:, : args.k]
 
     def timed(name, search, reps=args.reps):
+        # search(q, corpus, csq, hi, lo, mu): every multi-hundred-MB
+        # array is a traced ARGUMENT — closing over them bakes GBs of
+        # constants into the lowered module (breaks/slows the remote
+        # compile transport; see CLAUDE.md)
         got = np.asarray(jax.block_until_ready(
-            search(jnp.asarray(probe).astype(jnp.float32))
+            search(jnp.asarray(probe).astype(jnp.float32),
+                   c32, csq, hi, lo, mu)
         )[1])[:, : args.k]
         rec = float(np.mean([
             len(set(got[q]) & set(want[q])) / args.k
@@ -117,26 +122,26 @@ def main() -> None:
         ]))
 
         @jax.jit
-        def loop(seed):
+        def loop(c, csq_, hi_, lo_, mu_, seed):
             def body(i, acc):
                 key = jax.random.fold_in(jax.random.PRNGKey(3), seed + i)
                 k1, k2 = jax.random.split(key)
                 ridx = jax.random.randint(k1, (args.batch,), 0, args.n)
-                q = jnp.take(c32, ridx, axis=0) + (
+                q = jnp.take(c, ridx, axis=0) + (
                     args.delta / 2
                 ) * jax.random.normal(
                     k2, (args.batch, args.d), jnp.float32
                 ) / np.sqrt(args.d)
-                s_, i_ = search(q)
+                s_, i_ = search(q, c, csq_, hi_, lo_, mu_)
                 return acc + jnp.sum(s_) + jnp.sum(i_).astype(jnp.float32)
 
             return jax.lax.fori_loop(0, reps, body, 0.0)
 
         t0 = time.time()
-        np.asarray(loop(0))  # compile + warm
+        np.asarray(loop(c32, csq, hi, lo, mu, 0))  # compile + warm
         print(f"  {name}: compile+warm {time.time()-t0:.1f}s", flush=True)
         t0 = time.time()
-        np.asarray(loop(50_000))
+        np.asarray(loop(c32, csq, hi, lo, mu, 50_000))
         dt = (time.time() - t0) / reps
         print(
             f"  {name}: {dt*1e3:.2f} ms / {args.batch} q -> "
@@ -148,27 +153,29 @@ def main() -> None:
     print("bf16x2 two-stage:", flush=True)
     timed(
         "bf16x2",
-        lambda q: flat_topk_exact2_stream(
-            q, c32, args.k, metric="dot", k_scan=32, tile_n=2048,
-            tile_q=256, n_easy=4, corpus_sqnorm=csq, corpus_bf16=hi,
-            corpus_center=mu, center_sqmax=center_sqmax,
-            corpus_bf16_lo=lo, interpret=interpret,
+        lambda q, c, csq_, hi_, lo_, mu_: flat_topk_exact2_stream(
+            q, c, args.k, metric="dot", k_scan=32, tile_n=2048,
+            tile_q=256, n_easy=4, corpus_sqnorm=csq_, corpus_bf16=hi_,
+            corpus_center=mu_, center_sqmax=center_sqmax,
+            corpus_bf16_lo=lo_, interpret=interpret,
         ),
     )
     print("chunked f32 scan:", flush=True)
     timed(
         "scan",
-        lambda q: flat_topk_scan(q, c32, args.k, metric="dot"),
+        lambda q, c, csq_, hi_, lo_, mu_: flat_topk_scan(
+            q, c, args.k, metric="dot"),
         reps=max(args.reps // 5, 5),
     )
     if not args.skip_bf16:
         print("plain bf16 two-stage (expected fallback storm):", flush=True)
         timed(
             "bf16",
-            lambda q: flat_topk_exact2_stream(
-                q, c32, args.k, metric="dot", k_scan=32, tile_n=2048,
-                tile_q=256, n_easy=4, corpus_sqnorm=csq, corpus_bf16=hi,
-                corpus_center=mu, center_sqmax=center_sqmax, interpret=interpret,
+            lambda q, c, csq_, hi_, lo_, mu_: flat_topk_exact2_stream(
+                q, c, args.k, metric="dot", k_scan=32, tile_n=2048,
+                tile_q=256, n_easy=4, corpus_sqnorm=csq_, corpus_bf16=hi_,
+                corpus_center=mu_, center_sqmax=center_sqmax,
+                interpret=interpret,
             ),
             reps=max(args.reps // 5, 5),
         )
