@@ -378,10 +378,13 @@ def flat_topk_exact2_stream(
     ascending id so lax.top_k's stability reproduces FAISS lower-index
     tie-breaking.
 
-    return_ok=True additionally returns the batch's residual-proof
-    verdict (True = the refined result was proven exact without the
-    full-scan fallback) — a diagnostic for measuring fallback rates on
-    real embedding geometries.
+    return_ok=True additionally returns the PER-QUERY residual-proof
+    verdict, a (Q,) bool vector (True = that query's refined result was
+    proven exact without needing its slice's full-scan fallback) — the
+    fallback-rate signal consumed by DenseIndex's runtime stage-1
+    demotion and by geometry diagnostics. Note a False entry does NOT
+    mean an inexact result: the failing query's slice is rescanned at
+    f32, it means the dispatch PAID for that rescan.
 
     Exactness proof, per query: every corpus element is either a
     finalist (exactly re-scored), a non-finalist candidate (its key <=
