@@ -17,6 +17,7 @@ Additional metrics: "ip" (inner product, FAISS IndexFlatIP) and "cosine"
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Optional, Tuple
 
@@ -36,6 +37,8 @@ from persian_rag_tpu.ops.flat_topk import (
 from persian_rag_tpu.parallel.sharded_search import shard_corpus, sharded_flat_topk
 
 _METRICS = ("l2", "ip", "cosine")
+
+logger = logging.getLogger(__name__)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -139,6 +142,13 @@ class DenseIndex:
         # candidate pass per dispatch)
         self._stage1_mode: str = "bf16"
         self._stage1_lo: Optional[jnp.ndarray] = None
+        # runtime stage-1 demotion: the commit-time probe sees 64
+        # synthetic queries, not the live stream — on borderline
+        # geometries real queries can proof-fail where the probe passed
+        # (measured at 1M clustered: a wrong optimistic pick costs ~30%
+        # vs going straight to the scan). search() counts consecutive
+        # majority-fail dispatches and flips _stage1_mode to "scan".
+        self._fail_streak = 0
         self._ntotal = 0
 
     # -- construction -------------------------------------------------------
@@ -190,6 +200,7 @@ class DenseIndex:
         self._center_sqmax = None
         self._stage1_mode = "bf16"
         self._stage1_lo = None
+        self._fail_streak = 0
         self._center = None
         if self.storage_dtype == jnp.int8:
             # quantize mean-CENTERED rows: ranking-invariant, and on real
@@ -345,6 +356,47 @@ class DenseIndex:
             return "bf16x2"
         return "scan"
 
+    DEMOTE_STREAK = 3  # consecutive majority-fail dispatches before demotion
+
+    def _note_proof_verdict(self, ok) -> None:
+        """Runtime stage-1 demotion from the live proof-verdict stream.
+
+        The commit-time margin probe judges 64 synthetic queries; real
+        serving queries can sit deeper inside near-clone clusters and
+        proof-fail where the probe passed (measured at 1M clustered
+        geometry: bf16x2 two-stage 74.8 ms vs 58.4 ms for the plain
+        chunked scan once the fallback storm sets in — a wrong
+        optimistic pick costs ~30%, never exactness). Each exact
+        dispatch through the two-stage regime reports its per-query
+        verdict; a dispatch where the MAJORITY of queries failed counts
+        toward a streak, and DEMOTE_STREAK consecutive such dispatches
+        flip `_stage1_mode` to "scan" (sticky until the next commit).
+        `ok` is None when a non-two-stage regime served the call —
+        no evidence either way, the streak is left untouched.
+        """
+        if ok is None:
+            return
+        ok = np.asarray(ok)
+        if ok.size == 0:
+            return
+        if float(ok.mean()) < 0.5:
+            self._fail_streak += 1
+            if (
+                self._fail_streak >= self.DEMOTE_STREAK
+                and self._stage1_mode != "scan"
+            ):
+                logger.warning(
+                    "two-stage residual proof majority-failed %d "
+                    "consecutive dispatches (stage1=%s): demoting exact "
+                    "serving to the chunked f32 scan for this corpus",
+                    self._fail_streak,
+                    self._stage1_mode,
+                )
+                self._stage1_mode = "scan"
+                self._stage1_lo = None
+        else:
+            self._fail_streak = 0
+
     # -- search -------------------------------------------------------------
 
     def search(
@@ -468,7 +520,13 @@ class DenseIndex:
                     and self.search_mode == "exact"
                     else self.search_mode
                 )
-                scores, ids = flat_topk(
+                # exact serving reads back the two-stage proof verdict
+                # so a wrong commit-probe pick self-corrects under the
+                # live query stream (see _note_proof_verdict)
+                want_ok = (
+                    self.search_mode == "exact" and mode_eff != "scan"
+                )
+                out = flat_topk(
                     q,
                     self._device_corpus,
                     k_scan,
@@ -482,7 +540,13 @@ class DenseIndex:
                     corpus_center=self._stage1_center,
                     center_sqmax=self._center_sqmax,
                     corpus_bf16_lo=self._stage1_lo,
+                    return_ok=want_ok,
                 )
+                if want_ok:
+                    scores, ids, ok = out
+                    self._note_proof_verdict(ok)
+                else:
+                    scores, ids = out
                 if refine:
                     scores, ids = _refine_topk(
                         q, self._refine_corpus, ids, k

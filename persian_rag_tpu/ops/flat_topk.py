@@ -534,7 +534,7 @@ def flat_topk_exact2_stream(
 
         out = jax.lax.cond(jnp.all(ok_q), _refined, _full_scan, None)
         if return_ok:
-            return out + (jnp.all(ok_q),)
+            return out + (ok_q,)
         return out
 
     n_slices = -(-n_q // PROOF_SLICE)
@@ -581,7 +581,7 @@ def flat_topk_exact2_stream(
         i_out.reshape(q_pad2, k)[:n_q],
     )
     if return_ok:
-        return out + (jnp.all(ok_q),)
+        return out + (ok_q,)
     return out
 
 
@@ -1678,8 +1678,14 @@ def flat_topk(
     corpus_center: Optional[jnp.ndarray] = None,
     center_sqmax: Optional[jnp.ndarray] = None,
     corpus_bf16_lo: Optional[jnp.ndarray] = None,
+    return_ok: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dispatching entry point: Pallas on TPU, pure-JAX elsewhere.
+
+    return_ok=True appends a third element to the result: the two-stage
+    regime's per-query residual-proof verdict ((Q,) bool — see
+    `flat_topk_exact2_stream`), or None when any other regime served the
+    call (no proof exists there; callers use None to mean "no signal").
 
     mode="scan" bypasses the two-stage machinery entirely and runs the
     chunked f32-HIGHEST scan — the right exact path for margin-free
@@ -1704,8 +1710,13 @@ def flat_topk(
     silently ignore corpus_bf16.
     """
     k = min(k, corpus.shape[0])
+
+    def _no_ok(out):
+        # regimes without a residual proof report "no signal"
+        return out + (None,) if return_ok else out
+
     if mode == "scan":
-        return flat_topk_scan(queries, corpus, k, metric=metric)
+        return _no_ok(flat_topk_scan(queries, corpus, k, metric=metric))
     on_tpu = _backend() == "tpu"
     if use_pallas is None:
         use_pallas = on_tpu
@@ -1747,6 +1758,7 @@ def flat_topk(
             corpus_center=corpus_center,
             center_sqmax=center_sqmax,
             corpus_bf16_lo=corpus_bf16_lo,
+            return_ok=return_ok,
         )
     if (
         mode == "exact"
@@ -1761,9 +1773,9 @@ def flat_topk(
         # Materialized exact regime for corpora under the two-stage
         # size gate: XLA's matmul+top_k beats the Pallas exact kernel
         # when the (Q, N) score matrix fits the budget.
-        return flat_topk_ref(
+        return _no_ok(flat_topk_ref(
             queries, corpus, k, metric=metric, compute_dtype=compute_dtype
-        )
+        ))
     if use_pallas:
         if k > 32:
             # Large-k merges hold more live (tile_q, tile_n)/(tile_q, k)
@@ -1773,7 +1785,7 @@ def flat_topk(
             # every current regime comfortably under it.
             tile_n = min(tile_n, 512)
             tile_q = min(tile_q, 128)
-        return _flat_topk_pallas_jit(
+        return _no_ok(_flat_topk_pallas_jit(
             queries,
             corpus,
             corpus_sqnorm,
@@ -1786,7 +1798,7 @@ def flat_topk(
             mode=mode,
             n_easy=4,
             interpret=_backend() != "tpu",
-        )
-    return flat_topk_ref(
+        ))
+    return _no_ok(flat_topk_ref(
         queries, corpus, k, metric=metric, corpus_scale=corpus_scale
-    )
+    ))

@@ -54,8 +54,11 @@ def test_bf16x2_stream_exact_and_proof_on_cone():
     )
     np.testing.assert_array_equal(np.asarray(gi2), np.asarray(wi))
     np.testing.assert_allclose(np.asarray(gs2), np.asarray(ws), rtol=1e-5)
-    assert not bool(ok16), "premise: plain bf16 proof should fail here"
-    assert bool(ok_x2), "bf16x2 proof should hold on this cone"
+    ok16 = np.asarray(ok16)
+    ok_x2 = np.asarray(ok_x2)
+    assert ok16.shape == (q_n,) and ok_x2.shape == (q_n,)  # per-query
+    assert not ok16.all(), "premise: plain bf16 proof should fail here"
+    assert ok_x2.all(), "bf16x2 proof should hold on this cone"
 
 
 def test_scan_mode_matches_ref(rng):
@@ -105,6 +108,82 @@ def test_commit_probe_escalates_on_cone_and_stays_exact(rng):
     ws, wi = flat_topk_ref(jnp.asarray(q), jnp.asarray(c), 10, "dot")
     np.testing.assert_array_equal(i, np.asarray(wi))
     np.testing.assert_allclose(s, np.asarray(ws), rtol=1e-5)
+
+
+def test_flat_topk_return_ok_none_outside_two_stage(rng):
+    """The dispatcher reports no verdict (None) when a regime without a
+    residual proof serves the call — callers treat None as "no signal"
+    and must not count it toward the demotion streak."""
+    from persian_rag_tpu.ops.flat_topk import flat_topk
+
+    c = rng.standard_normal((500, 32)).astype(np.float32)
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    s, i, ok = flat_topk(jnp.asarray(q), jnp.asarray(c), 5, return_ok=True)
+    assert ok is None
+    ws, wi = flat_topk_ref(jnp.asarray(q), jnp.asarray(c), 5, "dot")
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(wi))
+    s2, i2, ok2 = flat_topk(
+        jnp.asarray(q), jnp.asarray(c), 5, mode="scan", return_ok=True
+    )
+    assert ok2 is None
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(wi))
+
+
+def test_runtime_demotion_streak():
+    """Three consecutive majority-fail proof verdicts demote exact
+    serving to the chunked scan; a majority-pass dispatch resets the
+    streak; None (non-two-stage dispatch) leaves it untouched; the
+    demotion is sticky until the next commit()."""
+    idx = DenseIndex(16, metric="ip")
+    idx._stage1_mode = "bf16x2"
+    fail = np.array([False] * 3 + [True])   # 75% fail -> majority-fail
+    ok = np.array([True] * 3 + [False])     # 75% pass
+
+    idx._note_proof_verdict(fail)
+    idx._note_proof_verdict(fail)
+    assert idx._stage1_mode == "bf16x2" and idx._fail_streak == 2
+    idx._note_proof_verdict(None)  # no signal: streak untouched
+    assert idx._fail_streak == 2
+    idx._note_proof_verdict(ok)    # majority pass resets
+    assert idx._fail_streak == 0 and idx._stage1_mode == "bf16x2"
+
+    for _ in range(DenseIndex.DEMOTE_STREAK):
+        idx._note_proof_verdict(fail)
+    assert idx._stage1_mode == "scan"
+    assert idx._stage1_lo is None
+    idx._note_proof_verdict(ok)    # sticky: pass does not re-promote
+    assert idx._stage1_mode == "scan"
+
+    # commit() re-probes and clears the streak
+    rng2 = np.random.default_rng(3)
+    idx.add(rng2.standard_normal((100, 16)).astype(np.float32))
+    idx.commit()
+    assert idx._fail_streak == 0
+    assert idx._stage1_mode == "bf16"  # small corpus: probe default
+
+
+def test_search_feeds_demotion_counter(monkeypatch):
+    """DenseIndex.search requests the proof verdict from the dispatcher
+    in exact mode and routes it into the demotion counter."""
+    rng2 = np.random.default_rng(5)
+    idx = DenseIndex(24, metric="ip")
+    idx.add(rng2.standard_normal((300, 24)).astype(np.float32))
+    idx.commit()
+
+    seen = []
+    orig = DenseIndex._note_proof_verdict
+
+    def spy(self, ok):
+        seen.append(ok)
+        return orig(self, ok)
+
+    monkeypatch.setattr(DenseIndex, "_note_proof_verdict", spy)
+    q = rng2.standard_normal((3, 24)).astype(np.float32)
+    idx.search(q, 4)
+    # CPU never engages the two-stage regime -> verdict must be None,
+    # and the call must still have flowed through the counter hook
+    assert seen == [None]
+    assert idx._fail_streak == 0
 
 
 def test_sliced_proof_fallback_stays_exact():
