@@ -670,14 +670,19 @@ def main() -> None:
             c32_1m = jax.device_put(jnp.asarray(corpus_1m))
             del corpus_1m
 
-            def run_1m(name, batch):
+            def run_1m(name, batch, corpus_dev):
                 from persian_rag_tpu.ops.flat_topk import (
                     flat_topk_exact2_stream,
                 )
 
                 # serving caches derived once on device, passed as args
-                csq = jax.jit(lambda c: jnp.sum(c * c, axis=-1))(c32_1m)
-                c16 = jax.jit(lambda c: c.astype(jnp.bfloat16))(c32_1m)
+                csq = jax.jit(
+                    lambda c: jnp.sum(
+                        c.astype(jnp.float32) * c.astype(jnp.float32),
+                        axis=-1,
+                    )
+                )(corpus_dev)
+                c16 = jax.jit(lambda c: c.astype(jnp.bfloat16))(corpus_dev)
 
                 def search(q, c, csq_, c16_):
                     return flat_topk_exact2_stream(
@@ -687,7 +692,7 @@ def main() -> None:
                     )
 
                 got = np.asarray(jax.block_until_ready(
-                    search(jnp.asarray(probe_1m), c32_1m, csq, c16)
+                    search(jnp.asarray(probe_1m), corpus_dev, csq, c16)
                 )[1])
                 rec = float(np.mean([
                     len(set(got[q]) & set(want_1m[q])) / K
@@ -707,9 +712,9 @@ def main() -> None:
                         )
                     return jax.lax.fori_loop(0, REPS, body, 0.0)
 
-                np.asarray(timed(c32_1m, csq, c16, 0))
+                np.asarray(timed(corpus_dev, csq, c16, 0))
                 t0 = time.time()
-                np.asarray(timed(c32_1m, csq, c16, 31_000))
+                np.asarray(timed(corpus_dev, csq, c16, 31_000))
                 dt = (time.time() - t0) / REPS
                 tflops = 2.0 * batch * N_1M * DIM / dt / 1e12
                 log(
@@ -720,11 +725,22 @@ def main() -> None:
                 return batch / dt, rec, tflops
 
             qps_1m, rec_1m, tf_1m = run_1m(
-                f"TPU exact f32 (two-stage) N={N_1M}", BATCH
+                f"TPU exact f32 (two-stage) N={N_1M}", BATCH, c32_1m
             )
             extras["qps_1m"] = round(qps_1m, 1)
             extras["recall_1m"] = round(rec_1m, 4)
             extras["tflops_1m"] = round(tf_1m, 2)
+            # bf16-RESIDENT 1M tier: the index stores ONLY bf16 rows
+            # (half the HBM residency of the exact config); the search
+            # is exact over the stored values, so recall vs the f32
+            # ground truth reflects the storage tier. VERDICT r2 item 1.
+            c16_1m = jax.jit(lambda c: c.astype(jnp.bfloat16))(c32_1m)
+            qps_1m16, rec_1m16, _ = run_1m(
+                f"TPU bf16-resident (two-stage) N={N_1M}", BATCH, c16_1m
+            )
+            extras["qps_1m_bf16"] = round(qps_1m16, 1)
+            extras["recall_1m_bf16"] = round(rec_1m16, 4)
+            del c16_1m
             del c32_1m
         except Exception as e:
             log(f"1M bench skipped: {e}")
