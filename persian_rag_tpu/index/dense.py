@@ -342,7 +342,22 @@ class DenseIndex:
         probe = a32[idx] + 0.05 * jnp.std(a32) * jrandom.normal(
             k2, (pn, d), jnp.float32
         )
-        s = probe @ centered.T
+        # the ~1e-5-scale gaps this probe must resolve sit far below
+        # the TPU default matmul precision (bf16 truncation, ~1e-3
+        # noise on unit-norm scores) — unpinned, the pick would be
+        # noise-driven, not geometry-driven. HIGHEST costs 3 passes of
+        # a (64, N) matmul, once, at commit.
+        s = jnp.einsum(
+            "qd,nd->qn", probe, centered,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if self.metric == "l2":
+            # measure gaps in the l2 MAXIMIZE space 2 q.c - ||c||^2
+            # (per-query gaps are invariant to the centering shift, so
+            # the centered dot + the stored-row sqnorms reproduce the
+            # true-space gaps exactly)
+            s = 2.0 * s - jnp.sum(a32 * a32, axis=-1)[None, :]
         top = jax.lax.top_k(s, 33)[0]
         gap = np.asarray(top[:, 9] - top[:, 32])
         qn = np.asarray(jnp.linalg.norm(probe, axis=1))

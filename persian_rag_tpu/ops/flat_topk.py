@@ -490,18 +490,33 @@ def flat_topk_exact2_stream(
         # bound back to true-score space (<q, mu> per query; the l2
         # maximize space 2 q.c - ||c||^2 shifts by 2<q, mu>), and bound
         # the bf16 rounding term by the CENTERED row norms.
-        qc = q32 @ corpus_center.astype(jnp.float32)
-        bound_val = bound_val + (2.0 * qc if metric == "l2" else qc)
+        # The translation itself is a PROOF INPUT, so it must not
+        # introduce unaccounted error: at the TPU default matmul
+        # precision this matvec truncates to bf16 (~2^-9 relative on
+        # <q, mu>, with ||mu|| ~ 1 on real geometry) — orders of
+        # magnitude beyond eps on tight-cone corpora, silently voiding
+        # the exactness proof. Pin HIGHEST and fold its remaining f32
+        # accumulation bound into eps below.
+        mu32 = corpus_center.astype(jnp.float32)
+        qc = jnp.einsum(
+            "qd,d->q", q32, mu32,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        err_f = 2.0 if metric == "l2" else 1.0
+        bound_val = bound_val + err_f * qc
+        mu_norm = jnp.sqrt(jnp.sum(mu32 * mu32))
         if center_sqmax is None:
             # rigorous fallback: ||c - mu|| <= ||c|| + ||mu||
-            mu_norm = jnp.sqrt(
-                jnp.sum(corpus_center.astype(jnp.float32) ** 2)
-            )
             max_cn = (jnp.sqrt(jnp.max(csq)) + mu_norm) ** 2
         else:
             max_cn = center_sqmax
         eps = _proof_eps(q32, csq, metric, max_cnorm_sq=max_cn,
                          eps_mm=eps_mm)
+        # f32-HIGHEST accumulation error of the qc matvec, any
+        # summation order (Cauchy-Schwarz): (d-1) * 2^-24 * ||q||*||mu||
+        q_norm = jnp.sqrt(jnp.sum(q32 * q32, axis=-1))
+        eps = eps + err_f * (d - 1) * 2.0 ** -24 * q_norm * mu_norm
     else:
         eps = _proof_eps(q32, csq, metric, eps_mm=eps_mm)
     ok_q = top_s[:, k - 1] > bound_val + eps  # per-query proof verdict
