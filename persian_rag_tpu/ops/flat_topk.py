@@ -22,6 +22,7 @@ non-TPU execution; `flat_topk` dispatches.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -29,6 +30,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from persian_rag_tpu.ops._merge import NEG_INF, merge_topk
+
+
+def _cand_compiler_params() -> dict:
+    """Mosaic grid-dimension semantics for the CANDIDATES kernels only.
+
+    Both grid dims of the candidate-extraction kernels are genuinely
+    parallel (each (i, j) tile writes a private output block; nothing is
+    revisited), so Mosaic may be told so. Env-gated experiment knob:
+    PRT_DIMSEM="parallel,parallel" (or any comma-joined pair). The
+    running-max/merge kernels revisit their output block across j and
+    MUST keep the default "arbitrary" semantics — do not reuse this
+    there.
+    """
+    sem = os.environ.get("PRT_DIMSEM", "")
+    if not sem:
+        return {}
+    from jax.experimental.pallas import tpu as pltpu
+
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            dimension_semantics=tuple(sem.split(","))
+        )
+    }
 
 
 def _pad_to(x: jnp.ndarray, size: int, axis: int, value=0) -> jnp.ndarray:
@@ -1359,6 +1383,7 @@ def flat_topk_candidates(
                 transcendentals=0,
             ),
             interpret=interpret,
+            **({} if interpret else _cand_compiler_params()),
         )(q, q_lo, c, c_lo, cn)
         out3 = out[:, :n_q].reshape(n_tiles, out_w, n_q)
         cand_keys = jnp.transpose(out3[:, :n_easy], (2, 0, 1)).reshape(
@@ -1415,6 +1440,7 @@ def flat_topk_candidates(
             transcendentals=0,
         ),
         interpret=interpret,
+        **({} if interpret else _cand_compiler_params()),
     )(q, c, cn)
 
     out3 = out[:, :n_q].reshape(n_tiles, out_w, n_q)
