@@ -586,39 +586,53 @@ def flat_topk_exact2_stream(
         widths = [(0, pad2)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, widths, constant_values=value)
 
-    # pad queries' proofs as True so pads never force a slice fallback
-    ok_s = _pad_q(ok_q, value=True).reshape(n_slices, PROOF_SLICE)
-    q_s = _pad_q(q32).reshape(n_slices, PROOF_SLICE, -1)
-    ts_s = _pad_q(top_s_final).reshape(n_slices, PROOF_SLICE, k)
-    ti_s = _pad_q(top_i).reshape(n_slices, PROOF_SLICE, k)
+    # The slice machinery itself is not free: measured ~5 ms per
+    # dispatch at batch 2048 x 1M even when EVERY slice passes (the
+    # 8-step scan of conds serializes against the pipeline), vs ~0.5 ms
+    # for a whole-batch cond. Nest it: the common all-pass case takes
+    # the cheap branch; only a dispatch that actually contains a
+    # failing slice pays the sliced scan (which in turn confines the
+    # f32 rescan to the failing slices — see the round-3 sliced-proof
+    # note in DESIGN.md).
+    def _all_keep(_):
+        return top_s_final, top_i
 
-    def per_slice(carry, xs):
-        ok_i, q_i, s_i, i_i = xs
+    def _sliced(_):
+        # pad queries' proofs as True so pads never force a fallback
+        ok_s = _pad_q(ok_q, value=True).reshape(n_slices, PROOF_SLICE)
+        q_s = _pad_q(q32).reshape(n_slices, PROOF_SLICE, -1)
+        ts_s = _pad_q(top_s_final).reshape(n_slices, PROOF_SLICE, k)
+        ti_s = _pad_q(top_i).reshape(n_slices, PROOF_SLICE, k)
 
-        def _keep(_):
-            return s_i, i_i
+        def per_slice(carry, xs):
+            ok_i, q_i, s_i, i_i = xs
 
-        def _rescan(_):
-            # bit-parity with flat_topk_ref when the slice's (Q, N)
-            # score block fits the materialization budget (the chunked
-            # scan's different reduction structure can swap sub-ulp
-            # near-tie ranks); stream beyond it.
-            if PROOF_SLICE * n * 4 <= 256 * 1024 * 1024:
-                return flat_topk_ref(q_i, corpus, k, metric=metric)
-            return flat_topk_scan(
-                q_i, corpus, k, metric=metric, chunk=16_384
-            )
+            def _keep(_):
+                return s_i, i_i
 
-        out_i = jax.lax.cond(jnp.all(ok_i), _keep, _rescan, None)
-        return carry, out_i
+            def _rescan(_):
+                # bit-parity with flat_topk_ref when the slice's (Q, N)
+                # score block fits the materialization budget (the
+                # chunked scan's different reduction structure can swap
+                # sub-ulp near-tie ranks); stream beyond it.
+                if PROOF_SLICE * n * 4 <= 256 * 1024 * 1024:
+                    return flat_topk_ref(q_i, corpus, k, metric=metric)
+                return flat_topk_scan(
+                    q_i, corpus, k, metric=metric, chunk=16_384
+                )
 
-    _, (s_out, i_out) = jax.lax.scan(
-        per_slice, None, (ok_s, q_s, ts_s, ti_s)
-    )
-    out = (
-        s_out.reshape(q_pad2, k)[:n_q],
-        i_out.reshape(q_pad2, k)[:n_q],
-    )
+            out_i = jax.lax.cond(jnp.all(ok_i), _keep, _rescan, None)
+            return carry, out_i
+
+        _, (s_out, i_out) = jax.lax.scan(
+            per_slice, None, (ok_s, q_s, ts_s, ti_s)
+        )
+        return (
+            s_out.reshape(q_pad2, k)[:n_q],
+            i_out.reshape(q_pad2, k)[:n_q],
+        )
+
+    out = jax.lax.cond(jnp.all(ok_q), _all_keep, _sliced, None)
     if return_ok:
         return out + (ok_q,)
     return out

@@ -146,10 +146,45 @@ def main() -> None:
                     corpus_bf16=e_c16,
                     interpret=interpret, bf16_transposed=tr, group=g,
                 )
+        elif kind in ("sel", "ref"):
+            # glue breakdown: candidates + XLA top_k + id unpack ("sel"),
+            # plus the f32 gather+refine ("ref") — everything in e2s
+            # except the residual proof & sliced fallback machinery.
+            cdev = c32
+
+            from persian_rag_tpu.ops.flat_topk import (
+                _COL_MASK,
+                _INT_MIN,
+                _exact_refine,
+            )
+
+            def search(q, c, extra, tq=tile_q, tn=tile_n, ne=n_easy,
+                       kind=kind):
+                e_csq, e_c16 = extra
+                keys, bounds, tnn = flat_topk_candidates(
+                    q, e_c16, metric="dot", tile_n=tn, tile_q=tq,
+                    n_easy=ne, interpret=interpret,
+                )
+                ks = min(32, keys.shape[1])
+                top_keys, pos = jax.lax.top_k(keys, ks)
+                ids = (pos // ne) * tnn + (
+                    tnn - 1 - (top_keys & _COL_MASK)
+                )
+                ids = jnp.where(top_keys == _INT_MIN, -1, ids)
+                if kind == "sel":
+                    return top_keys[:, :K].astype(jnp.float32), ids[:, :K]
+                cand = jnp.sort(ids, axis=1)
+                return _exact_refine(
+                    q.astype(jnp.float32), c, cand, e_csq, "dot", K
+                )
         else:
             raise ValueError(kind)
 
-        extra = (csq, c16t if transposed else c16) if kind == "e2s" else ()
+        extra = (
+            (csq, c16t if transposed else c16)
+            if kind in ("e2s", "sel", "ref")
+            else ()
+        )
 
         if kind == "e2s":
             t_first = time.time()

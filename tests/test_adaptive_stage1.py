@@ -205,3 +205,42 @@ def test_sliced_proof_fallback_stays_exact():
     )
     np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
     np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), rtol=1e-5)
+
+
+def test_sliced_proof_allpass_fast_branch_exact():
+    """The sliced machinery is nested behind a whole-batch all-pass
+    cond (measured ~5 ms/dispatch of scan-of-conds overhead at
+    2048x1M even with zero failing slices). Planted well-separated
+    geometry (each query's top-12 scores spaced ~0.025 >> the bf16
+    eps window; everything else at random-noise level) makes a
+    600-query batch prove deterministically, taking the cheap
+    keep-everything branch; results must be bit-identical to the
+    reference."""
+    rng = np.random.default_rng(7)
+    d, k, n_q, n_planted = 384, 10, 600, 12
+    q = rng.standard_normal((n_q, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    # per query, 12 rows at controlled similarity 0.97 .. 0.70
+    targets = np.linspace(0.97, 0.70, n_planted).astype(np.float32)
+    alphas = np.sqrt(1.0 / targets**2 - 1.0)
+    noise = rng.standard_normal((n_q, n_planted, d)).astype(np.float32)
+    noise /= np.linalg.norm(noise, axis=2, keepdims=True)
+    planted = q[:, None, :] + alphas[None, :, None] * noise
+    planted /= np.linalg.norm(planted, axis=2, keepdims=True)
+    filler = rng.standard_normal((1800, d)).astype(np.float32)
+    filler /= np.linalg.norm(filler, axis=1, keepdims=True)
+    # rank-major interleave: query i's planted rows sit 600 apart, so a
+    # 1024-row tile holds at most 2 of them — a random shuffle lets ~2%
+    # of queries put >= n_easy+1 planted rows in one tile, starving the
+    # candidate extraction and (correctly) failing that query's proof
+    c = np.concatenate([planted.transpose(1, 0, 2).reshape(-1, d), filler])
+    ws, wi = flat_topk_ref(jnp.asarray(q), jnp.asarray(c), k, "dot")
+    gs, gi, ok = flat_topk_exact2_stream(
+        jnp.asarray(q), jnp.asarray(c), k, metric="dot",
+        tile_n=1024, tile_q=32, interpret=True, return_ok=True,
+    )
+    assert bool(np.all(np.asarray(ok))), (
+        f"{int(np.sum(~np.asarray(ok)))} queries failed the proof"
+    )
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), rtol=1e-5)
