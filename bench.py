@@ -453,15 +453,41 @@ def bench_generation(jax, jnp, extras: dict) -> None:
     b8_s = time.time() - t0
     b8_tok_s = sum(max(len(o), 1) for o in outs) / b8_s
 
+    # prefill throughput: the decoder forward over full prompts (batch 8
+    # x seq 128, fresh token ids per fori iteration — the relay caches
+    # identical dispatches). This is the RAG-serving cost of long
+    # context-stuffed prompts, separate from the decode loop above.
+    pf_batch, pf_seq, pf_reps = 8, 128, 8
+    model, params = gen.model, gen.params
+
+    @jax.jit
+    def prefill_loop(params, seed):
+        def body(i, acc):
+            key = jax.random.fold_in(jax.random.PRNGKey(9), seed + i)
+            ids = jax.random.randint(
+                key, (pf_batch, pf_seq), 1, config.vocab_size
+            )
+            logits = model.apply({"params": params}, ids)
+            return acc + jnp.sum(logits[:, -1, :].astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, pf_reps, body, 0.0)
+
+    np.asarray(prefill_loop(params, 0))
+    t0 = time.time()
+    np.asarray(prefill_loop(params, 321))
+    pf_tok_s = pf_batch * pf_seq * pf_reps / (time.time() - t0)
+
     answer_s_128 = 128 / max(b1_tok_s, 1e-9)
     log(
         f"generation (Llama-1B arch, bf16): batch-1 {b1_tok_s:.0f} tok/s "
         f"(-> {answer_s_128:.2f} s per 128-token answer vs reference "
-        f"0.73-1.75 s), batch-8 aggregate {b8_tok_s:.0f} tok/s "
-        f"(init {init_s:.0f}s, compiles {warm_s:.0f}s/{warm8_s:.0f}s)"
+        f"0.73-1.75 s), batch-8 aggregate {b8_tok_s:.0f} tok/s, "
+        f"prefill {pf_tok_s:.0f} tok/s (batch 8 x seq 128; "
+        f"init {init_s:.0f}s, compiles {warm_s:.0f}s/{warm8_s:.0f}s)"
     )
     extras["gen_tok_s_b1"] = round(b1_tok_s, 1)
     extras["gen_tok_s_b8"] = round(b8_tok_s, 1)
+    extras["gen_prefill_tok_s"] = round(pf_tok_s, 1)
     extras["gen_answer_s_128tok"] = round(answer_s_128, 3)
 
 
@@ -730,6 +756,17 @@ def main() -> None:
             extras["qps_1m"] = round(qps_1m, 1)
             extras["recall_1m"] = round(rec_1m, 4)
             extras["tflops_1m"] = round(tf_1m, 2)
+            # peak-throughput config at the north-star scale: batch 2048
+            # amortizes the per-dispatch extraction + proof glue over 4x
+            # the queries (the batch-512 structural floor is dispatch-
+            # shaped, not chip-shaped — see DESIGN.md round-3 notes).
+            if os.environ.get("BENCH_SWEEP", "1") != "0":
+                qps_1m2k, rec_1m2k, tf_1m2k = run_1m(
+                    f"TPU exact f32 batch-2048 N={N_1M}", 2048, c32_1m
+                )
+                extras["qps_1m_b2048"] = round(qps_1m2k, 1)
+                extras["recall_1m_b2048"] = round(rec_1m2k, 4)
+                extras["tflops_1m_b2048"] = round(tf_1m2k, 2)
             # bf16-RESIDENT 1M tier: the index stores ONLY bf16 rows
             # (half the HBM residency of the exact config); the search
             # is exact over the stored values, so recall vs the f32

@@ -206,6 +206,7 @@ class LlamaDecoder(nn.Module):
         attention_mask: Optional[jnp.ndarray] = None,
         cache: Optional[Dict] = None,
         cache_pos: Optional[jnp.ndarray] = None,
+        kv_valid: Optional[jnp.ndarray] = None,
     ):
         c = self.config
         b, s = input_ids.shape
@@ -225,6 +226,15 @@ class LlamaDecoder(nn.Module):
                     attention_mask[:, None, None, :] > 0, 0.0, -1e9
                 )
                 bias = bias + pad
+        elif kv_valid is not None:
+            # decode step with cache SLOTS decoupled from token
+            # positions (batched ragged decode writes every row's step-t
+            # token at the same scalar slot, so the KV update is a
+            # dynamic_update_slice instead of 2-per-layer scatters): the
+            # caller supplies the full (B, cache_len) key-validity mask
+            # — which slots hold real, causally visible tokens — and
+            # `positions` stays the true per-row token position (RoPE).
+            bias = jnp.where(kv_valid[:, None, None, :], 0.0, -1e9)
         else:
             # cache mode (prefill or decode step): query at position p
             # attends cache keys at positions <= p. attention_mask, when

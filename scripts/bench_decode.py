@@ -1,0 +1,80 @@
+"""Batched-decode step-cost microbench (chip A/B for the KV-write path).
+
+Measures generate_batch_device aggregate tok/s at batch 8 (Llama-1B
+arch, bf16) plus batch-1 for reference. Distinct prompts per timed call
+(the relay caches identical dispatches); greedy decoding so every run
+generates exactly max_tokens (no EOS variance in the denominator).
+
+Context: the round-3 bench measured 567 tok/s aggregate at batch 8 vs
+186 tok/s batch-1 — a 14.1 ms batched step vs 5.4 ms single step. The
+suspected cost is the per-row ragged KV-cache write (32 XLA scatters
+per step: 16 layers x k,v). Run this before/after the scalar-slot
+cache-write change to attribute it.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax.numpy as jnp
+
+    from persian_rag_tpu.gen.generator import TextGenerator
+    from persian_rag_tpu.models.decoder import DecoderConfig
+
+    max_tokens = int(os.environ.get("DEC_TOKENS", 64))
+    config = DecoderConfig.llama32_1b(compute_dtype=jnp.bfloat16)
+    t0 = time.time()
+    gen = TextGenerator(config, max_len=512)
+    print(f"init {time.time()-t0:.0f}s", flush=True)
+
+    def prompts(seed, n, base=48):
+        r = np.random.default_rng(seed)
+        return [list(r.integers(1, 255, base + i)) for i in range(n)]
+
+    # batch-1 reference (device loop). temperature is a runtime arg and
+    # lax.cond executes only the taken branch, so greedy vs sampled
+    # share one compile — the delta isolates the top-p full-vocab sort.
+    p1 = prompts(1, 1)[0]
+    t0 = time.time()
+    gen.generate_ids_device(p1, max_tokens=max_tokens, temperature=0.0)
+    print(f"b1 warm+compile {time.time()-t0:.0f}s", flush=True)
+    for temp, tag in ((0.0, "greedy"), (0.7, "top-p 0.9")):
+        rates = []
+        for s in (2, 3):
+            p = prompts(int(10 * temp) + s, 1)[0]
+            t0 = time.time()
+            out = gen.generate_ids_device(p, max_tokens=max_tokens,
+                                          temperature=temp)
+            dt = time.time() - t0
+            rates.append(max(len(out), 1) / dt)
+        r = float(np.median(rates))
+        print(f"batch-1 {tag}: {r:.0f} tok/s ({1e3/r:.2f} ms/step)",
+              flush=True)
+
+    # batch-8 ragged
+    t0 = time.time()
+    gen.generate_batch_device(prompts(10, 8), max_tokens=max_tokens,
+                              temperature=0.0)
+    print(f"b8 warm+compile {time.time()-t0:.0f}s", flush=True)
+    for temp, tag in ((0.0, "greedy"), (0.7, "top-p 0.9")):
+        rates = []
+        for s in (11, 12):
+            p = prompts(int(10 * temp) + s, 8)
+            t0 = time.time()
+            outs = gen.generate_batch_device(p, max_tokens=max_tokens,
+                                             temperature=temp)
+            dt = time.time() - t0
+            toks = sum(max(len(o), 1) for o in outs)
+            rates.append(toks / dt)
+        agg = float(np.median(rates))
+        print(f"batch-8 {tag}: {agg:.0f} tok/s aggregate "
+              f"({8e3/agg:.2f} ms/step)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
