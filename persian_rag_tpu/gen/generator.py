@@ -105,29 +105,41 @@ class TextGenerator:
         return self._step
 
     @staticmethod
-    @functools.partial(jax.jit, static_argnames=())
-    def _sample(logits, key, temperature, top_p):
+    @functools.partial(jax.jit, static_argnames=("top_k",))
+    def _sample(logits, key, temperature, top_p, top_k=40):
         def greedy(_):
             return jnp.argmax(logits).astype(jnp.int32)
 
         def sampled(_):
             scaled = logits / jnp.maximum(temperature, 1e-6)
-            sort_idx = jnp.argsort(-scaled)
-            sorted_logits = scaled[sort_idx]
-            probs = jax.nn.softmax(sorted_logits)
+            if 0 < top_k < scaled.shape[-1]:
+                # llama.cpp's sampler chain applies top-k (default 40)
+                # BEFORE top-p, so truncating here matches the serving
+                # contract the reference runs against — and the exact
+                # full-vocab argsort it replaces measured +10.6 ms/step
+                # at batch 8 x 128k vocab on chip (scripts/
+                # bench_decode.py). lax.top_k returns candidates already
+                # sorted descending.
+                vals, idx = jax.lax.top_k(scaled, top_k)
+            else:
+                # top_k=0: exact nucleus sampling over the full vocab
+                idx = jnp.argsort(-scaled)
+                vals = scaled[idx]
+            probs = jax.nn.softmax(vals)
             cum = jnp.cumsum(probs)
             cut = cum - probs > top_p  # keep tokens until mass > top_p
-            masked = jnp.where(cut, -jnp.inf, sorted_logits)
+            masked = jnp.where(cut, -jnp.inf, vals)
             choice = jax.random.categorical(key, masked)
-            return sort_idx[choice].astype(jnp.int32)
+            return idx[choice].astype(jnp.int32)
 
         return jax.lax.cond(temperature <= 0.0, greedy, sampled, None)
 
-    def _device_loop_fn(self, prompt_len: int, max_tokens: int):
+    def _device_loop_fn(self, prompt_len: int, max_tokens: int,
+                        top_k: int = 40):
         """Whole-generation jitted function: prefill + lax.while_loop
         decode on device — ONE dispatch per request (the per-step Python
         loop pays host<->device latency per token; this pays it once)."""
-        cache_key = ("loop", prompt_len, max_tokens)
+        cache_key = ("loop", prompt_len, max_tokens, top_k)
         if cache_key in self._prefill_cache:
             return self._prefill_cache[cache_key]
         model, config, max_len = self.model, self.config, self.max_len
@@ -145,7 +157,7 @@ class TextGenerator:
                 cache_pos=jnp.int32(0),
             )
             first = TextGenerator._sample(
-                logits[0, -1, :], key, temperature, top_p
+                logits[0, -1, :], key, temperature, top_p, top_k=top_k
             )
             out = jnp.full((max_tokens,), -1, jnp.int32)
 
@@ -165,7 +177,7 @@ class TextGenerator:
                 )
                 key, sub = jax.random.split(key)
                 nxt = TextGenerator._sample(
-                    logits[0, -1, :], sub, temperature, top_p
+                    logits[0, -1, :], sub, temperature, top_p, top_k=top_k
                 )
                 return i + 1, nxt, pos + 1, cache, key, out
 
@@ -179,16 +191,20 @@ class TextGenerator:
         self._prefill_cache[cache_key] = run
         return run
 
-    def _batch_loop_fn(self, bucket: int, max_tokens: int, batch: int):
+    def _batch_loop_fn(self, bucket: int, max_tokens: int, batch: int,
+                       top_k: int = 40):
         """Batched whole-generation function: ragged prompts right-padded
         to one bucket, per-row positions/EOS masking, one dispatch for
         the entire batch's decode."""
-        cache_key = ("batch", bucket, max_tokens, batch)
+        cache_key = ("batch", bucket, max_tokens, batch, top_k)
         if cache_key in self._prefill_cache:
             return self._prefill_cache[cache_key]
         model, config, max_len = self.model, self.config, self.max_len
         eos = getattr(self.tokenizer, "eos_id", -1)
-        sample = jax.vmap(TextGenerator._sample, in_axes=(0, 0, None, None))
+        sample = jax.vmap(
+            functools.partial(TextGenerator._sample, top_k=top_k),
+            in_axes=(0, 0, None, None),
+        )
 
         @jax.jit
         def run(params, ids, lengths, key, temperature, top_p):
@@ -225,13 +241,15 @@ class TextGenerator:
                 # RoPE/true position is per-row (ragged prompts), but the
                 # CACHE SLOT is the scalar bucket+t — every row's step-t
                 # token lands in the same generation-region slot, so the
-                # KV write is one dynamic_update_slice per layer instead
-                # of a scatter (32 scatters/step measured 2.6x the
-                # batch-1 step cost on chip). Pad slots [len_i, bucket)
-                # keep their prefill garbage and stay masked forever;
-                # attention output is bitwise-identical (RoPE values and
-                # the visible key SET are unchanged; masked keys
-                # contribute exact zeros).
+                # KV write is one dynamic_update_slice per tensor instead
+                # of a per-row scatter. (On this chip XLA lowers the
+                # 8-row scatter about as well — greedy steps measured
+                # ~parity — but DUS is guaranteed-cheap lowering and
+                # keeps the generation region contiguous.) Pad slots
+                # [len_i, bucket) keep their prefill garbage and stay
+                # masked forever; attention output is bitwise-identical
+                # (RoPE values and the visible key SET are unchanged;
+                # masked keys contribute exact zeros).
                 pos = jnp.minimum(lengths + t, max_len - 1)
                 slot = jnp.minimum(bucket + t, max_len - 1)
                 key_slot = jnp.arange(max_len, dtype=jnp.int32)[None, :]
@@ -272,6 +290,7 @@ class TextGenerator:
         top_p: float = 0.9,
         seed: int = 0,
         length_bucket: int = 32,
+        top_k: int = 40,
     ) -> List[List[int]]:
         """Generate for a batch of (ragged) prompts in one device loop."""
         batch = len(prompts_ids)
@@ -291,7 +310,7 @@ class TextGenerator:
         for i, p in enumerate(clipped):
             ids[i, : len(p)] = p
             lengths[i] = len(p)
-        run = self._batch_loop_fn(bucket, max_tokens, batch)
+        run = self._batch_loop_fn(bucket, max_tokens, batch, top_k=top_k)
         out = np.asarray(
             run(
                 self.params,
@@ -318,12 +337,13 @@ class TextGenerator:
         temperature: float = 0.0,
         top_p: float = 0.9,
         seed: int = 0,
+        top_k: int = 40,
     ) -> List[int]:
         """Device-loop generation in one jitted call (compiled per prompt
         length; the host-loop variant `generate_ids` compiles once but
         pays a device round-trip per token). Stops at EOS."""
         prompt_ids = list(prompt_ids)[-(self.max_len - max_tokens - 1):]
-        run = self._device_loop_fn(len(prompt_ids), max_tokens)
+        run = self._device_loop_fn(len(prompt_ids), max_tokens, top_k=top_k)
         out, count = run(
             self.params,
             jnp.asarray([prompt_ids], jnp.int32),
@@ -343,6 +363,7 @@ class TextGenerator:
         top_p: float = 0.9,
         stop_ids: Optional[Sequence[int]] = None,
         seed: int = 0,
+        top_k: int = 40,
     ) -> List[int]:
         stop = set(stop_ids or [])
         eos = getattr(self.tokenizer, "eos_id", None)
@@ -358,7 +379,8 @@ class TextGenerator:
         key, sub = jax.random.split(key)
         token = int(
             self._sample(
-                logits[0], sub, jnp.float32(temperature), jnp.float32(top_p)
+                logits[0], sub, jnp.float32(temperature),
+                jnp.float32(top_p), top_k=top_k,
             )
         )
         for _ in range(max_tokens):
@@ -372,7 +394,8 @@ class TextGenerator:
             key, sub = jax.random.split(key)
             token = int(
                 self._sample(
-                    logits, sub, jnp.float32(temperature), jnp.float32(top_p)
+                    logits, sub, jnp.float32(temperature),
+                    jnp.float32(top_p), top_k=top_k,
                 )
             )
         return out
@@ -385,6 +408,7 @@ class TextGenerator:
         top_p: float = 0.9,
         stop: Optional[Sequence[str]] = None,
         seed: int = 0,
+        top_k: int = 40,
     ) -> str:
         prompt_ids = self.tokenizer.encode(prompt)
         out_ids = self.generate_ids(
@@ -393,6 +417,7 @@ class TextGenerator:
             temperature=temperature,
             top_p=top_p,
             seed=seed,
+            top_k=top_k,
         )
         text = self.tokenizer.decode(out_ids)
         for marker in stop or []:

@@ -18,14 +18,16 @@ from persian_rag_tpu.gen.generator import TextGenerator
 
 
 class _PendingGen:
-    __slots__ = ("prompt", "max_tokens", "temperature", "top_p", "stop",
-                 "event", "text")
+    __slots__ = ("prompt", "max_tokens", "temperature", "top_p", "top_k",
+                 "stop", "event", "text")
 
-    def __init__(self, prompt, max_tokens, temperature, top_p, stop):
+    def __init__(self, prompt, max_tokens, temperature, top_p, stop,
+                 top_k=40):
         self.prompt = prompt
         self.max_tokens = max_tokens
         self.temperature = temperature
         self.top_p = top_p
+        self.top_k = top_k
         self.stop = stop
         self.event = threading.Event()
         self.text: Optional[str] = None
@@ -104,6 +106,7 @@ class LocalGenerationServer:
                     float(data.get("temperature", 0.0)),
                     float(data.get("top_p", 0.9)),
                     data.get("stop"),
+                    top_k=int(data.get("top_k", 40)),
                 )
                 outer._queue.put(pending)
                 pending.event.wait(timeout=600)
@@ -155,18 +158,19 @@ class LocalGenerationServer:
             max_tokens = max(p.max_tokens for p in group)
             # sampling params are per-batch on device: serve groups with
             # homogeneous temperature together, else fall back per-item
-            temps = {(p.temperature, p.top_p) for p in group}
+            temps = {(p.temperature, p.top_p, p.top_k) for p in group}
             if len(temps) == 1 and len(group) > 1:
-                temperature, top_p = next(iter(temps))
+                temperature, top_p, top_k = next(iter(temps))
                 outs = self.generator.generate_batch_device(
                     prompts, max_tokens=max_tokens,
-                    temperature=temperature, top_p=top_p,
+                    temperature=temperature, top_p=top_p, top_k=top_k,
                 )
             else:
                 outs = [
                     self.generator.generate_ids_device(
                         prompt, max_tokens=p.max_tokens,
                         temperature=p.temperature, top_p=p.top_p,
+                        top_k=p.top_k,
                     )
                     for prompt, p in zip(prompts, group)
                 ]
