@@ -46,6 +46,8 @@ class TextGenerator:
         tokenizer=None,
         max_len: int = 512,
         seed: int = 0,
+        mesh=None,
+        tp_axis: str = "corpus",
     ):
         self.config = config
         self.tokenizer = tokenizer or ByteTokenizer()
@@ -60,6 +62,18 @@ class TextGenerator:
         # regardless of compute_dtype, and batch-1 decode is bound by the
         # weight stream (f32 params = 2x the HBM bytes per step).
         self.params = cast_params(params, config.compute_dtype)
+        if mesh is not None:
+            # tensor-parallel serving: Megatron column/row placement;
+            # the jitted loops below are unchanged — XLA's SPMD
+            # partitioner inserts the collectives and propagates the
+            # KV-cache sharding from the k/v projection outputs.
+            from persian_rag_tpu.parallel.tp_decoder import (
+                shard_decoder_params_tp,
+            )
+
+            self.params = shard_decoder_params_tp(
+                self.params, mesh, axis=tp_axis
+            )
         self._prefill_cache: Dict[int, object] = {}
         self._step = None
 
