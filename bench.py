@@ -412,6 +412,31 @@ def bench_ivf(jax, jnp, corpus: np.ndarray, extras: dict) -> None:
     )
     extras["ivf_ms_nprobe8"] = round(ivf_ms, 3)
 
+    # batched serving latency through the same probe-and-scan step
+    bq = 256
+
+    @jax.jit
+    def timed_batch(centroids, cells, cell_ids, ovf, ovf_ids, seed):
+        def body(i, acc):
+            key = jax.random.fold_in(jax.random.PRNGKey(6), seed + i)
+            q = jax.random.normal(key, (bq, DIM), jnp.float32)
+            s, idx = _ivf_search_step(
+                q, centroids, cells, cell_ids, ovf, ovf_ids,
+                k=K, nprobe=8, metric="dot", has_overflow=has_ovf,
+            )
+            return acc + jnp.sum(s) + jnp.sum(idx).astype(jnp.float32)
+        return jax.lax.fori_loop(0, reps, body, 0.0)
+
+    np.asarray(timed_batch(*args, 0))
+    t0 = time.time()
+    np.asarray(timed_batch(*args, 999))
+    ivf_batch_ms = (time.time() - t0) / reps * 1e3
+    log(
+        f"IVF batched nprobe=8: {ivf_batch_ms:.2f} ms / {bq} q = "
+        f"{bq/ivf_batch_ms*1e3:.0f} QPS"
+    )
+    extras["ivf_qps_b256"] = round(bq / ivf_batch_ms * 1e3, 1)
+
 
 def bench_generation(jax, jnp, extras: dict) -> None:
     """Llama-3.2-1B-architecture decode throughput (bf16-served weights,
