@@ -40,6 +40,13 @@ def main(argv=None) -> int:
                         help="gen-serve: HF LlamaForCausalLM checkpoint dir "
                              "(torch .bin/.safetensors); omitted = random "
                              "weights (smoke serving)")
+    parser.add_argument("--max-batch", type=int, default=8,
+                        help="gen-serve: micro-batch cap for concurrent "
+                             "requests (batch-32 measured 4.3k tok/s "
+                             "aggregate vs 1.7k at batch-8; each distinct "
+                             "batch size compiles once). With "
+                             "--mesh-corpus N > 1 the decoder serves "
+                             "tensor-parallel over the mesh.")
     args = parser.parse_args(argv)
 
     from persian_rag_tpu.core.config import load_config
@@ -151,10 +158,12 @@ def main(argv=None) -> int:
         else:
             dec_config = DecoderConfig.llama32_1b(compute_dtype=jnp.bfloat16)
         generator = TextGenerator(
-            dec_config, params=params, tokenizer=tokenizer, max_len=512
+            dec_config, params=params, tokenizer=tokenizer, max_len=512,
+            mesh=mesh,
         )
         server = LocalGenerationServer(
-            generator, port=8080 if args.port is None else args.port
+            generator, port=8080 if args.port is None else args.port,
+            max_batch=args.max_batch,
         ).start()
         print(
             f"generation server at {server.url} "

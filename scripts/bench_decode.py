@@ -56,24 +56,26 @@ def main():
         print(f"batch-1 {tag}: {r:.0f} tok/s ({1e3/r:.2f} ms/step)",
               flush=True)
 
-    # batch-8 ragged
-    t0 = time.time()
-    gen.generate_batch_device(prompts(10, 8), max_tokens=max_tokens,
-                              temperature=0.0)
-    print(f"b8 warm+compile {time.time()-t0:.0f}s", flush=True)
-    for temp, tag in ((0.0, "greedy"), (0.7, "top-p 0.9")):
-        rates = []
-        for s in (11, 12):
-            p = prompts(int(10 * temp) + s, 8)
-            t0 = time.time()
-            outs = gen.generate_batch_device(p, max_tokens=max_tokens,
-                                             temperature=temp)
-            dt = time.time() - t0
-            toks = sum(max(len(o), 1) for o in outs)
-            rates.append(toks / dt)
-        agg = float(np.median(rates))
-        print(f"batch-8 {tag}: {agg:.0f} tok/s aggregate "
-              f"({8e3/agg:.2f} ms/step)", flush=True)
+    # batched ragged (DEC_BATCHES env, default "8")
+    for nb in [int(x) for x in
+               os.environ.get("DEC_BATCHES", "8").split(",")]:
+        t0 = time.time()
+        gen.generate_batch_device(prompts(10, nb), max_tokens=max_tokens,
+                                  temperature=0.0)
+        print(f"b{nb} warm+compile {time.time()-t0:.0f}s", flush=True)
+        for temp, tag in ((0.0, "greedy"), (0.7, "top-p 0.9")):
+            rates = []
+            for s in (11, 12):
+                p = prompts(int(10 * temp) + s, nb)
+                t0 = time.time()
+                outs = gen.generate_batch_device(
+                    p, max_tokens=max_tokens, temperature=temp)
+                dt = time.time() - t0
+                toks = sum(max(len(o), 1) for o in outs)
+                rates.append(toks / dt)
+            agg = float(np.median(rates))
+            print(f"batch-{nb} {tag}: {agg:.0f} tok/s aggregate "
+                  f"({nb*1e3/agg:.2f} ms/step)", flush=True)
 
 
 if __name__ == "__main__":
