@@ -267,10 +267,12 @@ def bench_hybrid(jax, jnp, extras: dict) -> None:
     )
     rs.load_chunks_and_index(chunks, embeddings=emb)
 
+    hb = int(os.environ.get("BENCH_HYBRID_B", 256))
+
     def queries(seed):
         r = np.random.default_rng(seed)
         return [" ".join(str(x) for x in r.integers(0, 30_000, 8))
-                for _ in range(64)]
+                for _ in range(hb)]
 
     assert rs._hybrid_fused_supported(), "expected the one-dispatch path"
     t0 = time.time()
@@ -279,14 +281,16 @@ def bench_hybrid(jax, jnp, extras: dict) -> None:
     t0 = time.time()
     out = rs.retrieve_hybrid_batch(queries(1), 10, rerank=True)
     dt = time.time() - t0
-    assert len(out) == 64 and len(out[0]) == 10
+    assert len(out) == hb and len(out[0]) == 10
     log(
         f"hybrid+rerank serving N={n_docs} (one-dispatch device fusion): "
-        f"{dt*1e3:.1f} ms / 64 q = {dt/64*1e3:.2f} ms/q ({64/dt:.0f} QPS; "
-        f"warm incl. compile {warm:.1f}s)"
+        f"{dt*1e3:.1f} ms / {hb} q = {dt/hb*1e3:.2f} ms/q ({hb/dt:.0f} QPS; "
+        f"warm incl. compile {warm:.1f}s; each call pays ~27 ms fixed "
+        f"relay dispatch+readback — batch amortizes it)"
     )
-    extras["hybrid_ms_per_q"] = round(dt / 64 * 1e3, 3)
+    extras["hybrid_ms_per_q"] = round(dt / hb * 1e3, 3)
     extras["hybrid_n_docs"] = n_docs
+    extras["hybrid_batch"] = hb
 
 
 def _realgeom_corpus(n_t: int, rng) -> Optional[np.ndarray]:
