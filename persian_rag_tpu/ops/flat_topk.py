@@ -1798,13 +1798,20 @@ def flat_topk(
         # proof margins). It also dominates the running-merge fast
         # kernel (measured: 9.4 vs 13.2 ms at 1M), so "fast" requests
         # land here too — they simply get exact results early.
+        #
+        # tile_n cap is SCALE-DEPENDENT (v5e, batch 512, ms/512q):
+        # N=100k tn1024 1.18 vs tn2048 1.55; N=200k tn2048 2.26 vs
+        # tn1024 2.74; tn2048 keeps winning at 400k/1M. Small N pipelines
+        # better on the finer grid; large N pays candidate-glue growth
+        # (J*n_easy keys through XLA top_k) — cross over ~150k.
+        tn_cap = 1024 if corpus.shape[0] < 150_000 else 2048
         return flat_topk_exact2_stream(
             queries,
             corpus,
             k,
             metric=metric,
             k_scan=max(32, 2 * k),
-            tile_n=min(tile_n * 2, 2048),
+            tile_n=min(tile_n * 2, tn_cap),
             tile_q=max(tile_q, 256),
             corpus_sqnorm=corpus_sqnorm,
             corpus_bf16=corpus_bf16,
