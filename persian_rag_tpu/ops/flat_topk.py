@@ -1805,6 +1805,9 @@ def flat_topk(
         # better on the finer grid; large N pays candidate-glue growth
         # (J*n_easy keys through XLA top_k) — cross over ~150k.
         tn_cap = 1024 if corpus.shape[0] < 150_000 else 2048
+        # tile_q 512 only pays at big batches (1M x b2048: 25.5 vs
+        # 26.4 ms; neutral at 100k b2048; slower at batch 512).
+        tq = 512 if queries.shape[0] >= 2048 else max(tile_q, 256)
         return flat_topk_exact2_stream(
             queries,
             corpus,
@@ -1812,7 +1815,7 @@ def flat_topk(
             metric=metric,
             k_scan=max(32, 2 * k),
             tile_n=min(tile_n * 2, tn_cap),
-            tile_q=max(tile_q, 256),
+            tile_q=tq,
             corpus_sqnorm=corpus_sqnorm,
             corpus_bf16=corpus_bf16,
             n_easy=4,
