@@ -669,7 +669,13 @@ def main() -> None:
         dt = (time.time() - t0) / REPS
         qps = batch / dt
         tflops = 2.0 * batch * n_docs * DIM / dt / 1e12
-        q_tiles = -(-batch // kw.get("tile_q", 128))
+        # corpus-stream accounting uses the EFFECTIVE tile_q: the
+        # two-stage dispatcher treats the caller's tile_q as a hint and
+        # picks max(hint, 512 at batch>=2048 else 256)
+        tile_q_eff = max(
+            kw.get("tile_q", 128), 512 if batch >= 2048 else 256
+        )
+        q_tiles = -(-batch // tile_q_eff)
         gbps = n_docs * DIM * bytes_per_elem * q_tiles / dt / 1e9
         log(
             f"{name}: {dt*1e3:.2f} ms / {batch} q -> {qps:.0f} QPS "
@@ -742,10 +748,6 @@ def main() -> None:
             del corpus_1m
 
             def run_1m(name, batch, corpus_dev):
-                from persian_rag_tpu.ops.flat_topk import (
-                    flat_topk_exact2_stream,
-                )
-
                 # serving caches derived once on device, passed as args
                 csq = jax.jit(
                     lambda c: jnp.sum(
@@ -755,11 +757,13 @@ def main() -> None:
                 )(corpus_dev)
                 c16 = jax.jit(lambda c: c.astype(jnp.bfloat16))(corpus_dev)
 
+                # through the dispatching API (it picks the measured
+                # scale/batch-optimal tiles), so the bench measures the
+                # exact code path flat_topk serves users
                 def search(q, c, csq_, c16_):
-                    return flat_topk_exact2_stream(
-                        q, c, K, metric="dot", k_scan=32, tile_n=2048,
-                        tile_q=256, n_easy=4, corpus_sqnorm=csq_,
-                        corpus_bf16=c16_,
+                    return flat_topk(
+                        q, c, K, metric="dot", mode="exact",
+                        corpus_sqnorm=csq_, corpus_bf16=c16_,
                     )
 
                 got = np.asarray(jax.block_until_ready(

@@ -118,26 +118,22 @@ class DecoderAttention(nn.Module):
         k = _rope(k, positions, c.rope_theta)
 
         if cache is not None:
-            # write this step's k/v at the dynamic cache position: a
-            # scalar cache_pos writes a contiguous block (prefill /
-            # single-sequence decode); a (B,) cache_pos scatter-writes
-            # one token per row (batched decode with ragged lengths)
+            # write this step's k/v block at the SCALAR cache position:
+            # prefill writes the whole prompt block at 0; every decode
+            # step (single or batched) writes one token at a shared slot
+            # — batched ragged decode decouples slot from token position
+            # (generator._batch_loop_fn), so no per-row scatter exists.
             k_cache, v_cache, cache_pos = cache
-            if jnp.ndim(cache_pos) == 0:
-                k_cache = jax.lax.dynamic_update_slice(
-                    k_cache, k.astype(k_cache.dtype), (0, cache_pos, 0, 0)
-                )
-                v_cache = jax.lax.dynamic_update_slice(
-                    v_cache, v.astype(v_cache.dtype), (0, cache_pos, 0, 0)
-                )
-            else:
-                rows = jnp.arange(k.shape[0])
-                k_cache = k_cache.at[rows, cache_pos].set(
-                    k[:, 0].astype(k_cache.dtype)
-                )
-                v_cache = v_cache.at[rows, cache_pos].set(
-                    v[:, 0].astype(v_cache.dtype)
-                )
+            assert jnp.ndim(cache_pos) == 0, (
+                "cache_pos must be a scalar slot; batched decode aligns "
+                "rows to a shared slot instead of scatter-writing"
+            )
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype), (0, cache_pos, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype), (0, cache_pos, 0, 0)
+            )
             k, v = k_cache, v_cache
             new_cache = (k_cache, v_cache)
         else:

@@ -1804,10 +1804,14 @@ def flat_topk(
         # tn1024 2.74; tn2048 keeps winning at 400k/1M. Small N pipelines
         # better on the finer grid; large N pays candidate-glue growth
         # (J*n_easy keys through XLA top_k) — cross over ~150k.
+        # tile_q/tile_n are HINTS here: the two-stage regime picks its
+        # own measured optima by scale and batch, honoring a caller
+        # hint only in the direction that stays VMEM-safe (smaller
+        # tile_n, larger tile_q). tile_q 512 only pays at big batches
+        # (1M x b2048: 25.5 vs 26.4 ms; neutral at 100k b2048; slower
+        # at batch 512).
         tn_cap = 1024 if corpus.shape[0] < 150_000 else 2048
-        # tile_q 512 only pays at big batches (1M x b2048: 25.5 vs
-        # 26.4 ms; neutral at 100k b2048; slower at batch 512).
-        tq = 512 if queries.shape[0] >= 2048 else max(tile_q, 256)
+        tq = max(tile_q, 512 if queries.shape[0] >= 2048 else 256)
         return flat_topk_exact2_stream(
             queries,
             corpus,

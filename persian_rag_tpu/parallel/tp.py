@@ -41,18 +41,18 @@ def _spec_for(path: Tuple[str, ...], leaf_name: str, axis: str):
     return P()
 
 
-def shard_params_tensor_parallel(
-    params: Dict[str, Any], mesh: Mesh, axis: str = "corpus"
+def place_params(
+    params: Dict[str, Any], mesh: Mesh, axis: str, spec_fn
 ) -> Dict[str, Any]:
-    """Return the params tree placed with TP shardings over ``axis``.
-
-    Dimensions that don't divide the axis size stay replicated.
-    """
+    """Walk a params dict-tree and device_put each leaf with the spec
+    ``spec_fn(path_without_leaf_name, leaf_name, axis)`` chooses; any
+    dimension that doesn't divide the mesh axis falls back to full
+    replication. Shared by the encoder and decoder TP placements."""
     n = mesh.shape[axis]
 
     def place(path: Tuple[str, ...], leaf):
         leaf_name = path[-1]
-        spec = _spec_for(path[:-1], leaf_name, axis)
+        spec = spec_fn(path[:-1], leaf_name, axis)
         # verify divisibility; fall back to replication
         for dim, name in zip(leaf.shape, spec):
             if name == axis and dim % n != 0:
@@ -66,3 +66,13 @@ def shard_params_tensor_parallel(
         return place(path, node)
 
     return walk(params)
+
+
+def shard_params_tensor_parallel(
+    params: Dict[str, Any], mesh: Mesh, axis: str = "corpus"
+) -> Dict[str, Any]:
+    """Return the params tree placed with TP shardings over ``axis``.
+
+    Dimensions that don't divide the axis size stay replicated.
+    """
+    return place_params(params, mesh, axis, _spec_for)

@@ -24,17 +24,17 @@ Any dimension that does not divide the mesh axis stays replicated
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
-import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 _COLUMN_PARALLEL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
                     "lm_head")
 _ROW_PARALLEL = ("o_proj", "down_proj")
 
 
-def _spec_for(parent: str, leaf_name: str, axis: str):
+def _spec_for(path, leaf_name: str, axis: str):
+    parent = path[-1] if path else ""
     if parent in _COLUMN_PARALLEL and leaf_name == "kernel":
         return P(None, axis)
     if parent in _ROW_PARALLEL and leaf_name == "kernel":
@@ -57,20 +57,6 @@ def shard_decoder_params_tp(
     head counts still compute correctly (GSPMD reshards), just with
     more communication; indivisible dims replicate.
     """
-    n = mesh.shape[axis]
+    from persian_rag_tpu.parallel.tp import place_params
 
-    def place(path: Tuple[str, ...], leaf):
-        parent = path[-2] if len(path) >= 2 else ""
-        spec = _spec_for(parent, path[-1], axis)
-        for dim, name in zip(leaf.shape, spec):
-            if name == axis and dim % n != 0:
-                spec = P()
-                break
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
-
-    def walk(node, path=()):
-        if isinstance(node, dict):
-            return {k: walk(v, path + (k,)) for k, v in node.items()}
-        return place(path, node)
-
-    return walk(params)
+    return place_params(params, mesh, axis, _spec_for)

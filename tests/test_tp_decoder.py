@@ -72,9 +72,11 @@ def test_tp_generation_matches_single_device():
     assert w1 == g1
 
 
-def test_tp_indivisible_dims_replicate():
-    # Llama-1B-like ratios where kv_heads (2) don't divide the axis:
-    # k/v kernels must fall back to replication, everything still runs.
+def test_tp_mid_head_split_matches_single_device():
+    # Llama-1B-like ratios where the k/v output dim (2 kv heads x 16 =
+    # 32) DOES divide the 8-way axis but NOT on head boundaries — each
+    # device holds a 4-wide sub-head slice. GSPMD must reshard through
+    # the attention einsum and still match the single-device forward.
     config = DecoderConfig(
         vocab_size=512, hidden_size=128, num_layers=1, num_heads=8,
         num_kv_heads=2, intermediate_size=256,
@@ -87,8 +89,21 @@ def test_tp_indivisible_dims_replicate():
     mesh = build_mesh(corpus_axis=8, data_axis=1)
     tp_params = shard_decoder_params_tp(params, mesh, axis="corpus")
     kv = tp_params["layer_0"]["attention"]["k_proj"]["kernel"]
-    # kv out dim = 2*16 = 32, 32 % 8 == 0 -> actually shards; force the
-    # replication case via the vocab: 510 % 8 != 0
+    assert kv.addressable_shards[0].data.shape == (128, 32 // 8)
+    ids = jax.random.randint(jax.random.PRNGKey(3), (2, 12), 0, 512)
+    want = np.asarray(
+        jax.jit(lambda p, i: model.apply({"params": p}, i))(params, ids),
+        np.float32,
+    )
+    got = np.asarray(
+        jax.jit(lambda p, i: model.apply({"params": p}, i))(tp_params, ids),
+        np.float32,
+    )
+    np.testing.assert_allclose(want, got, rtol=2e-5, atol=2e-5)
+
+
+def test_tp_indivisible_dims_replicate():
+    # force the replication fallback via the vocab: 510 % 8 != 0
     config2 = DecoderConfig(
         vocab_size=510, hidden_size=128, num_layers=1, num_heads=8,
         num_kv_heads=8, intermediate_size=256,
@@ -98,6 +113,7 @@ def test_tp_indivisible_dims_replicate():
     params2 = model2.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32)
     )["params"]
+    mesh = build_mesh(corpus_axis=8, data_axis=1)
     tp2 = shard_decoder_params_tp(params2, mesh, axis="corpus")
     emb = tp2["embed_tokens"]["embedding"]
     assert emb.addressable_shards[0].data.shape == (510, 128)  # replicated
@@ -107,4 +123,3 @@ def test_tp_indivisible_dims_replicate():
     )
     got = np.asarray(model2.apply({"params": tp2}, ids), np.float32)
     np.testing.assert_allclose(want, got, rtol=2e-5, atol=2e-5)
-    assert kv is not None
