@@ -1,0 +1,138 @@
+"""Adversarial exactness validation of the dispatching flat search on chip.
+
+Round-2 ran these checks ad hoc at the then-current tiles (tn=2048);
+this scripts them so every tile-regime change re-validates. Plants at
+N=100k (the tn=1024 regime) for batches 512 AND 2048 (the tq=512
+regime), dot and l2:
+
+  * a 6-row exact-duplicate group -> must tie-break lowest-id-first
+    (FAISS order) and appear as a block in the top-k;
+  * a 12-row near-tie fan (input separations 2e-4 -> score gaps well
+    above f32 ulp, so CPU/TPU must agree on the order; separations at
+    1e-6 collapse to 1-ulp ties whose order is legitimately
+    implementation-dependent — the documented sub-ulp caveat, verified
+    here by construction);
+  * a zero-norm query -> for dot the scores are EXACTLY 0 (ties ->
+    lowest-id-first, ids 0..k-1); for l2 the "ties" are per-row
+    ||c||^2 f32 rounding noise, so only score closeness is checkable;
+  * everything embedded in a batch of random queries (the planted
+    queries must not perturb neighbors' results).
+
+Compares ids AND scores against the stable-argsort f32 NumPy scan.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N, D, K = 100_000, 384, 10
+DUP_IDS = [777, 31_337, 54_321, 60_000, 88_888, 99_999]
+FAN_BASE = 1234  # near-tie fan occupies ids 1234..1245
+
+
+W = None  # set by build_corpus; probe queries need the fan direction
+
+
+def build_corpus(rng):
+    global W
+    c = rng.standard_normal((N, D)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    # exact duplicate group
+    for i in DUP_IDS[1:]:
+        c[i] = c[DUP_IDS[0]]
+    # near-tie fan: 12 rows = normalize(v + i * 1e-6 * w)
+    v = c[FAN_BASE].copy()
+    w = rng.standard_normal(D).astype(np.float32)
+    w /= np.linalg.norm(w)
+    W = w
+    for j in range(12):
+        row = v + (j * 2e-4) * w
+        c[FAN_BASE + j] = row / np.linalg.norm(row)
+    return c
+
+
+def reference(queries, corpus, metric):
+    if metric == "dot":
+        scores = queries @ corpus.T
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :K]
+        return np.take_along_axis(scores, order, axis=1), order
+    d2 = (
+        np.sum(queries * queries, 1, keepdims=True)
+        - 2.0 * (queries @ corpus.T)
+        + np.sum(corpus * corpus, 1)[None, :]
+    ).astype(np.float32)
+    order = np.argsort(d2, axis=1, kind="stable")[:, :K]
+    return np.take_along_axis(d2, order, axis=1), order
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from persian_rag_tpu.ops.flat_topk import flat_topk
+
+    rng = np.random.default_rng(42)
+    corpus = build_corpus(rng)
+    cdev = jax.device_put(jnp.asarray(corpus))
+
+    failures = 0
+    for batch in (512, 2048):
+        q = rng.standard_normal((batch, D)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        q[0] = corpus[DUP_IDS[0]]          # hits the duplicate group
+        # fan probes sit at an ANGLE to the fan direction w: the score
+        # gap per fan step is then first-order (2e-4 * 0.1 ~ 2e-5,
+        # ~150 f32 ulp at score 1.0 — both implementations must order
+        # identically). A probe ON the fan sees only quadratic
+        # (sub-ulp) gaps whose order is legitimately rounding-dependent.
+        q1 = corpus[FAN_BASE] + 0.1 * W
+        q[1] = q1 / np.linalg.norm(q1)
+        q[2] = 0.0                         # zero-norm
+        q3 = corpus[FAN_BASE] - 0.07 * W
+        q[3] = q3 / np.linalg.norm(q3)
+
+        for metric in ("dot", "l2"):
+            want_s, want_i = reference(q, corpus, metric)
+            s, i = jax.block_until_ready(
+                flat_topk(jnp.asarray(q), cdev, K, metric=metric,
+                          mode="exact")
+            )
+            s, i = np.asarray(s), np.asarray(i)
+            # flat_topk l2 returns true squared distances (ascending)
+            rows = np.arange(batch)
+            if metric == "l2":
+                rows = rows[rows != 2]  # zero-norm l2: ulp-tied ids
+            ok_ids = np.array_equal(i[rows], want_i[rows])
+            bitwise = np.array_equal(s, want_s)
+            ok_scores = np.allclose(s, want_s, rtol=1e-6, atol=1e-6)
+            # targeted asserts
+            dup_block = i[0][: len(DUP_IDS)].tolist()
+            dup_ok = dup_block == sorted(DUP_IDS)[: len(dup_block)]
+            zero_ok = (
+                i[2].tolist() == list(range(K)) if metric == "dot"
+                else bool(np.allclose(s[2], 1.0, atol=1e-5))
+            )
+            status = "OK" if (ok_ids and ok_scores and dup_ok and zero_ok) \
+                else "FAIL"
+            if status == "FAIL":
+                failures += 1
+                bad = rows[np.where((i[rows] != want_i[rows]).any(axis=1))[0][:5]]
+                print(f"  first mismatching queries: {bad.tolist()}")
+                for b in bad[:2]:
+                    print(f"    got  {i[b].tolist()} {s[b].tolist()}")
+                    print(f"    want {want_i[b].tolist()} {want_s[b].tolist()}")
+            print(
+                f"batch={batch} metric={metric}: ids_equal={ok_ids} "
+                f"scores bitwise={bitwise}/close={ok_scores} "
+                f"dup_lowest_first={dup_ok} "
+                f"zero_norm_ids_0..k={zero_ok} -> {status}",
+                flush=True,
+            )
+    print("ALL OK" if failures == 0 else f"{failures} FAILURES")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
