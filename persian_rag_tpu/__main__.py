@@ -22,7 +22,8 @@ def main(argv=None) -> int:
     parser.add_argument(
         "command",
         choices=[
-            "phase1", "phase2", "phase3", "phase4", "run-all",
+            "phase1", "phase2", "phase3", "phase4", "phase4-enhanced",
+            "create-embeddings", "run-all",
             "fast-test", "status", "ui", "serve", "gen-serve", "bench",
         ],
     )
@@ -40,6 +41,11 @@ def main(argv=None) -> int:
                         help="gen-serve: HF LlamaForCausalLM checkpoint dir "
                              "(torch .bin/.safetensors); omitted = random "
                              "weights (smoke serving)")
+    parser.add_argument("--force", action="store_true",
+                        help="create-embeddings: rebuild existing indices")
+    parser.add_argument("--verify", action="store_true",
+                        help="create-embeddings: reload + test-search "
+                             "every saved index instead of building")
     parser.add_argument("--max-batch", type=int, default=8,
                         help="gen-serve: micro-batch cap for concurrent "
                              "requests (batch-32 measured 4.3k tok/s "
@@ -74,6 +80,17 @@ def main(argv=None) -> int:
 
         methods = args.methods.split(",") if args.methods else None
         out = phase4.main(config, mesh=mesh, tiny=args.tiny, methods=methods)
+    elif args.command == "phase4-enhanced":
+        from persian_rag_tpu.pipelines import phase4_enhanced
+
+        out = phase4_enhanced.main(config, mesh=mesh, tiny=args.tiny)
+    elif args.command == "create-embeddings":
+        from persian_rag_tpu.pipelines import create_embeddings
+
+        out = create_embeddings.main(
+            config, mesh=mesh, tiny=args.tiny,
+            force=args.force, verify=args.verify,
+        )
     elif args.command == "run-all":
         from persian_rag_tpu.pipelines import run_all
 
