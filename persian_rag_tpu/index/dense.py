@@ -328,12 +328,13 @@ class DenseIndex:
         import jax.random as jrandom
 
         from persian_rag_tpu.ops.flat_topk import (
+            TWO_STAGE_MIN_N,
             _bf16_matmul_eps,
             _bf16x2_matmul_eps,
         )
 
         n, d = a32.shape
-        if n < 65536:
+        if n < TWO_STAGE_MIN_N:
             return "bf16"  # two-stage regime not engaged below this
         pn = 64
         key = jrandom.PRNGKey(n)

@@ -790,6 +790,15 @@ def _topk_kernel(
 # default for bit-honest FAISS parity.
 # ---------------------------------------------------------------------------
 
+# Smallest corpus the dispatching two-stage regime engages for.
+# Measured (v5e, batch 512 x 384, k=10): two-stage beats the
+# materialized XLA exact path 1.21 vs 2.19 ms at 50k and 1.36 vs
+# 1.82 ms at 32,768 (ids exact both). Candidate health at the gate:
+# J = 32768/1024 = 32 tiles x n_easy 4 = 128 keys >= 2*k_scan for
+# every k <= 32. DenseIndex's commit-time margin probe keys off the
+# same constant (index/dense.py) — keep them in sync.
+TWO_STAGE_MIN_N = 32_768
+
 _COL_BITS = 11
 _COL_MASK = (1 << _COL_BITS) - 1
 _INT_MIN = -(1 << 31)
@@ -1787,7 +1796,7 @@ def flat_topk(
         and (mode == "fast" or jnp.dtype(compute_dtype) == jnp.float32)
         and mode in ("exact", "fast")
         and k <= 32
-        and corpus.shape[0] >= 65536
+        and corpus.shape[0] >= TWO_STAGE_MIN_N
     ):
         # Two-stage regime: merge-free bf16 Pallas candidate extraction
         # -> f32 refine -> residual proof with full-scan fallback.

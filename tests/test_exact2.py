@@ -134,9 +134,10 @@ def test_exact2_stream_fallback_on_near_ties(rng):
 
 def test_flat_topk_dispatches_two_stage_on_tpu(monkeypatch):
     """Regime gate: on TPU, exact/fast searches with k<=32 over corpora
-    >=65536 rows must route through the two-stage path; small corpora
-    must not (materialized XLA wins there). Guarded by monkeypatching
-    the backend probe — the real kernels never run here."""
+    >=TWO_STAGE_MIN_N (32,768) rows must route through the two-stage
+    path; smaller corpora must not (materialized XLA serves there).
+    Guarded by monkeypatching the backend probe — the real kernels
+    never run here."""
     import importlib
 
     # `import persian_rag_tpu.ops.flat_topk as ft` resolves to the
@@ -160,6 +161,11 @@ def test_flat_topk_dispatches_two_stage_on_tpu(monkeypatch):
     assert ft.flat_topk(q, big, 10, metric="l2", mode="fast",
                         compute_dtype=jnp.bfloat16)[0] == "TS"
     assert len(calls) == 2 and all(kw["n_easy"] == 4 for kw in calls)
+
+    at_gate = jnp.zeros((ft.TWO_STAGE_MIN_N, 16), jnp.float32)
+    assert ft.flat_topk(q, at_gate, 10, metric="dot")[0] == "TS"
+    below = jnp.zeros((ft.TWO_STAGE_MIN_N - 1, 16), jnp.float32)
+    assert ft.flat_topk(q, below, 10, metric="dot")[0] == "REF"
 
     small = jnp.zeros((4096, 16), jnp.float32)
     assert ft.flat_topk(q, small, 10, metric="dot")[0] == "REF"
