@@ -352,10 +352,24 @@ class TextGenerator:
         top_p: float = 0.9,
         seed: int = 0,
         top_k: int = 40,
+        bucket_lengths: bool = True,
     ) -> List[int]:
-        """Device-loop generation in one jitted call (compiled per prompt
-        length; the host-loop variant `generate_ids` compiles once but
-        pays a device round-trip per token). Stops at EOS."""
+        """Whole-generation device loop in one jitted call. Stops at EOS.
+
+        By default the prompt routes through the ragged BATCH machinery
+        at batch 1, so the compiled function is keyed by the 32-wide
+        LENGTH BUCKET — serving mixed prompt lengths costs one compile
+        per bucket instead of one per exact length (each new shape is a
+        30s-5min remote compile on the relay). bucket_lengths=False
+        keeps the independent exact-length loop (same outputs — the
+        batched-vs-single parity test runs both implementations).
+        """
+        if bucket_lengths:
+            return self.generate_batch_device(
+                [prompt_ids], max_tokens=max_tokens,
+                temperature=temperature, top_p=top_p, seed=seed,
+                top_k=top_k,
+            )[0]
         prompt_ids = list(prompt_ids)[-(self.max_len - max_tokens - 1):]
         run = self._device_loop_fn(len(prompt_ids), max_tokens, top_k=top_k)
         out, count = run(

@@ -192,8 +192,12 @@ def test_device_loop_matches_host_loop_greedy():
     )
     prompt = gen.tokenizer.encode("سوال: دارو چیست؟\nپاسخ: ")
     host = gen.generate_ids(prompt, max_tokens=12)
-    device = gen.generate_ids_device(prompt, max_tokens=12)
-    assert host == device
+    # exact-length loop AND the default bucketed (batch-1) route must
+    # both match the host loop
+    device = gen.generate_ids_device(prompt, max_tokens=12,
+                                     bucket_lengths=False)
+    bucketed = gen.generate_ids_device(prompt, max_tokens=12)
+    assert host == device == bucketed
 
 
 def test_lora_dp_matches_single_device():
@@ -232,7 +236,11 @@ def test_batched_generation_matches_per_prompt_greedy():
     ]
     batched = gen.generate_batch_device(prompts, max_tokens=10)
     for prompt, got in zip(prompts, batched):
-        want = gen.generate_ids_device(prompt, max_tokens=10)
+        # bucket_lengths=False keeps this comparing two INDEPENDENT
+        # implementations (the default single-prompt route shares the
+        # batch machinery)
+        want = gen.generate_ids_device(prompt, max_tokens=10,
+                                       bucket_lengths=False)
         assert got == want, (got, want)
 
 
