@@ -582,10 +582,12 @@ class DenseIndex:
         selection: refine must re-rank (it fixes selection's per-tile
         cap), and the corpus must be big enough to yield ample
         candidates (J*n_easy >> k_scan)."""
+        from persian_rag_tpu.ops.flat_topk import TWO_STAGE_MIN_N
+
         return (
             refine
             and metric == "dot"
-            and self._ntotal >= 65536
+            and self._ntotal >= TWO_STAGE_MIN_N
             and jax.default_backend() == "tpu"
         )
 
