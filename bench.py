@@ -669,11 +669,12 @@ def main() -> None:
         dt = (time.time() - t0) / REPS
         qps = batch / dt
         tflops = 2.0 * batch * n_docs * DIM / dt / 1e12
-        # corpus-stream accounting uses the EFFECTIVE tile_q: the
-        # two-stage dispatcher treats the caller's tile_q as a hint and
-        # picks max(hint, 512 at batch>=2048 else 256)
-        tile_q_eff = max(
-            kw.get("tile_q", 128), 512 if batch >= 2048 else 256
+        # corpus-stream accounting uses the EFFECTIVE tile_q from the
+        # dispatcher's own policy (caller values are hints)
+        from persian_rag_tpu.ops.flat_topk import two_stage_tiles
+
+        tile_q_eff, _ = two_stage_tiles(
+            n_docs, batch, kw.get("tile_q", 128), kw.get("tile_n", 1024)
         )
         q_tiles = -(-batch // tile_q_eff)
         gbps = n_docs * DIM * bytes_per_elem * q_tiles / dt / 1e9
@@ -714,7 +715,8 @@ def main() -> None:
     # the stored bf16 values, so recall vs the f32 ground truth reflects
     # the storage tier, not the kernel. The packed-key running-merge
     # kernel no longer serves this regime; it remains the k=33..128 and
-    # sub-65536-corpus path (regression-swept by scripts/bench_kernel.py).
+    # sub-TWO_STAGE_MIN_N (32,768) corpus path (regression-swept by
+    # scripts/bench_kernel.py).
     c16 = jax.device_put(jnp.asarray(corpus).astype(jnp.bfloat16))
     fast_qps, fast_recall, fast_tf, fast_gb = run_config(
         "TPU bf16-resident (two-stage)",

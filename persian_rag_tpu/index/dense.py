@@ -521,7 +521,7 @@ class DenseIndex:
                 k_scan = min(
                     max(refine_k or max(10 * k, 100), k), self._ntotal
                 )
-            if self._int8_candidates_ok(refine, metric):
+            if self._int8_candidates_ok(refine, metric, k_scan):
                 # int8 fast path: merge-free candidate selection + exact
                 # refine (the running-merge kernel's k_scan~100
                 # over-retrieve is an order of magnitude slower)
@@ -577,17 +577,21 @@ class DenseIndex:
             return scores[0], ids[0]
         return scores, ids
 
-    def _int8_candidates_ok(self, refine: bool, metric: str) -> bool:
+    def _int8_candidates_ok(
+        self, refine: bool, metric: str, k_scan: int
+    ) -> bool:
         """Whether the int8 tier's stage-1 can use merge-free candidate
         selection: refine must re-rank (it fixes selection's per-tile
-        cap), and the corpus must be big enough to yield ample
-        candidates (J*n_easy >> k_scan)."""
-        from persian_rag_tpu.ops.flat_topk import TWO_STAGE_MIN_N
-
+        cap), and the candidate POOL must dominate the over-retrieve —
+        flat_topk_scaled_candidates extracts n_easy=7 keys per 2048-row
+        tile, so require ceil(n/2048)*7 >= 2*k_scan (at k_scan=100 that
+        is n >= ~58.5k; smaller corpora keep the running-merge kernel,
+        whose per-tile depth is k_scan itself)."""
+        pool = -(-self._ntotal // 2048) * 7
         return (
             refine
             and metric == "dot"
-            and self._ntotal >= TWO_STAGE_MIN_N
+            and pool >= 2 * k_scan
             and jax.default_backend() == "tpu"
         )
 

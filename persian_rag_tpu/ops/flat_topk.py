@@ -799,6 +799,23 @@ def _topk_kernel(
 # same constant (index/dense.py) — keep them in sync.
 TWO_STAGE_MIN_N = 32_768
 
+
+def two_stage_tiles(
+    n_docs: int, batch: int, tile_q: int = 128, tile_n: int = 1024
+) -> Tuple[int, int]:
+    """Effective (tile_q, tile_n) the dispatching two-stage regime uses.
+
+    Caller hints are honored only in the VMEM-safe direction (smaller
+    tile_n, larger tile_q). Measured optima (v5e): tile_n 1024 below
+    N=150k / 2048 above (crossover table in DESIGN.md); tile_q 512 at
+    batches >= 2048, else 256. bench.py uses this for its corpus-stream
+    accounting — keep it the single source of the policy.
+    """
+    tn_cap = 1024 if n_docs < 150_000 else 2048
+    tq = max(tile_q, 512 if batch >= 2048 else 256)
+    return tq, min(tile_n * 2, tn_cap)
+
+
 _COL_BITS = 11
 _COL_MASK = (1 << _COL_BITS) - 1
 _INT_MIN = -(1 << 31)
@@ -1814,20 +1831,19 @@ def flat_topk(
         # better on the finer grid; large N pays candidate-glue growth
         # (J*n_easy keys through XLA top_k) — cross over ~150k.
         # tile_q/tile_n are HINTS here: the two-stage regime picks its
-        # own measured optima by scale and batch, honoring a caller
-        # hint only in the direction that stays VMEM-safe (smaller
-        # tile_n, larger tile_q). tile_q 512 only pays at big batches
-        # (1M x b2048: 25.5 vs 26.4 ms; neutral at 100k b2048; slower
-        # at batch 512).
-        tn_cap = 1024 if corpus.shape[0] < 150_000 else 2048
-        tq = max(tile_q, 512 if queries.shape[0] >= 2048 else 256)
+        # own measured optima by scale and batch (two_stage_tiles;
+        # tile_q 512 only pays at big batches — 1M x b2048: 25.5 vs
+        # 26.4 ms; neutral at 100k b2048; slower at batch 512).
+        tq, tn = two_stage_tiles(
+            corpus.shape[0], queries.shape[0], tile_q, tile_n
+        )
         return flat_topk_exact2_stream(
             queries,
             corpus,
             k,
             metric=metric,
             k_scan=max(32, 2 * k),
-            tile_n=min(tile_n * 2, tn_cap),
+            tile_n=tn,
             tile_q=tq,
             corpus_sqnorm=corpus_sqnorm,
             corpus_bf16=corpus_bf16,

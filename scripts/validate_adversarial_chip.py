@@ -42,7 +42,9 @@ def build_corpus(rng):
     # exact duplicate group
     for i in DUP_IDS[1:]:
         c[i] = c[DUP_IDS[0]]
-    # near-tie fan: 12 rows = normalize(v + i * 1e-6 * w)
+    # near-tie fan: 12 rows = normalize(v + j * 2e-4 * w) — 2e-4 keeps
+    # angled-probe score gaps ~100 ulp above f32 rounding (see module
+    # docstring; 1e-6 separations collapse to rounding-order ties)
     v = c[FAN_BASE].copy()
     w = rng.standard_normal(D).astype(np.float32)
     w /= np.linalg.norm(w)
