@@ -650,7 +650,7 @@ class DenseIndex:
         k = min(k, self._ntotal)
         k_scan = min(max(10 * k, 100), self._ntotal) if refine else k
         queries = queries.astype(jnp.float32)
-        if self._int8_candidates_ok(refine, metric):
+        if self._int8_candidates_ok(refine, metric, k_scan):
             cand = flat_topk_scaled_candidates(
                 queries, corpus, row_scales, k_scan
             )
