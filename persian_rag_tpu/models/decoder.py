@@ -230,7 +230,14 @@ class LlamaDecoder(nn.Module):
             # caller supplies the full (B, cache_len) key-validity mask
             # — which slots hold real, causally visible tokens — and
             # `positions` stays the true per-row token position (RoPE).
-            bias = jnp.where(kv_valid[:, None, None, :], 0.0, -1e9)
+            # A (B, S, cache_len) mask gives each query token its OWN
+            # visible-key set — the speculative verify block needs
+            # within-block causality (query at block offset o must not
+            # see the drafts after it).
+            if kv_valid.ndim == 3:
+                bias = jnp.where(kv_valid[:, None, :, :], 0.0, -1e9)
+            else:
+                bias = jnp.where(kv_valid[:, None, None, :], 0.0, -1e9)
         else:
             # cache mode (prefill or decode step): query at position p
             # attends cache keys at positions <= p. attention_mask, when
