@@ -467,6 +467,20 @@ def bench_generation(jax, jnp, extras: dict) -> None:
     b1_s = time.time() - t0
     b1_tok_s = max(len(out), 1) / b1_s
 
+    # greedy speculative (prompt-lookup drafting): token-identical to
+    # plain greedy; acceptance depends on the answer echoing the prompt,
+    # so a random-weights random-prompt run is the WORST case (real RAG
+    # answers quote retrieved context; scripts/bench_spec.py measures
+    # the acceptance~1 upper bound at 2.7x+).
+    t0 = time.time()
+    gen.generate_ids_spec(prompt, max_tokens=gen_tokens)
+    warm_spec_s = time.time() - t0
+    t0 = time.time()
+    out_s = gen.generate_ids_spec(prompt[2:] + [9, 11],
+                                  max_tokens=gen_tokens)
+    spec_tok_s = max(len(out_s), 1) / (time.time() - t0)
+    spec_tpf = gen.last_spec_stats["tokens_per_forward"]
+
     prompts8 = [
         list(np.random.default_rng(50 + i).integers(1, 255, 48 + i))
         for i in range(8)
@@ -512,8 +526,12 @@ def bench_generation(jax, jnp, extras: dict) -> None:
         f"(-> {answer_s_128:.2f} s per 128-token answer vs reference "
         f"0.73-1.75 s), batch-8 aggregate {b8_tok_s:.0f} tok/s, "
         f"prefill {pf_tok_s:.0f} tok/s (batch 8 x seq 128; "
-        f"init {init_s:.0f}s, compiles {warm_s:.0f}s/{warm8_s:.0f}s)"
+        f"init {init_s:.0f}s, compiles {warm_s:.0f}s/{warm8_s:.0f}s); "
+        f"greedy speculative worst-case {spec_tok_s:.0f} tok/s "
+        f"(tpf {spec_tpf:.2f}, compile {warm_spec_s:.0f}s)"
     )
+    extras["gen_spec_tok_s_b1"] = round(spec_tok_s, 1)
+    extras["gen_spec_tpf"] = round(spec_tpf, 2)
     extras["gen_tok_s_b1"] = round(b1_tok_s, 1)
     extras["gen_tok_s_b8"] = round(b8_tok_s, 1)
     extras["gen_prefill_tok_s"] = round(pf_tok_s, 1)

@@ -7,6 +7,7 @@ which makes generation fully trainable/runnable offline.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Dict, List, Optional, Sequence
 
@@ -18,6 +19,7 @@ from persian_rag_tpu.models.decoder import (
     DecoderConfig,
     LlamaDecoder,
     cast_params,
+    fuse_params,
     init_cache,
 )
 
@@ -48,7 +50,16 @@ class TextGenerator:
         seed: int = 0,
         mesh=None,
         tp_axis: str = "corpus",
+        fuse_projections: bool = False,
     ):
+        if fuse_projections and mesh is None and not config.fused_projections:
+            # serving-time fused q/k/v + gate/up projections (see
+            # DecoderConfig.fused_projections). Params, when supplied in
+            # the canonical unfused layout, are converted below; the TP
+            # mesh path keeps the unfused Megatron-shardable layout.
+            config = dataclasses.replace(config, fused_projections=True)
+            if params is not None:
+                params = fuse_params(params)
         self.config = config
         self.tokenizer = tokenizer or ByteTokenizer()
         self.max_len = min(max_len, config.max_position_embeddings)
@@ -433,7 +444,11 @@ class TextGenerator:
             n, end, done, seq, cache, out, iters = jax.lax.while_loop(
                 cond, body, (n, end, done, seq, cache, out, jnp.int32(0))
             )
-            return out, n, iters
+            # ONE result array: every extra return value is a separate
+            # device->host transfer on the relay (~25-40 ms each) —
+            # returning (out, n, iters) measured ~70 ms of extra fixed
+            # cost per call (scripts/bench_spec.py)
+            return jnp.concatenate([out, jnp.stack([n, iters])])
 
         self._prefill_cache[cache_key] = run
         return run
@@ -461,15 +476,15 @@ class TextGenerator:
         ids = np.full((1, bucket), pad_id, np.int32)
         ids[0, pad:] = prompt_ids
         run = self._spec_loop_fn(bucket, max_tokens, draft_len, ngram)
-        out, n, iters = run(self.params, jnp.asarray(ids), jnp.int32(pad))
-        n, iters = int(n), int(iters)
+        buf = np.asarray(run(self.params, jnp.asarray(ids), jnp.int32(pad)))
+        out, n, iters = buf[:-2], int(buf[-2]), int(buf[-1])
         # +1 forward for the prefill-sampled first token
         self.last_spec_stats = {
             "tokens": n,
             "forwards": iters + 1,
             "tokens_per_forward": n / max(iters + 1, 1),
         }
-        out = np.asarray(out)[:n]
+        out = out[:n]
         eos = getattr(self.tokenizer, "eos_id", None)
         return [int(t) for t in out if eos is None or t != eos]
 

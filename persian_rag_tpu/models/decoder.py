@@ -38,6 +38,12 @@ class DecoderConfig:
     rope_theta: float = 500_000.0
     tie_word_embeddings: bool = True
     compute_dtype: Any = jnp.float32
+    # serving-time transform: q/k/v concatenated into ONE projection and
+    # gate/up into another (7 -> 4 weight matmuls per layer). Batch-1
+    # decode is weight-stream-bound and small matmuls underrun the HBM
+    # stream, so fewer/larger weight reads help; use fuse_params() to
+    # convert an unfused checkpoint. Training/HF-import/TP stay unfused.
+    fused_projections: bool = False
 
     @classmethod
     def llama32_1b(cls, **kw) -> "DecoderConfig":
@@ -108,9 +114,30 @@ class DecoderAttention(nn.Module):
         c = self.config
         b, s, h = x.shape
         head_dim = h // c.num_heads
-        q = nn.Dense(c.num_heads * head_dim, use_bias=False, name="q_proj")(x)
-        k = nn.Dense(c.num_kv_heads * head_dim, use_bias=False, name="k_proj")(x)
-        v = nn.Dense(c.num_kv_heads * head_dim, use_bias=False, name="v_proj")(x)
+        if c.fused_projections:
+            qkv = nn.Dense(
+                (c.num_heads + 2 * c.num_kv_heads) * head_dim,
+                use_bias=False,
+                name="qkv_proj",
+            )(x)
+            q, k, v = jnp.split(
+                qkv,
+                [
+                    c.num_heads * head_dim,
+                    (c.num_heads + c.num_kv_heads) * head_dim,
+                ],
+                axis=-1,
+            )
+        else:
+            q = nn.Dense(
+                c.num_heads * head_dim, use_bias=False, name="q_proj"
+            )(x)
+            k = nn.Dense(
+                c.num_kv_heads * head_dim, use_bias=False, name="k_proj"
+            )(x)
+            v = nn.Dense(
+                c.num_kv_heads * head_dim, use_bias=False, name="v_proj"
+            )(x)
         q = q.reshape(b, s, c.num_heads, head_dim)
         k = k.reshape(b, s, c.num_kv_heads, head_dim)
         v = v.reshape(b, s, c.num_kv_heads, head_dim)
@@ -124,16 +151,28 @@ class DecoderAttention(nn.Module):
             # — batched ragged decode decouples slot from token position
             # (generator._batch_loop_fn), so no per-row scatter exists.
             k_cache, v_cache, cache_pos = cache
-            assert jnp.ndim(cache_pos) == 0, (
-                "cache_pos must be a scalar slot; batched decode aligns "
-                "rows to a shared slot instead of scatter-writing"
-            )
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype), (0, cache_pos, 0, 0)
-            )
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype), (0, cache_pos, 0, 0)
-            )
+            if jnp.ndim(cache_pos) == 0:
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, k.astype(k_cache.dtype), (0, cache_pos, 0, 0)
+                )
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, v.astype(v_cache.dtype), (0, cache_pos, 0, 0)
+                )
+            else:
+                # (B,) per-row block starts: batched SPECULATIVE decode
+                # commits different counts per row, so rows' blocks start
+                # at different slots. Scatter writes measured ~cost-
+                # neutral vs DUS at batch 8 on chip (scripts/
+                # bench_decode.py round-3 A/B); out-of-bounds rows
+                # (already-done rows parked at the edge) drop silently.
+                rows = jnp.arange(b)[:, None]
+                slots = cache_pos[:, None] + jnp.arange(s)[None, :]
+                k_cache = k_cache.at[rows, slots].set(
+                    k.astype(k_cache.dtype)
+                )
+                v_cache = v_cache.at[rows, slots].set(
+                    v.astype(v_cache.dtype)
+                )
             k, v = k_cache, v_cache
             new_cache = (k_cache, v_cache)
         else:
@@ -166,8 +205,18 @@ class DecoderMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.config
-        gate = nn.Dense(c.intermediate_size, use_bias=False, name="gate_proj")(x)
-        up = nn.Dense(c.intermediate_size, use_bias=False, name="up_proj")(x)
+        if c.fused_projections:
+            gu = nn.Dense(
+                2 * c.intermediate_size, use_bias=False, name="gateup_proj"
+            )(x)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = nn.Dense(
+                c.intermediate_size, use_bias=False, name="gate_proj"
+            )(x)
+            up = nn.Dense(
+                c.intermediate_size, use_bias=False, name="up_proj"
+            )(x)
         return nn.Dense(x.shape[-1], use_bias=False, name="down_proj")(
             jax.nn.silu(gate) * up
         )
@@ -283,6 +332,43 @@ class LlamaDecoder(nn.Module):
         if cache is not None:
             return logits, new_cache
         return logits
+
+
+def fuse_params(params: Dict) -> Dict:
+    """Convert an unfused param tree (q/k/v + gate/up projections) to the
+    fused-serving layout consumed when ``config.fused_projections`` is
+    set. Concatenation along the OUTPUT dim is exact: each output column
+    keeps its own reduction, so fused matmuls are the same arithmetic."""
+    out: Dict[str, Any] = {}
+    for name, sub in params.items():
+        if not name.startswith("layer_"):
+            out[name] = sub
+            continue
+        att, mlp = sub["attention"], sub["mlp"]
+        out[name] = dict(sub)
+        out[name]["attention"] = {
+            "qkv_proj": {
+                "kernel": jnp.concatenate(
+                    [
+                        att["q_proj"]["kernel"],
+                        att["k_proj"]["kernel"],
+                        att["v_proj"]["kernel"],
+                    ],
+                    axis=1,
+                )
+            },
+            "o_proj": att["o_proj"],
+        }
+        out[name]["mlp"] = {
+            "gateup_proj": {
+                "kernel": jnp.concatenate(
+                    [mlp["gate_proj"]["kernel"], mlp["up_proj"]["kernel"]],
+                    axis=1,
+                )
+            },
+            "down_proj": mlp["down_proj"],
+        }
+    return out
 
 
 def cast_params(params: Dict, dtype) -> Dict:

@@ -306,3 +306,42 @@ def test_decoder_config_from_hf_maps_llama_fields():
     hf2 = dict(hf)
     del hf2["num_key_value_heads"]
     assert DecoderConfig.from_hf(hf2).num_kv_heads == 32
+
+
+def test_fused_projections_match_unfused():
+    """fuse_params + fused_projections must reproduce the unfused model:
+    output-dim concatenation keeps each column's reduction intact, so logits
+    agree to float tolerance and greedy generation token-for-token."""
+    import dataclasses
+
+    from persian_rag_tpu.gen.generator import ByteTokenizer, TextGenerator
+    from persian_rag_tpu.models.decoder import fuse_params
+
+    config = DecoderConfig.tiny(vocab_size=ByteTokenizer.vocab_size)
+    base = LlamaDecoder(config)
+    params = base.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32)
+    )["params"]
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], jnp.int32)
+    ref = base.apply({"params": params}, ids)
+
+    fused_cfg = dataclasses.replace(config, fused_projections=True)
+    fused = LlamaDecoder(fused_cfg).apply(
+        {"params": fuse_params(params)}, ids
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+    # end-to-end through TextGenerator: greedy outputs identical
+    tok = ByteTokenizer()
+    g0 = TextGenerator(config, params=params, tokenizer=tok, max_len=64)
+    g1 = TextGenerator(
+        config, params=params, tokenizer=tok, max_len=64,
+        fuse_projections=True,
+    )
+    assert g1.config.fused_projections
+    assert "qkv_proj" in g1.params["layer_0"]["attention"]
+    p = tok.encode("سلام")
+    assert g1.generate_ids_device(p, max_tokens=12) == \
+        g0.generate_ids_device(p, max_tokens=12)
