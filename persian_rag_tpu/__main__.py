@@ -53,6 +53,11 @@ def main(argv=None) -> int:
                              "batch size compiles once). With "
                              "--mesh-corpus N > 1 the decoder serves "
                              "tensor-parallel over the mesh.")
+    parser.add_argument("--continuous", action="store_true",
+                        help="gen-serve: continuous batching (llama.cpp "
+                             "slot scheduler) — finished rows swap for "
+                             "queued prompts mid-flight instead of "
+                             "waiting on the micro-batch group barrier")
     args = parser.parse_args(argv)
 
     from persian_rag_tpu.core.config import load_config
@@ -180,7 +185,7 @@ def main(argv=None) -> int:
         )
         server = LocalGenerationServer(
             generator, port=8080 if args.port is None else args.port,
-            max_batch=args.max_batch,
+            max_batch=args.max_batch, continuous=args.continuous,
         ).start()
         print(
             f"generation server at {server.url} "

@@ -36,9 +36,19 @@ class _PendingGen:
 class LocalGenerationServer:
     """Serves generation over the llama.cpp HTTP contract.
 
-    Concurrent requests micro-batch: a request waits up to
-    ``max_wait_ms`` for co-travelers, then the whole group decodes in
-    one batched device loop (TextGenerator.generate_batch_device).
+    Two scheduling modes:
+
+    - static micro-batching (default): a request waits up to
+      ``max_wait_ms`` for co-travelers, then the whole group decodes in
+      one batched device loop (TextGenerator.generate_batch_device). A
+      long answer blocks its group, and late arrivals wait for the
+      group barrier.
+    - ``continuous=True``: llama.cpp's slot scheduler — a fixed
+      ``max_batch``-row decode batch stays resident on device and
+      finished rows swap for queued prompts mid-flight
+      (gen/continuous.ContinuousBatcher). Per-request temperature/top_p
+      are honored per row; ``top_k`` is fixed at the batcher level
+      (llama.cpp's default 40).
     """
 
     def __init__(
@@ -48,13 +58,28 @@ class LocalGenerationServer:
         port: int = 0,
         max_batch: int = 8,
         max_wait_ms: float = 10.0,
+        continuous: bool = False,
+        segment: int = 32,
     ):
         self.generator = generator
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self._queue: "queue.Queue[_PendingGen]" = queue.Queue()
         self._stop = threading.Event()
-        self._worker = threading.Thread(target=self._batch_loop, daemon=True)
+        if continuous:
+            from persian_rag_tpu.gen.continuous import ContinuousBatcher
+
+            self._batcher = ContinuousBatcher(
+                generator, batch=max_batch, segment=segment
+            )
+            self._worker = threading.Thread(
+                target=self._continuous_loop, daemon=True
+            )
+        else:
+            self._batcher = None
+            self._worker = threading.Thread(
+                target=self._batch_loop, daemon=True
+            )
         self._worker.start()
         outer = self
 
@@ -150,6 +175,50 @@ class LocalGenerationServer:
                 except queue.Empty:
                     break
             self._serve_group(group)
+
+    def _continuous_loop(self) -> None:
+        """Worker for continuous mode: feed arrivals into the resident
+        decode batch between segments, flush completions as they land."""
+        tokenizer = self.generator.tokenizer
+        inflight = {}
+        while not self._stop.is_set():
+            # drain arrivals; block briefly only when fully idle
+            block = self._batcher.idle() and not inflight
+            while True:
+                try:
+                    p = self._queue.get(timeout=0.05 if block else 0.0)
+                except queue.Empty:
+                    break
+                block = False
+                rid = self._batcher.submit(
+                    tokenizer.encode(p.prompt),
+                    max_tokens=p.max_tokens,
+                    temperature=p.temperature,
+                    top_p=p.top_p,
+                )
+                inflight[rid] = p
+            if self._batcher.idle():
+                continue
+            try:
+                self._batcher.step()
+                finished = self._batcher.finished()
+            except Exception:
+                for pending in inflight.values():
+                    pending.text = ""
+                    pending.event.set()
+                inflight.clear()
+                continue
+            for req in finished:
+                pending = inflight.pop(req.req_id, None)
+                if pending is None:
+                    continue
+                text = tokenizer.decode(req.tokens[: pending.max_tokens])
+                for marker in pending.stop or []:
+                    idx = text.find(marker)
+                    if idx >= 0:
+                        text = text[:idx]
+                pending.text = text
+                pending.event.set()
 
     def _serve_group(self, group) -> None:
         try:

@@ -388,9 +388,19 @@ def init_cache(
 ) -> Dict[str, list]:
     head_dim = config.hidden_size // config.num_heads
     shape = (batch, max_len, config.num_kv_heads, head_dim)
+    # distinct buffers per layer (not one zeros array list-multiplied):
+    # the continuous batcher donates the whole cache pytree to its
+    # jitted segment/admit calls, and donating one aliased buffer twice
+    # is a runtime error.
     return {
-        "k": [jnp.zeros(shape, config.compute_dtype)] * config.num_layers,
-        "v": [jnp.zeros(shape, config.compute_dtype)] * config.num_layers,
+        "k": [
+            jnp.zeros(shape, config.compute_dtype)
+            for _ in range(config.num_layers)
+        ],
+        "v": [
+            jnp.zeros(shape, config.compute_dtype)
+            for _ in range(config.num_layers)
+        ],
     }
 
 

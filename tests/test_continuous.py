@@ -1,0 +1,122 @@
+"""Continuous batching scheduler: mid-flight admission must not perturb
+rows already decoding, and greedy outputs must be token-identical to the
+single-request device loop (the reference serves through llama.cpp's
+slot-based continuous batcher; gen/continuous.py is its TPU rebuild)."""
+import numpy as np
+import pytest
+
+from persian_rag_tpu.gen.continuous import ContinuousBatcher
+from persian_rag_tpu.gen.generator import ByteTokenizer, TextGenerator
+from persian_rag_tpu.models.decoder import DecoderConfig
+
+
+@pytest.fixture(scope="module")
+def gen():
+    return TextGenerator(
+        DecoderConfig.tiny(vocab_size=ByteTokenizer.vocab_size),
+        tokenizer=ByteTokenizer(),
+        max_len=128,
+    )
+
+
+def _ref(gen, text, max_tokens):
+    return gen.generate_ids_device(
+        gen.tokenizer.encode(text), max_tokens=max_tokens, speculative=False
+    )
+
+
+def test_single_request_matches_device_loop(gen):
+    cb = ContinuousBatcher(gen, batch=2, segment=8)
+    rid = cb.submit(gen.tokenizer.encode("سلام دنیا"), max_tokens=20)
+    done = cb.run_until_drained()
+    assert [r.req_id for r in done] == [rid]
+    assert done[0].tokens == _ref(gen, "سلام دنیا", 20)
+
+
+def test_mid_flight_admission_does_not_perturb_running_rows(gen):
+    """The crux: admit a second prompt while the first is mid-decode.
+    Both rows' outputs must equal their standalone greedy generations —
+    per-row slots, RoPE positions, and kv masks are fully independent."""
+    cb = ContinuousBatcher(gen, batch=2, segment=4)
+    a = cb.submit(gen.tokenizer.encode("سوال اول درباره دارو"), max_tokens=24)
+    cb.step()  # decode 4 tokens of request a
+    cb.step()
+    b = cb.submit(gen.tokenizer.encode("متن دوم"), max_tokens=24)
+    results = {r.req_id: r for r in cb.run_until_drained()}
+    results.update({r.req_id: r for r in cb.finished()})
+    assert results[a].tokens == _ref(gen, "سوال اول درباره دارو", 24)
+    assert results[b].tokens == _ref(gen, "متن دوم", 24)
+
+
+def test_row_reuse_across_many_requests(gen):
+    """More requests than rows: finished rows must be reclaimed and the
+    overwritten cache must not leak into the next occupant."""
+    prompts = [f"پرسش شماره {i} متن" for i in range(5)]
+    budgets = [6, 18, 10, 14, 8]  # ragged completion order forces swaps
+    cb = ContinuousBatcher(gen, batch=2, segment=4)
+    ids = [
+        cb.submit(gen.tokenizer.encode(p), max_tokens=m)
+        for p, m in zip(prompts, budgets)
+    ]
+    results = {r.req_id: r.tokens for r in cb.run_until_drained()}
+    assert set(results) == set(ids)
+    for rid, p, m in zip(ids, prompts, budgets):
+        assert results[rid] == _ref(gen, p, m), p
+
+
+def test_mixed_sampling_rows_coexist(gen):
+    """A greedy row must stay greedy-exact while a sampled row shares
+    the batch (per-row temperature/top_p arrays)."""
+    cb = ContinuousBatcher(gen, batch=2, segment=8, seed=3)
+    g = cb.submit(gen.tokenizer.encode("قطعی"), max_tokens=16)
+    s = cb.submit(
+        gen.tokenizer.encode("نمونه"), max_tokens=16, temperature=1.0
+    )
+    results = {r.req_id: r.tokens for r in cb.run_until_drained()}
+    assert results[g] == _ref(gen, "قطعی", 16)
+    assert len(results[s]) > 0
+    assert all(0 <= t < ByteTokenizer.vocab_size for t in results[s])
+
+
+def test_budget_and_empty_prompt_edge_cases(gen):
+    cb = ContinuousBatcher(gen, batch=2, segment=8)
+    z = cb.submit(gen.tokenizer.encode("تست"), max_tokens=0)
+    e = cb.submit([], max_tokens=5)
+    results = {r.req_id: r.tokens for r in cb.run_until_drained()}
+    assert results[z] == []
+    assert len(results[e]) <= 5
+
+
+def test_local_server_continuous_mode(gen):
+    """The HTTP server in continuous mode must return the same greedy
+    completions as the static micro-batcher for concurrent requests."""
+    import threading
+
+    import requests
+
+    from persian_rag_tpu.gen.local_server import LocalGenerationServer
+
+    with LocalGenerationServer(
+        gen, max_batch=2, continuous=True, segment=8
+    ) as url:
+        results = [None] * 3
+
+        def hit(i):
+            r = requests.post(
+                url + "/completion",
+                json={"prompt": f"سوال {i}", "max_tokens": 8},
+                timeout=300,
+            )
+            results[i] = r.json()
+
+        threads = [
+            threading.Thread(target=hit, args=(i,)) for i in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(r is not None and "content" in r for r in results)
+    for i in (0, 2):
+        expect = gen.tokenizer.decode(_ref(gen, f"سوال {i}", 8))
+        assert results[i]["content"] == expect
