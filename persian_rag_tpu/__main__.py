@@ -58,6 +58,11 @@ def main(argv=None) -> int:
                              "slot scheduler) — finished rows swap for "
                              "queued prompts mid-flight instead of "
                              "waiting on the micro-batch group barrier")
+    parser.add_argument("--speculative", action="store_true",
+                        help="gen-serve --continuous: prompt-lookup "
+                             "speculative verification per row (greedy "
+                             "rows emit several token-identical tokens "
+                             "per forward; sampled rows ride along)")
     args = parser.parse_args(argv)
 
     from persian_rag_tpu.core.config import load_config
@@ -186,6 +191,7 @@ def main(argv=None) -> int:
         server = LocalGenerationServer(
             generator, port=8080 if args.port is None else args.port,
             max_batch=args.max_batch, continuous=args.continuous,
+            speculative=args.speculative,
         ).start()
         print(
             f"generation server at {server.url} "

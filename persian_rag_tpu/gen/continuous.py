@@ -69,6 +69,17 @@ class ContinuousBatcher:
     ``top_k`` is a batcher-level static (it shapes the compiled sampler;
     llama.cpp's default 40 is the serving contract the reference uses).
     temperature/top_p are per-request.
+
+    ``speculative=True`` turns each segment iteration into a
+    prompt-lookup draft + multi-token verify forward (the batch-1
+    speculative loop of TextGenerator._spec_loop_fn, made per-row):
+    greedy rows emit up to ``draft_len + 1`` token-identical tokens per
+    forward, sampled rows ride along committing one token per forward
+    off the block's first logits. Decode forwards are weight-stream
+    bound, so a (B, draft_len+1)-token verify costs about the same as a
+    1-token step — accepted drafts are nearly free aggregate
+    throughput. RAG answers quote their retrieved context (in the
+    prompt), the regime where prompt-lookup acceptance is high.
     """
 
     def __init__(
@@ -79,6 +90,9 @@ class ContinuousBatcher:
         top_k: int = 40,
         length_bucket: int = 32,
         seed: int = 0,
+        speculative: bool = False,
+        draft_len: int = 5,
+        ngram: int = 3,
     ):
         self.gen = generator
         self.config = generator.config
@@ -92,17 +106,36 @@ class ContinuousBatcher:
         self.eos = getattr(generator.tokenizer, "eos_id", -1)
         self.pad_id = getattr(generator.tokenizer, "pad_id", 0)
 
+        self.speculative = speculative
+        self.draft_len = draft_len
+        self.ngram = ngram
         self._next_id = 0
         self._pending: List[Request] = []
         self._rows: List[Optional[Request]] = [None] * batch
         self._finished: List[Request] = []
-        self._prefill_cache: Dict[int, object] = {}
-        self._admit_fn = None
-        self._segment_fn = None
+        # compiled pieces are cached ON THE GENERATOR, keyed by every
+        # static that shapes them: a fresh batcher instance (the server
+        # rebuilds one after a failed dispatch; benchmarks build one per
+        # run) must reuse the jitted functions — re-tracing the 16-layer
+        # decoder three times per instance measured ~40 s per serving
+        # run on the relay (scripts/bench_continuous.py round 3)
+        if not hasattr(generator, "_continuous_jit_cache"):
+            generator._continuous_jit_cache = {}
+        self._jit_cache: Dict = generator._continuous_jit_cache
+        self._key_base = (
+            batch, segment, top_k, self.max_len, speculative,
+            draft_len, ngram, self.eos,
+        )
+        # per-row count of tokens already handed to the request (host
+        # knowledge; the speculative readout window starts here)
+        self._flushed = np.zeros((batch,), np.int32)
 
         self.state = {
             "cache": init_cache(self.config, batch, self.max_len),
             "token": jnp.zeros((batch,), jnp.int32),
+            # slot-aligned committed-token buffer (prompt + generation;
+            # the speculative drafts look up n-grams in it)
+            "seq": jnp.zeros((batch, self.max_len), jnp.int32),
             "plen": jnp.ones((batch,), jnp.int32),
             "bstart": jnp.zeros((batch,), jnp.int32),
             "ngen": jnp.zeros((batch,), jnp.int32),
@@ -159,7 +192,8 @@ class ContinuousBatcher:
     # -- jitted pieces -------------------------------------------------------
 
     def _prefill_fn(self, bucket: int):
-        fn = self._prefill_cache.get(bucket)
+        key = ("cprefill", self.max_len, bucket)
+        fn = self._jit_cache.get(key)
         if fn is None:
             model, config, max_len = self.model, self.config, self.max_len
 
@@ -180,45 +214,56 @@ class ContinuousBatcher:
                 )
                 return logits[0, length - 1, :], cache
 
-            self._prefill_cache[bucket] = prefill
+            self._jit_cache[key] = prefill
             fn = prefill
         return fn
 
     def _admit_jit(self):
-        if self._admit_fn is None:
+        key = ("admit",) + self._key_base
+        if key not in self._jit_cache:
             sample = functools.partial(
                 TextGenerator._sample, top_k=self.top_k
             )
+            spec = self.speculative
 
             @functools.partial(jax.jit, donate_argnums=(0,))
-            def admit(state, cache1, logits_last, row, plen, bstart,
-                      nmax, temp, topp):
+            def admit(state, cache1, logits_last, prompt_row, row, plen,
+                      bstart, nmax, temp, topp):
                 key, sub = jax.random.split(state["key"])
                 first = sample(logits_last, sub, temp, topp)
                 cache = jax.tree_util.tree_map(
                     lambda big, one: big.at[row].set(one[0]),
                     state["cache"], cache1,
                 )
+                done = (first == self.eos) | (nmax <= 0)
+                # plain mode: the first token sits in `token` and is
+                # emitted by the next segment (ngen starts at 0).
+                # speculative mode: the first token is COMMITTED into
+                # seq at bstart (ngen starts at 1) so drafts can match
+                # it; the readout window flushes it from seq.
+                ngen0 = jnp.where(done, 0, 1) if spec else jnp.int32(0)
                 return {
                     "cache": cache,
                     "token": state["token"].at[row].set(first),
+                    "seq": state["seq"]
+                    .at[row]
+                    .set(prompt_row.at[bstart].set(first)),
                     "plen": state["plen"].at[row].set(plen),
                     "bstart": state["bstart"].at[row].set(bstart),
-                    "ngen": state["ngen"].at[row].set(0),
+                    "ngen": state["ngen"].at[row].set(ngen0),
                     "nmax": state["nmax"].at[row].set(nmax),
-                    "done": state["done"]
-                    .at[row]
-                    .set((first == self.eos) | (nmax <= 0)),
+                    "done": state["done"].at[row].set(done),
                     "temp": state["temp"].at[row].set(temp),
                     "topp": state["topp"].at[row].set(topp),
                     "key": key,
                 }
 
-            self._admit_fn = admit
-        return self._admit_fn
+            self._jit_cache[key] = admit
+        return self._jit_cache[key]
 
     def _segment_jit(self):
-        if self._segment_fn is None:
+        key = ("segment",) + self._key_base
+        if key not in self._jit_cache:
             model, max_len = self.model, self.max_len
             batch, seg, eos = self.batch, self.segment, self.eos
             sample = jax.vmap(
@@ -283,10 +328,196 @@ class ContinuousBatcher:
                 new_state.update(
                     token=token, ngen=ngen, done=done, cache=cache, key=key
                 )
-                return new_state, out
+                # ONE readback array: out and done in separate results
+                # would be two device->host transfers on the relay
+                # (~25-40 ms each per segment)
+                packed = jnp.concatenate(
+                    [out, done[:, None].astype(jnp.int32)], axis=1
+                )
+                return new_state, packed
 
-            self._segment_fn = segment
-        return self._segment_fn
+            self._jit_cache[key] = segment
+        return self._jit_cache[key]
+
+    def _spec_segment_jit(self):
+        """Speculative segment: each of ``iters`` loop iterations drafts
+        ``draft_len`` tokens per row by prompt-lookup over that row's
+        slot-aligned ``seq`` and verifies the whole block in one
+        (B, draft_len+1)-token forward (per-row block scatter into the
+        cache; TextGenerator._spec_loop_fn is the batch-1 original).
+        Sampled rows commit exactly one token per iteration from the
+        block's first logits — _sample is greedy at temp<=0, so greedy
+        rows' first token is the argmax either way and acceptance
+        compares drafts against pure argmax continuations
+        (token-identical to plain greedy decoding)."""
+        key = ("spec",) + self._key_base
+        if key not in self._jit_cache:
+            model, max_len = self.model, self.max_len
+            batch, eos = self.batch, self.eos
+            G, ng = self.draft_len, self.ngram
+            iters = max(1, self.segment // 2)
+            wmax = iters * (G + 1) + 1  # +1: admission-sampled token
+            n_win = max_len - ng
+            sample = jax.vmap(
+                functools.partial(TextGenerator._sample, top_k=self.top_k),
+                in_axes=(0, 0, 0, 0),
+            )
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def segment(params, state, flushed):
+                plen, bstart = state["plen"], state["bstart"]
+                nmax = state["nmax"]
+                temp, topp = state["temp"], state["topp"]
+                key_slot = jnp.arange(max_len, dtype=jnp.int32)
+                win_idx = jnp.arange(n_win, dtype=jnp.int32)
+                rows = jnp.arange(batch)
+                offs = jnp.arange(G + 1, dtype=jnp.int32)
+                is_greedy = temp <= 0.0
+
+                def cond(st):
+                    i, _, _, done, _, _ = st
+                    return (i < iters) & jnp.logical_not(jnp.all(done))
+
+                def body(st):
+                    i, seq, ngen, done, cache, key = st
+                    end = bstart + ngen  # slot after last committed
+                    # -- draft: per-row most recent committed occurrence
+                    # of the row's last `ng` tokens; junk drafts (misses,
+                    # gap-region matches) are sound — verification only
+                    # commits argmax-matching tokens.
+                    last = jax.vmap(
+                        lambda s, e: jax.lax.dynamic_slice(
+                            s, (e - ng,), (ng,)
+                        )
+                    )(seq, end)
+                    win = jnp.stack(
+                        [seq[:, l:l + n_win] for l in range(ng)], axis=2
+                    )
+                    match = jnp.all(win == last[:, None, :], axis=2)
+                    in_prompt = win_idx[None, :] + ng <= plen[:, None]
+                    in_gen = (win_idx[None, :] >= bstart[:, None]) & (
+                        win_idx[None, :] + ng <= end[:, None]
+                    )
+                    not_self = win_idx[None, :] < (end - ng)[:, None]
+                    hit = match & (in_prompt | in_gen) & not_self
+                    cont_full = (
+                        win_idx[None, :] + ng + G <= plen[:, None]
+                    ) | (
+                        in_gen
+                        & (win_idx[None, :] + ng + G <= end[:, None])
+                    )
+                    i_full = jnp.max(
+                        jnp.where(hit & cont_full, win_idx[None, :], -1),
+                        axis=1,
+                    )
+                    i_any = jnp.max(
+                        jnp.where(hit, win_idx[None, :], -1), axis=1
+                    )
+                    i_best = jnp.where(i_full >= 0, i_full, i_any)
+                    start = jnp.where(i_best >= 0, i_best + ng, 0)
+                    drafts = jax.vmap(
+                        lambda s, st_: jax.lax.dynamic_slice(
+                            s, (st_,), (G,)
+                        )
+                    )(seq, start)
+
+                    # -- verify block [cur, d0..d_{G-1}] at slots
+                    # end-1 .. end-1+G (per-row; done rows park OOB)
+                    cur = jax.vmap(
+                        lambda s, e: jax.lax.dynamic_slice(
+                            s, (e - 1,), (1,)
+                        )
+                    )(seq, end)
+                    block = jnp.concatenate([cur, drafts], axis=1)
+                    slots_q = (end - 1)[:, None] + offs[None, :]
+                    kv_valid = (
+                        key_slot[None, None, :] < plen[:, None, None]
+                    ) | (
+                        (key_slot[None, None, :] >= bstart[:, None, None])
+                        & (key_slot[None, None, :] <= slots_q[:, :, None])
+                    )
+                    positions = (plen + ngen - 1)[:, None] + offs[None, :]
+                    logits, cache = model.apply(
+                        {"params": params},
+                        block,
+                        positions=positions,
+                        cache=cache,
+                        cache_pos=jnp.where(done, max_len, end - 1),
+                        kv_valid=kv_valid,
+                    )
+                    g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    key, sub = jax.random.split(key)
+                    first = sample(
+                        logits[:, 0, :], jax.random.split(sub, batch),
+                        temp, topp,
+                    )
+                    g = jnp.concatenate([first[:, None], g[:, 1:]], axis=1)
+                    m = jnp.sum(
+                        jnp.cumprod(
+                            (drafts == g[:, :G]).astype(jnp.int32), axis=1
+                        ),
+                        axis=1,
+                    )
+                    m = jnp.where(is_greedy, m, 0)
+                    hit_eos = (offs[None, :] <= m[:, None]) & (g == eos)
+                    c = jnp.where(
+                        jnp.any(hit_eos, axis=1),
+                        jnp.min(
+                            jnp.where(hit_eos, offs[None, :], G + 1),
+                            axis=1,
+                        ),
+                        m + 1,
+                    )
+                    c = jnp.minimum(c, nmax - ngen)
+                    c = jnp.where(done, 0, c)
+                    w_start = jnp.where(done, max_len, end)
+                    seq = seq.at[
+                        rows[:, None], w_start[:, None] + offs[None, :]
+                    ].set(g)
+                    ngen2 = ngen + c
+                    done2 = (
+                        done
+                        | jnp.any(hit_eos, axis=1)
+                        | (ngen2 >= nmax)
+                        | (bstart + ngen2 > max_len - G - 1)
+                    )
+                    return i + 1, seq, ngen2, done2, cache, key
+
+                i, seq, ngen, done, cache, key = jax.lax.while_loop(
+                    cond,
+                    body,
+                    (
+                        jnp.int32(0), state["seq"], state["ngen"],
+                        state["done"], state["cache"], state["key"],
+                    ),
+                )
+                # unflushed readout window; pad the gather source so the
+                # fixed-width slice never clamps (clamping would shift
+                # the window and misalign the host's token accounting)
+                padded = jnp.concatenate(
+                    [seq, jnp.zeros((batch, wmax), jnp.int32)], axis=1
+                )
+                window = jax.vmap(
+                    lambda s, st_: jax.lax.dynamic_slice(
+                        s, (st_,), (wmax,)
+                    )
+                )(padded, bstart + flushed)
+                packed = jnp.concatenate(
+                    [
+                        window,
+                        ngen[:, None],
+                        done.astype(jnp.int32)[:, None],
+                    ],
+                    axis=1,
+                )
+                new_state = dict(state)
+                new_state.update(
+                    seq=seq, ngen=ngen, done=done, cache=cache, key=key
+                )
+                return new_state, packed
+
+            self._jit_cache[key] = segment
+        return self._jit_cache[key]
 
     # -- scheduler internals ---------------------------------------------------
 
@@ -301,20 +532,43 @@ class ContinuousBatcher:
         nmax = min(req.max_tokens, max_len - 1 - bucket)
         ids = np.full((1, bucket), self.pad_id, np.int32)
         ids[0, : len(clipped)] = clipped
+        prompt_row = np.zeros((self.max_len,), np.int32)
+        prompt_row[: len(clipped)] = clipped
         logits_last, cache1 = self._prefill_fn(bucket)(
             self.params, jnp.asarray(ids), jnp.int32(len(clipped))
         )
         self.state = self._admit_jit()(
-            self.state, cache1, logits_last, jnp.int32(row),
-            jnp.int32(len(clipped)), jnp.int32(bucket), jnp.int32(nmax),
-            jnp.float32(req.temperature), jnp.float32(req.top_p),
+            self.state, cache1, logits_last, jnp.asarray(prompt_row),
+            jnp.int32(row), jnp.int32(len(clipped)), jnp.int32(bucket),
+            jnp.int32(nmax), jnp.float32(req.temperature),
+            jnp.float32(req.top_p),
         )
         self._rows[row] = req
+        self._flushed[row] = 0
 
     def _run_segment(self) -> None:
-        self.state, out = self._segment_jit()(self.params, self.state)
-        out = np.asarray(out)
-        done = np.asarray(self.state["done"])
+        if self.speculative:
+            self.state, packed = self._spec_segment_jit()(
+                self.params, self.state, jnp.asarray(self._flushed)
+            )
+            packed = np.asarray(packed)
+            window, ngen = packed[:, :-2], packed[:, -2]
+            done = packed[:, -1].astype(bool)
+            for row in range(self.batch):
+                req = self._rows[row]
+                if req is None:
+                    continue
+                fresh = int(ngen[row]) - int(self._flushed[row])
+                req.tokens.extend(int(t) for t in window[row, :fresh])
+                self._flushed[row] = ngen[row]
+                if bool(done[row]):
+                    req.done = True
+                    self._finished.append(req)
+                    self._rows[row] = None
+            return
+        self.state, packed = self._segment_jit()(self.params, self.state)
+        packed = np.asarray(packed)
+        out, done = packed[:, :-1], packed[:, -1].astype(bool)
         for row in range(self.batch):
             req = self._rows[row]
             if req is None:

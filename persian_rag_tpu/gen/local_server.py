@@ -60,17 +60,21 @@ class LocalGenerationServer:
         max_wait_ms: float = 10.0,
         continuous: bool = False,
         segment: int = 32,
+        speculative: bool = False,
     ):
         self.generator = generator
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self._queue: "queue.Queue[_PendingGen]" = queue.Queue()
         self._stop = threading.Event()
+        self.segment = segment
+        self.speculative = speculative
         if continuous:
             from persian_rag_tpu.gen.continuous import ContinuousBatcher
 
             self._batcher = ContinuousBatcher(
-                generator, batch=max_batch, segment=segment
+                generator, batch=max_batch, segment=segment,
+                speculative=speculative,
             )
             self._worker = threading.Thread(
                 target=self._continuous_loop, daemon=True
@@ -207,6 +211,17 @@ class LocalGenerationServer:
                     pending.text = ""
                     pending.event.set()
                 inflight.clear()
+                # a failed dispatch may have consumed (donated) the
+                # batcher's device state — rebuild it so later requests
+                # get a clean scheduler instead of cascading failures
+                from persian_rag_tpu.gen.continuous import (
+                    ContinuousBatcher,
+                )
+
+                self._batcher = ContinuousBatcher(
+                    self.generator, batch=self.max_batch,
+                    segment=self.segment, speculative=self.speculative,
+                )
                 continue
             for req in finished:
                 pending = inflight.pop(req.req_id, None)

@@ -120,3 +120,38 @@ def test_local_server_continuous_mode(gen):
     for i in (0, 2):
         expect = gen.tokenizer.decode(_ref(gen, f"سوال {i}", 8))
         assert results[i]["content"] == expect
+
+
+def test_speculative_continuous_greedy_token_identical(gen):
+    """Speculative segments must reproduce plain greedy token-for-token:
+    greedy verification only ever commits argmax continuations. A
+    repetitive prompt exercises real draft acceptance; staggered
+    admission exercises per-row verify blocks."""
+    text_a = "تکرار تکرار تکرار تکرار تکرار تکرار"
+    text_b = "سوال دوم"
+    cb = ContinuousBatcher(gen, batch=2, segment=8, speculative=True,
+                           draft_len=4, ngram=3)
+    a = cb.submit(gen.tokenizer.encode(text_a), max_tokens=24)
+    cb.step()
+    b = cb.submit(gen.tokenizer.encode(text_b), max_tokens=17)
+    results = {r.req_id: r.tokens for r in cb.run_until_drained()}
+    assert results[a] == _ref(gen, text_a, 24)
+    assert results[b] == _ref(gen, text_b, 17)
+
+
+def test_speculative_continuous_row_reuse_and_sampled(gen):
+    cb = ContinuousBatcher(gen, batch=2, segment=8, speculative=True,
+                           seed=5)
+    prompts = ["الف متن", "ب متن دیگر", "ج سومین"]
+    budgets = [9, 21, 13]
+    ids = [
+        cb.submit(gen.tokenizer.encode(p), max_tokens=m)
+        for p, m in zip(prompts, budgets)
+    ]
+    s = cb.submit(gen.tokenizer.encode("نمونه"), max_tokens=12,
+                  temperature=1.0)
+    results = {r.req_id: r.tokens for r in cb.run_until_drained()}
+    for rid, p, m in zip(ids, prompts, budgets):
+        assert results[rid] == _ref(gen, p, m), p
+    assert 0 < len(results[s]) <= 12
+    assert all(0 <= t < ByteTokenizer.vocab_size for t in results[s])
