@@ -129,6 +129,9 @@ class ContinuousBatcher:
         # per-row count of tokens already handed to the request (host
         # knowledge; the speculative readout window starts here)
         self._flushed = np.zeros((batch,), np.int32)
+        # aggregate speculative telemetry: emitted tokens vs verify
+        # forwards (tokens/forward ~ draft acceptance + 1)
+        self.spec_stats = {"tokens": 0, "forwards": 0}
 
         self.state = {
             "cache": init_cache(self.config, batch, self.max_len),
@@ -191,51 +194,47 @@ class ContinuousBatcher:
 
     # -- jitted pieces -------------------------------------------------------
 
-    def _prefill_fn(self, bucket: int):
-        key = ("cprefill", self.max_len, bucket)
+    def _admit_jit(self, bucket: int):
+        key = ("admit", bucket) + self._key_base
         fn = self._jit_cache.get(key)
         if fn is None:
             model, config, max_len = self.model, self.config, self.max_len
+            eos = self.eos
+            spec = self.speculative
+            sample = functools.partial(
+                TextGenerator._sample, top_k=self.top_k
+            )
 
-            @jax.jit
-            def prefill(params, ids, length):
-                cache = init_cache(config, 1, max_len)
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def admit(state, params, ids, prompt_row, meta_i, meta_f):
+                """Prefill + row insert + first-token sample in ONE
+                dispatch (admission is per-request; every extra dispatch
+                costs the relay's fixed host round-trip). meta_i packs
+                (row, length, nmax), meta_f (temperature, top_p) — one
+                upload each instead of five scalar uploads."""
+                row, length, nmax = meta_i[0], meta_i[1], meta_i[2]
+                temp, topp = meta_f[0], meta_f[1]
+                bstart = jnp.int32(bucket)
+                cache1 = init_cache(config, 1, max_len)
                 positions = jnp.arange(bucket, dtype=jnp.int32)[None, :]
                 key_valid = (
                     jnp.arange(max_len, dtype=jnp.int32)[None, :] < length
                 ).astype(jnp.int32)
-                logits, cache = model.apply(
+                logits, cache1 = model.apply(
                     {"params": params},
                     ids,
                     positions=positions,
                     attention_mask=key_valid,
-                    cache=cache,
+                    cache=cache1,
                     cache_pos=jnp.int32(0),
                 )
-                return logits[0, length - 1, :], cache
-
-            self._jit_cache[key] = prefill
-            fn = prefill
-        return fn
-
-    def _admit_jit(self):
-        key = ("admit",) + self._key_base
-        if key not in self._jit_cache:
-            sample = functools.partial(
-                TextGenerator._sample, top_k=self.top_k
-            )
-            spec = self.speculative
-
-            @functools.partial(jax.jit, donate_argnums=(0,))
-            def admit(state, cache1, logits_last, prompt_row, row, plen,
-                      bstart, nmax, temp, topp):
                 key, sub = jax.random.split(state["key"])
-                first = sample(logits_last, sub, temp, topp)
+                first = sample(logits[0, length - 1, :], sub, temp, topp)
                 cache = jax.tree_util.tree_map(
                     lambda big, one: big.at[row].set(one[0]),
                     state["cache"], cache1,
                 )
-                done = (first == self.eos) | (nmax <= 0)
+                done = (first == eos) | (nmax <= 0)
                 # plain mode: the first token sits in `token` and is
                 # emitted by the next segment (ngen starts at 0).
                 # speculative mode: the first token is COMMITTED into
@@ -248,7 +247,7 @@ class ContinuousBatcher:
                     "seq": state["seq"]
                     .at[row]
                     .set(prompt_row.at[bstart].set(first)),
-                    "plen": state["plen"].at[row].set(plen),
+                    "plen": state["plen"].at[row].set(length),
                     "bstart": state["bstart"].at[row].set(bstart),
                     "ngen": state["ngen"].at[row].set(ngen0),
                     "nmax": state["nmax"].at[row].set(nmax),
@@ -259,7 +258,8 @@ class ContinuousBatcher:
                 }
 
             self._jit_cache[key] = admit
-        return self._jit_cache[key]
+            fn = admit
+        return fn
 
     def _segment_jit(self):
         key = ("segment",) + self._key_base
@@ -507,6 +507,7 @@ class ContinuousBatcher:
                         window,
                         ngen[:, None],
                         done.astype(jnp.int32)[:, None],
+                        jnp.broadcast_to(i, (batch,))[:, None],
                     ],
                     axis=1,
                 )
@@ -534,14 +535,11 @@ class ContinuousBatcher:
         ids[0, : len(clipped)] = clipped
         prompt_row = np.zeros((self.max_len,), np.int32)
         prompt_row[: len(clipped)] = clipped
-        logits_last, cache1 = self._prefill_fn(bucket)(
-            self.params, jnp.asarray(ids), jnp.int32(len(clipped))
-        )
-        self.state = self._admit_jit()(
-            self.state, cache1, logits_last, jnp.asarray(prompt_row),
-            jnp.int32(row), jnp.int32(len(clipped)), jnp.int32(bucket),
-            jnp.int32(nmax), jnp.float32(req.temperature),
-            jnp.float32(req.top_p),
+        self.state = self._admit_jit(bucket)(
+            self.state, self.params, jnp.asarray(ids),
+            jnp.asarray(prompt_row),
+            jnp.asarray([row, len(clipped), nmax], np.int32),
+            jnp.asarray([req.temperature, req.top_p], np.float32),
         )
         self._rows[row] = req
         self._flushed[row] = 0
@@ -552,8 +550,16 @@ class ContinuousBatcher:
                 self.params, self.state, jnp.asarray(self._flushed)
             )
             packed = np.asarray(packed)
-            window, ngen = packed[:, :-2], packed[:, -2]
-            done = packed[:, -1].astype(bool)
+            window, ngen = packed[:, :-3], packed[:, -3]
+            done = packed[:, -2].astype(bool)
+            self.spec_stats["forwards"] += int(packed[0, -1])
+            self.spec_stats["tokens"] += int(
+                sum(
+                    int(ngen[r]) - int(self._flushed[r])
+                    for r in range(self.batch)
+                    if self._rows[r] is not None
+                )
+            )
             for row in range(self.batch):
                 req = self._rows[row]
                 if req is None:

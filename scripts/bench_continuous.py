@@ -65,7 +65,9 @@ def main():
             cb.submit(p, max_tokens=b)
         done = cb.run_until_drained()
         dt = time.time() - t0
-        return sum(len(r.tokens) for r in done), dt
+        s = cb.spec_stats
+        tpf = s["tokens"] / max(s["forwards"], 1)
+        return sum(len(r.tokens) for r in done), dt, tpf
 
     # -- warm all compiled shapes (relay compiles are 30s-5min) ------------
     wp, wb = make_requests(1)
@@ -85,8 +87,9 @@ def main():
     for trial in (2, 3):
         prompts, budgets = make_requests(trial * 100)
         st_tok, st_s = run_static(prompts, budgets)
-        ct_tok, ct_s = run_continuous(prompts, budgets)
-        sp_tok, sp_s = run_continuous(prompts, budgets, speculative=True)
+        ct_tok, ct_s, _ = run_continuous(prompts, budgets)
+        sp_tok, sp_s, tpf = run_continuous(prompts, budgets,
+                                           speculative=True)
         useful = sum(budgets)
         print(
             f"trial {trial}: useful {useful} tok | "
@@ -94,9 +97,50 @@ def main():
             f"useful tok/s | continuous {ct_tok} tok in {ct_s:.2f}s = "
             f"{useful/ct_s:.0f} useful tok/s ({st_s/ct_s:.2f}x) | "
             f"+speculative {sp_tok} tok in {sp_s:.2f}s = "
-            f"{useful/sp_s:.0f} useful tok/s ({st_s/sp_s:.2f}x)",
+            f"{useful/sp_s:.0f} useful tok/s ({st_s/sp_s:.2f}x, "
+            f"tpf {tpf:.2f})",
             flush=True,
         )
+
+    # -- long-ragged trial: budgets 32..447, the regime the group
+    # barrier actually hurts (a group pays its longest member; mean/max
+    # ~0.55). Static rounds budgets to the coarse grid a compile-bounded
+    # server would use.
+    grid = (128, 256, 384, 447)
+    t0 = time.time()
+    for mt in grid:
+        gen.generate_batch_device(wp[:batch], max_tokens=mt,
+                                  temperature=0.0)
+    print(f"static long warm {time.time()-t0:.0f}s", flush=True)
+
+    def run_static_long(prompts, budgets):
+        total = 0
+        t0 = time.time()
+        for g in range(0, n_req, batch):
+            gp, gb = prompts[g:g + batch], budgets[g:g + batch]
+            mt = min(m for m in grid if m >= max(gb))
+            outs = gen.generate_batch_device(gp, max_tokens=mt,
+                                             temperature=0.0)
+            total += sum(min(len(o), b) for o, b in zip(outs, gb))
+        return total, time.time() - t0
+
+    r = np.random.default_rng(555)
+    prompts = [
+        list(r.integers(1, 255, int(r.integers(40, 64))))
+        for _ in range(n_req)
+    ]
+    budgets = [int(b) for b in r.integers(32, 448, n_req)]
+    useful = sum(budgets)
+    st_tok, st_s = run_static_long(prompts, budgets)
+    ct_tok, ct_s, _ = run_continuous(prompts, budgets)
+    sp_tok, sp_s, tpf = run_continuous(prompts, budgets, speculative=True)
+    print(
+        f"long trial: useful {useful} tok | static {useful/st_s:.0f} "
+        f"useful tok/s | continuous {useful/ct_s:.0f} ({st_s/ct_s:.2f}x) "
+        f"| +speculative {useful/sp_s:.0f} ({st_s/sp_s:.2f}x, tpf "
+        f"{tpf:.2f})",
+        flush=True,
+    )
 
     # echo-regime trial: prompts that repeat an answer-like pattern (the
     # RAG regime — answers quote retrieved context), where prompt-lookup
@@ -107,13 +151,13 @@ def main():
         (base * 4)[: int(r.integers(48, 64))] for _ in range(n_req)
     ]
     budgets = [int(b) for b in r.integers(16, 129, n_req)]
-    ct_tok, ct_s = run_continuous(prompts, budgets)
-    sp_tok, sp_s = run_continuous(prompts, budgets, speculative=True)
+    ct_tok, ct_s, _ = run_continuous(prompts, budgets)
+    sp_tok, sp_s, tpf = run_continuous(prompts, budgets, speculative=True)
     useful = sum(budgets)
     print(
         f"echo trial: useful {useful} tok | continuous "
         f"{useful/ct_s:.0f} tok/s | +speculative {useful/sp_s:.0f} "
-        f"tok/s ({ct_s/sp_s:.2f}x)",
+        f"tok/s ({ct_s/sp_s:.2f}x, tpf {tpf:.2f})",
         flush=True,
     )
 
