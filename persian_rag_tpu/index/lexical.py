@@ -32,6 +32,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from persian_rag_tpu.ops.lexical_prefilter import (
+    assign_buckets,
+    build_ub_image,
+    hash_queries,
+    prefilter_topk,
+)
 from persian_rag_tpu.ops.sparse_scores import (
     hash_segments,
     sparse_scores_ref,
@@ -141,6 +147,32 @@ _HASH_MIN_L = 64       # below this, buckets stay flat outright
 _HASH_MAX_WORK = 3.0   # require Ls <= L_pad / 3 (a >=3x match-work win)
 _HASH_MAX_STORE = 2.5  # require S * Ls <= 2.5 * L_pad (HBM stream cap)
 
+# Hashed-UB prefilter (ops.lexical_prefilter) storage gate: a bucketed
+# corpus must densify into a unified (N, Lmax) gather ELL within this
+# factor of its bucketed entry count (one pathological long doc must
+# not inflate N*Lmax).
+_PREFILTER_STORE_MAX = 3.0
+
+
+class _Prefilter:
+    """Device-resident hashed-UB prefilter state (see
+    ops.lexical_prefilter)."""
+
+    __slots__ = (
+        "n_buckets", "k_scan", "term_map", "w16", "row_norm_max",
+        "uids", "uvals",
+    )
+
+    def __init__(self, n_buckets, k_scan, term_map, w16, row_norm_max,
+                 uids, uvals):
+        self.n_buckets = n_buckets
+        self.k_scan = k_scan
+        self.term_map = term_map          # (V,) np.int32, host
+        self.w16 = w16                    # (N, H) bf16, device
+        self.row_norm_max = row_norm_max  # () f32, device
+        self.uids = uids                  # (N, Lmax) int32, device
+        self.uvals = uvals                # (N, Lmax) f32, device
+
 
 def _bucket_width(length: int) -> int:
     w = _BUCKET_BASE
@@ -168,6 +200,14 @@ class _EllIndex:
         self._buckets: Optional[List[_Bucket]] = None
         self._n = 0
         self._mesh_fused_cache: Dict = {}
+        self._prefilter: Optional[_Prefilter] = None
+        # None/False = exact ELL scan (default). "fast" = approximate
+        # hashed-UB tier (exact rescored scores, candidate-set recall
+        # measured not proven). "verified" = prefilter + residual proof
+        # + full-scan fallback (result-exact; only pays off on corpora
+        # where the proof actually passes — see ops.lexical_prefilter).
+        self.prefilter: Optional[str] = None
+        self._prefilter_failed = False
 
     @property
     def ntotal(self) -> int:
@@ -178,6 +218,8 @@ class _EllIndex:
         # rebuilt indexes invalidate jitted mesh closures, which bake the
         # previous build's bucket count / kbs / n_actuals
         self._mesh_fused_cache.clear()
+        self._prefilter = None
+        self._prefilter_failed = False
         self.doc_ids, self.doc_vals = ids, vals
         self._buckets = None
         self._n = ids.shape[0]
@@ -228,6 +270,8 @@ class _EllIndex:
 
     def _set_buckets(self, buckets: List[_Bucket], n: int) -> None:
         self._mesh_fused_cache.clear()
+        self._prefilter = None
+        self._prefilter_failed = False
         self.doc_ids = None
         self.doc_vals = None
         self._dev_ids = None
@@ -305,7 +349,90 @@ class _EllIndex:
             for ti, (tid, v) in enumerate(terms):
                 qids[bi, ti] = tid
                 qvals[bi, ti] = v
-        return jnp.asarray(qids), jnp.asarray(qvals)
+        return qids, qvals
+
+    # -- hashed-UB prefilter (ops.lexical_prefilter) -----------------------
+
+    def _unified_ell_host(
+        self,
+    ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+        """Host (N, Lmax) gather ELL: the flat layout as-is, or buckets
+        densified into one matrix (None when a long-doc outlier would
+        blow the storage gate)."""
+        if self._buckets is None:
+            return self.doc_ids, self.doc_vals
+        lmax = max(b.ids.shape[1] for b in self._buckets)
+        entries = sum(b.ids.size for b in self._buckets)
+        if self._n * lmax > _PREFILTER_STORE_MAX * entries:
+            return None, None
+        ids = np.full((self._n, lmax), -1, np.int32)
+        vals = np.zeros((self._n, lmax), np.float32)
+        for b in self._buckets:
+            w = b.ids.shape[1]
+            ids[b.gids, :w] = b.ids
+            vals[b.gids, :w] = b.vals
+        return ids, vals
+
+    def build_prefilter(
+        self,
+        n_buckets: int = 1024,
+        k_scan: int = 256,
+        dedicated_frac: float = 0.5,
+    ) -> bool:
+        """Build the hashed-UB prefilter (see ops.lexical_prefilter).
+
+        Returns False (and leaves search on the ELL scan) when the
+        corpus is mesh-sharded, a long-doc outlier fails the unified-ELL
+        storage gate, or any contribution is negative (a degenerate
+        BM25 idf floor would break the upper-bound property)."""
+        if self.mesh is not None or self._n == 0:
+            return False
+        ids, vals = self._unified_ell_host()
+        if ids is None:
+            return False
+        if float(vals.min()) < 0.0:
+            return False
+        df = np.bincount(
+            ids[ids >= 0].ravel(), minlength=max(len(self.vocab), 1)
+        )
+        term_map = assign_buckets(df, n_buckets, dedicated_frac)
+        w16, row_norm_max = build_ub_image(ids, vals, term_map, n_buckets)
+        self._prefilter = _Prefilter(
+            n_buckets,
+            k_scan,
+            term_map,
+            jnp.asarray(w16, jnp.bfloat16),  # exact: w16 holds bf16 values
+            jnp.float32(row_norm_max),
+            jnp.asarray(ids),
+            jnp.asarray(vals),
+        )
+        return True
+
+    def _prefilter_search(
+        self,
+        qids: np.ndarray,
+        qvals: np.ndarray,
+        k: int,
+        use_pallas: Optional[bool],
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        pf = self._prefilter
+        qh = hash_queries(qids, qvals, pf.term_map, pf.n_buckets)
+        on_tpu = jax.default_backend() == "tpu"
+        s, i = prefilter_topk(
+            jnp.asarray(qh),
+            pf.w16,
+            pf.row_norm_max,
+            pf.uids,
+            pf.uvals,
+            jnp.asarray(qids),
+            jnp.asarray(qvals),
+            k,
+            k_scan=pf.k_scan,
+            interpret=not on_tpu,
+            use_pallas=use_pallas,
+            fallback=self.prefilter != "fast",
+        )
+        return np.asarray(s), np.asarray(i)
 
     def _topk_one_ell(
         self,
@@ -342,7 +469,14 @@ class _EllIndex:
         k: int,
         use_pallas: Optional[bool] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        qids, qvals = self._encode_queries(queries_terms)
+        qids_np, qvals_np = self._encode_queries(queries_terms)
+        if self.mesh is None and self.prefilter in ("fast", "verified"):
+            if self._prefilter is None and not self._prefilter_failed:
+                self._prefilter_failed = not self.build_prefilter()
+            pf = self._prefilter
+            if pf is not None and k <= pf.k_scan:
+                return self._prefilter_search(qids_np, qvals_np, k, use_pallas)
+        qids, qvals = jnp.asarray(qids_np), jnp.asarray(qvals_np)
         if self._buckets is None:
             return self._topk_one_ell(
                 self._dev_ids, self._dev_vals, qids, qvals, k, self.ntotal,
@@ -442,7 +576,8 @@ class _EllIndex:
     def _scores_encoded(
         self, queries_terms: Sequence[List[Tuple[int, float]]]
     ) -> np.ndarray:
-        qids, qvals = self._encode_queries(queries_terms)
+        qids_np, qvals_np = self._encode_queries(queries_terms)
+        qids, qvals = jnp.asarray(qids_np), jnp.asarray(qvals_np)
         if self._buckets is None:
             # dense scoring reads the host ELL (the device arrays may be
             # in the 3-D hashed-segment layout)
