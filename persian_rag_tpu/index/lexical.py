@@ -201,11 +201,15 @@ class _EllIndex:
         self._n = 0
         self._mesh_fused_cache: Dict = {}
         self._prefilter: Optional[_Prefilter] = None
-        # None/False = exact ELL scan (default). "fast" = approximate
-        # hashed-UB tier (exact rescored scores, candidate-set recall
-        # measured not proven). "verified" = prefilter + residual proof
-        # + full-scan fallback (result-exact; only pays off on corpora
-        # where the proof actually passes — see ops.lexical_prefilter).
+        # None/False = exact ELL scan (default — KEEP IT unless you
+        # have measured your corpus). "verified" = hashed-UB prefilter
+        # + residual proof + full-scan fallback (always result-exact,
+        # but the proof passes only 0-10% of queries on realistic
+        # corpora, making it pure overhead there). "fast" = no
+        # fallback: exact scores for the returned ids but unguarded
+        # candidate recall — MEASURED R@10 0.02-0.35 at N=200k
+        # (DESIGN.md). Opt-in only; both modes are dead ends at serving
+        # scale and documented as such.
         self.prefilter: Optional[str] = None
         self._prefilter_failed = False
 
@@ -389,6 +393,11 @@ class _EllIndex:
             return False
         ids, vals = self._unified_ell_host()
         if ids is None:
+            return False
+        if ids.shape[1] > 512:
+            # the rescore gathers (B, k_scan, Lmax) candidate rows; very
+            # wide ELLs (TF-IDF n-gram corpora reach L~1024) would put
+            # ~1GB on that gather — stay on the scan there
             return False
         if float(vals.min()) < 0.0:
             return False

@@ -191,16 +191,18 @@ def prefilter_topk(
     (scores (B, k) f32, ids (B, k) int32[, ok (B,) bool]).
 
     fallback=False skips the full-scan cond and returns the rescored
-    candidates directly — the FAST tier: candidate-set recall is the
-    only approximation (every returned score is the exact BM25/TF-IDF
-    value), measured on chip rather than proven. The residual proof
-    CANNOT certify exactness at serving scale: a single hashed tail
-    term collision injects a full idf-sized spurious weight, and the
-    number of collision-inflated documents scales with N * L_tail / H —
-    far above any affordable candidate pool (measured 0-5% proof pass
-    at N=200k; see DESIGN.md). Exact serving therefore stays on the
-    ELL scan, and this path is an explicitly approximate tier like the
-    dense bf16/IVF tiers.
+    candidates directly — every returned score is the exact BM25/TF-IDF
+    value, but candidate-set recall is unguarded. MEASURED VERDICT
+    (N=200k chip bench, DESIGN.md "Hashed upper-bound lexical
+    prefilter"): the residual proof passes only 0-10% of queries and
+    the no-fallback recall@10 is 0.02-0.35 — a single hashed tail-term
+    collision injects a full idf-sized spurious weight, BM25 weights
+    are nearly constant per term (tf mostly 1), and collision-doc
+    count scales with (tail entries) * T / H. This module is therefore
+    a documented opt-in mechanism and a measured dead end for serving
+    at scale: exact lexical serving stays on the ELL scan. It remains
+    sound (verified mode is result-exact via the fallback) and useful
+    on corpora whose vocabulary fits the dedicated buckets.
     """
     n = ell_ids.shape[0]
     b = q_hash.shape[0]

@@ -169,16 +169,12 @@ def main() -> None:
                 w16, tm_dev, rmax_dev, dev_ids, dev_vals,
             ))
             exact = bool(np.array_equal(np.asarray(i), np.asarray(wi)))
+            # big arrays must be ARGUMENTS, not jit closures (the relay's
+            # remote-compile HTTP body limit rejects baked-in constants)
             scan_jit = jax.jit(
-                lambda qi, qv: sparse_topk_pallas(
-                    dev_ids, dev_vals, qi, qv, k
-                )
+                lambda qi, qv, di, dv: sparse_topk_pallas(di, dv, qi, qv, k)
             )
-            pf_jit = jax.jit(
-                lambda qi, qv: pf_fast(
-                    qi, qv, w16, tm_dev, rmax_dev, dev_ids, dev_vals
-                )
-            )
+            pf_jit = jax.jit(pf_fast)
             for mode in args.query.split(","):
                 dt, cs = timeit(
                     pf, w16, tm_dev, rmax_dev, dev_ids, dev_vals, mode=mode
@@ -206,8 +202,14 @@ def main() -> None:
                         ).astype(np.int32)
                         qi_np = np.minimum(qi_np, vocab_sz - 1)
                     qv_np = np.ones((args.batch, t_slots), np.float32)
-                    _, si = scan_jit(jnp.asarray(qi_np), jnp.asarray(qv_np))
-                    _, fi = pf_jit(jnp.asarray(qi_np), jnp.asarray(qv_np))
+                    _, si = scan_jit(
+                        jnp.asarray(qi_np), jnp.asarray(qv_np),
+                        dev_ids, dev_vals,
+                    )
+                    _, fi = pf_jit(
+                        jnp.asarray(qi_np), jnp.asarray(qv_np),
+                        w16, tm_dev, rmax_dev, dev_ids, dev_vals,
+                    )
                     si, fi = np.asarray(si), np.asarray(fi)
                     for r in range(args.batch):
                         hits += len(set(si[r]) & set(fi[r]))
