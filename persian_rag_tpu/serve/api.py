@@ -119,7 +119,16 @@ class RetrievalServer:
                 else:
                     self._json(404, {"error": "not found"})
 
-        self._server = ThreadingHTTPServer((host, port), Handler)
+        class _Server(ThreadingHTTPServer):
+            # stdlib default backlog is 5: a burst of >5 simultaneous
+            # connects gets RST at the socket level (measured at
+            # concurrency 32 in scripts/bench_serve.py). Batched serving
+            # exists precisely to absorb such bursts — size the accept
+            # queue to the burst, not the batch.
+            request_queue_size = 512
+            daemon_threads = True
+
+        self._server = _Server((host, port), Handler)
         self._thread: Optional[threading.Thread] = None
 
     # -- batching worker ---------------------------------------------------------

@@ -122,3 +122,36 @@ def test_checkpoint_resume_matches_uninterrupted(tmp_path):
         full.encoder.encode(texts), resumed.encoder.encode(texts),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_connect_burst_survives_accept_queue():
+    """A burst of simultaneous connections larger than the stdlib
+    default backlog (5) must not get RST at the socket level (measured
+    regression at concurrency 32: request_queue_size now 512)."""
+    rs = RetrievalSystem(method="bm25")
+    rs.load_chunks_and_index(CHUNKS)
+    with RetrievalServer(rs, max_wait_ms=5) as server:
+        n = 32
+        errors = []
+        results = [None] * n
+
+        def hit(i):
+            try:
+                r = requests.post(
+                    server.url + "/search",
+                    json={"query": "دارو", "top_k": 1},
+                    timeout=60,
+                )
+                results[i] = r.status_code
+            except Exception as e:  # RST shows up as ConnectionError
+                errors.append(repr(e))
+
+        threads = [
+            threading.Thread(target=hit, args=(i,)) for i in range(n)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors[:3]
+        assert all(code == 200 for code in results)
