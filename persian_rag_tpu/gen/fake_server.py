@@ -13,7 +13,9 @@ from __future__ import annotations
 import json
 import re
 import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import BaseHTTPRequestHandler
+
+from persian_rag_tpu.serve.httpd import BurstHTTPServer
 from typing import List, Optional, Set
 
 
@@ -94,7 +96,7 @@ class FakeLlamaServer:
         self._handler = type("Handler", (_Handler,), {})
         if enabled is not None:
             self._handler.enabled = enabled
-        self._server = ThreadingHTTPServer(("127.0.0.1", port), self._handler)
+        self._server = BurstHTTPServer(("127.0.0.1", port), self._handler)
         self._thread: Optional[threading.Thread] = None
 
     @property

@@ -498,25 +498,39 @@ class TextGenerator:
         length_bucket: int = 32,
         top_k: int = 40,
     ) -> List[List[int]]:
-        """Generate for a batch of (ragged) prompts in one device loop."""
+        """Generate for a batch of (ragged) prompts in one device loop.
+
+        The batch dimension is padded to the next power of two (pad rows
+        replicate row 0 and are dropped from the result) so a serving
+        front-end with variable group sizes compiles one loop per
+        power-of-two bucket instead of one per exact size — decoder
+        compiles cost minutes on relay-attached devices. Greedy outputs
+        are unaffected; sampled rows draw from per-row keys split by the
+        PADDED batch size, so a sampled call's stream depends on the
+        bucket (any batch-size change already reseeded rows before).
+        """
         batch = len(prompts_ids)
         if batch == 0:
             return []
+        bpad = 1
+        while bpad < batch:
+            bpad *= 2
         clipped = [
             list(p)[-(self.max_len - max_tokens - 1):] for p in prompts_ids
         ]
+        clipped += [clipped[0]] * (bpad - batch)
         longest = max(len(p) for p in clipped)
         bucket = min(
             -(-longest // length_bucket) * length_bucket,
             self.max_len - max_tokens - 1,
         )
         pad_id = getattr(self.tokenizer, "pad_id", 0)
-        ids = np.full((batch, bucket), pad_id, np.int32)
-        lengths = np.zeros((batch,), np.int32)
+        ids = np.full((bpad, bucket), pad_id, np.int32)
+        lengths = np.zeros((bpad,), np.int32)
         for i, p in enumerate(clipped):
             ids[i, : len(p)] = p
             lengths[i] = len(p)
-        run = self._batch_loop_fn(bucket, max_tokens, batch, top_k=top_k)
+        run = self._batch_loop_fn(bucket, max_tokens, bpad, top_k=top_k)
         out = np.asarray(
             run(
                 self.params,
@@ -529,7 +543,7 @@ class TextGenerator:
         )
         eos = getattr(self.tokenizer, "eos_id", None)
         results = []
-        for row in out:
+        for row in out[:batch]:  # drop the batch-bucket pad rows
             tokens = [int(t) for t in row if t >= 0]
             if eos is not None:
                 tokens = [t for t in tokens if t != eos]

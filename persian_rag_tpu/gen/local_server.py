@@ -11,7 +11,9 @@ from __future__ import annotations
 import json
 import queue
 import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import BaseHTTPRequestHandler
+
+from persian_rag_tpu.serve.httpd import BurstHTTPServer
 from typing import Optional
 
 from persian_rag_tpu.gen.generator import TextGenerator
@@ -159,7 +161,7 @@ class LocalGenerationServer:
                 else:
                     self._json(200, {"content": text})
 
-        self._server = ThreadingHTTPServer((host, port), Handler)
+        self._server = BurstHTTPServer((host, port), Handler)
         self._thread: Optional[threading.Thread] = None
 
     # -- batching worker ---------------------------------------------------------

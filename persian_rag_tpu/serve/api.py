@@ -17,8 +17,10 @@ from __future__ import annotations
 import json
 import queue
 import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import BaseHTTPRequestHandler
 from typing import List, Optional
+
+from persian_rag_tpu.serve.httpd import BurstHTTPServer
 
 
 class _Pending:
@@ -119,16 +121,7 @@ class RetrievalServer:
                 else:
                     self._json(404, {"error": "not found"})
 
-        class _Server(ThreadingHTTPServer):
-            # stdlib default backlog is 5: a burst of >5 simultaneous
-            # connects gets RST at the socket level (measured at
-            # concurrency 32 in scripts/bench_serve.py). Batched serving
-            # exists precisely to absorb such bursts — size the accept
-            # queue to the burst, not the batch.
-            request_queue_size = 512
-            daemon_threads = True
-
-        self._server = _Server((host, port), Handler)
+        self._server = BurstHTTPServer((host, port), Handler)
         self._thread: Optional[threading.Thread] = None
 
     # -- batching worker ---------------------------------------------------------

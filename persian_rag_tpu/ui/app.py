@@ -16,7 +16,9 @@ from __future__ import annotations
 import json
 import os
 import time
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import BaseHTTPRequestHandler
+
+from persian_rag_tpu.serve.httpd import BurstHTTPServer
 from typing import Dict, Optional
 
 from persian_rag_tpu.core.config import Config
@@ -202,7 +204,7 @@ def launch(
             else:
                 self._json(404, {"error": "not found"})
 
-    server = ThreadingHTTPServer((host, port), Handler)
+    server = BurstHTTPServer((host, port), Handler)
     print(f"UI at http://{host}:{server.server_address[1]}")
     if block:  # pragma: no cover
         server.serve_forever()

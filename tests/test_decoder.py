@@ -345,3 +345,30 @@ def test_fused_projections_match_unfused():
     p = tok.encode("سلام")
     assert g1.generate_ids_device(p, max_tokens=12) == \
         g0.generate_ids_device(p, max_tokens=12)
+
+
+def test_batch_device_power_of_two_batch_buckets():
+    """Variable serving group sizes must not multiply decoder compiles:
+    sizes 3 and 4 share one power-of-two batch bucket (pad rows
+    replicate row 0 and are dropped), and each real row still matches
+    its standalone greedy generation."""
+    from persian_rag_tpu.gen.generator import ByteTokenizer, TextGenerator
+
+    gen = TextGenerator(
+        DecoderConfig.tiny(vocab_size=ByteTokenizer.vocab_size),
+        tokenizer=ByteTokenizer(),
+        max_len=128,
+    )
+    prompts = [gen.tokenizer.encode(f"prompt number {i}") for i in range(4)]
+    out3 = gen.generate_batch_device(prompts[:3], max_tokens=8)
+    out4 = gen.generate_batch_device(prompts, max_tokens=8)
+    assert len(out3) == 3 and len(out4) == 4
+    assert out3 == out4[:3]  # same bucket, same rows
+    batch_keys = {
+        k for k in gen._prefill_cache if k[0] == "batch"
+    }
+    assert len(batch_keys) == 1, batch_keys  # one compile for both sizes
+    for prompt, got in zip(prompts[:3], out3):
+        want = gen.generate_ids_device(prompt, max_tokens=8,
+                                       bucket_lengths=False)
+        assert got == want, (got, want)
