@@ -58,6 +58,11 @@ def main(argv=None) -> int:
                              "slot scheduler) — finished rows swap for "
                              "queued prompts mid-flight instead of "
                              "waiting on the micro-batch group barrier")
+    parser.add_argument("--quantize", action="store_true",
+                        help="gen-serve: serve decoder weights int8 "
+                             "through the Pallas dequant kernels "
+                             "(llama.cpp GGUF-quantization parity; "
+                             "halves the HBM weight stream; single-chip)")
     parser.add_argument("--speculative", action="store_true",
                         help="gen-serve --continuous: prompt-lookup "
                              "speculative verification per row (greedy "
@@ -186,7 +191,7 @@ def main(argv=None) -> int:
             dec_config = DecoderConfig.llama32_1b(compute_dtype=jnp.bfloat16)
         generator = TextGenerator(
             dec_config, params=params, tokenizer=tokenizer, max_len=512,
-            mesh=mesh,
+            mesh=mesh, quantize=args.quantize,
         )
         server = LocalGenerationServer(
             generator, port=8080 if args.port is None else args.port,

@@ -21,7 +21,13 @@ from persian_rag_tpu.models.decoder import (
     cast_params,
     fuse_params,
     init_cache,
+    quantize_decoder_params,
 )
+
+
+def _is_quantized_tree(params) -> bool:
+    embed = params.get("embed_tokens", {})
+    return isinstance(embed, dict) and "values" in embed
 
 
 class ByteTokenizer:
@@ -51,7 +57,19 @@ class TextGenerator:
         mesh=None,
         tp_axis: str = "corpus",
         fuse_projections: bool = False,
+        quantize: bool = False,
     ):
+        if quantize and mesh is None and not config.quantized_weights:
+            # int8 weight serving (llama.cpp GGUF parity, BASELINE.md):
+            # halves the HBM weight stream per decode step via the
+            # Pallas dequant kernels. Single-chip only for now — the TP
+            # mesh path keeps bf16 (Megatron sharding of the quantized
+            # layout is untested).
+            config = dataclasses.replace(config, quantized_weights=True)
+        elif quantize and mesh is not None:
+            raise ValueError(
+                "quantize=True is single-chip serving; unset mesh"
+            )
         if fuse_projections and mesh is None and not config.fused_projections:
             # serving-time fused q/k/v + gate/up projections (see
             # DecoderConfig.fused_projections). Params, when supplied in
@@ -66,13 +84,22 @@ class TextGenerator:
         self.model = LlamaDecoder(config)
         if params is None:
             rng = jax.random.PRNGKey(seed)
-            params = self.model.init(
-                rng, jnp.zeros((1, 8), jnp.int32)
+            init_config = config
+            if config.quantized_weights:
+                # random-weight serving: init the FLOAT model and
+                # quantize, so the int8 values aren't all-zero
+                init_config = dataclasses.replace(
+                    config, quantized_weights=False
+                )
+            params = LlamaDecoder(init_config).init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, 8), jnp.int32)
             )["params"]
         # Serve weights in the compute dtype: flax init yields f32 params
         # regardless of compute_dtype, and batch-1 decode is bound by the
         # weight stream (f32 params = 2x the HBM bytes per step).
         self.params = cast_params(params, config.compute_dtype)
+        if config.quantized_weights and not _is_quantized_tree(self.params):
+            self.params = quantize_decoder_params(self.params)
         if mesh is not None:
             # tensor-parallel serving: Megatron column/row placement;
             # the jitted loops below are unchanged — XLA's SPMD

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from persian_rag_tpu.ops import quant_matmul
+
 
 @dataclasses.dataclass(frozen=True)
 class DecoderConfig:
@@ -44,6 +46,17 @@ class DecoderConfig:
     # stream, so fewer/larger weight reads help; use fuse_params() to
     # convert an unfused checkpoint. Training/HF-import/TP stay unfused.
     fused_projections: bool = False
+    # serving-time int8 weight quantization (the reference serves a
+    # quantized GGUF through llama.cpp — notebooks cell 7 / BASELINE.md).
+    # Params must be transformed by quantize_decoder_params(); every
+    # Dense kernel and the tied embedding become {values int8, scale
+    # f32}, consumed by the Pallas weight-streaming kernels
+    # (ops/quant_matmul.py) that halve HBM bytes per decode step.
+    # quantized_backend: "pallas" (int8 tiles dequantized in VMEM) or
+    # "xla" (convert-in-dot; the measured-slower A/B arm, kept for
+    # whole-step benchmarking and non-TPU execution).
+    quantized_weights: bool = False
+    quantized_backend: str = "pallas"
 
     @classmethod
     def llama32_1b(cls, **kw) -> "DecoderConfig":
@@ -106,6 +119,75 @@ class RMSNorm(nn.Module):
         return (x * jax.lax.rsqrt(var + self.eps)).astype(x.dtype) * scale
 
 
+def _init_i8(key, shape, dtype=jnp.int8):
+    return jnp.zeros(shape, dtype)
+
+
+class QuantDense(nn.Module):
+    """Dense layer over int8-quantized weights (serving only).
+
+    Param tree {values (K, N) int8, scale (1, N) f32} — produced by
+    quantize_decoder_params, never trained. On TPU the matmul streams
+    the int8 values through the Pallas dequant kernel at full HBM rate
+    (ops/quant_matmul.py); elsewhere (CPU tests, backend="xla") it runs
+    the identical-math XLA dequant reference."""
+
+    features: int
+    backend: str = "pallas"
+
+    @nn.compact
+    def __call__(self, x):
+        k = x.shape[-1]
+        values = self.param("values", _init_i8, (k, self.features))
+        scale = self.param(
+            "scale", nn.initializers.ones, (1, self.features), jnp.float32
+        )
+        if self.backend == "pallas" and jax.default_backend() == "tpu":
+            out = quant_matmul.w8a16_matmul(x, values, scale)
+        else:
+            out = quant_matmul.dequant_matmul_reference(x, values, scale)
+        return out.astype(x.dtype)
+
+
+class QuantEmbed(nn.Module):
+    """Tied embedding over one int8 table: row gather for token embed,
+    n-transposed Pallas matmul for the lm_head — quantized serving does
+    not store a second transposed copy of the (V, H) matrix."""
+
+    vocab_size: int
+    features: int
+    backend: str = "pallas"
+
+    def setup(self):
+        self.values = self.param(
+            "values", _init_i8, (self.vocab_size, self.features)
+        )
+        self.scale = self.param(
+            "scale",
+            nn.initializers.ones,
+            (self.vocab_size, 1),
+            jnp.float32,
+        )
+
+    def __call__(self, ids):
+        rows = jnp.take(self.values, ids, axis=0).astype(jnp.float32)
+        return rows * jnp.take(self.scale, ids, axis=0)
+
+    def attend(self, x):
+        """x (..., H) -> f32 logits (..., V)."""
+        if self.backend == "pallas" and jax.default_backend() == "tpu":
+            return quant_matmul.w8a16_matmul_nt(x, self.values, self.scale)
+        return quant_matmul.dequant_matmul_reference(
+            x, self.values, self.scale
+        )
+
+
+def _dense(c: DecoderConfig, features: int, name: str):
+    if c.quantized_weights:
+        return QuantDense(features, backend=c.quantized_backend, name=name)
+    return nn.Dense(features, use_bias=False, name=name)
+
+
 class DecoderAttention(nn.Module):
     config: DecoderConfig
 
@@ -115,10 +197,10 @@ class DecoderAttention(nn.Module):
         b, s, h = x.shape
         head_dim = h // c.num_heads
         if c.fused_projections:
-            qkv = nn.Dense(
+            qkv = _dense(
+                c,
                 (c.num_heads + 2 * c.num_kv_heads) * head_dim,
-                use_bias=False,
-                name="qkv_proj",
+                "qkv_proj",
             )(x)
             q, k, v = jnp.split(
                 qkv,
@@ -129,15 +211,9 @@ class DecoderAttention(nn.Module):
                 axis=-1,
             )
         else:
-            q = nn.Dense(
-                c.num_heads * head_dim, use_bias=False, name="q_proj"
-            )(x)
-            k = nn.Dense(
-                c.num_kv_heads * head_dim, use_bias=False, name="k_proj"
-            )(x)
-            v = nn.Dense(
-                c.num_kv_heads * head_dim, use_bias=False, name="v_proj"
-            )(x)
+            q = _dense(c, c.num_heads * head_dim, "q_proj")(x)
+            k = _dense(c, c.num_kv_heads * head_dim, "k_proj")(x)
+            v = _dense(c, c.num_kv_heads * head_dim, "v_proj")(x)
         q = q.reshape(b, s, c.num_heads, head_dim)
         k = k.reshape(b, s, c.num_kv_heads, head_dim)
         v = v.reshape(b, s, c.num_kv_heads, head_dim)
@@ -193,7 +269,7 @@ class DecoderAttention(nn.Module):
         ctx = jnp.einsum(
             "bhgqk,bkhd->bqhgd", probs, v, preferred_element_type=jnp.float32
         ).astype(x.dtype)
-        out = nn.Dense(h, use_bias=False, name="o_proj")(
+        out = _dense(c, h, "o_proj")(
             ctx.reshape(b, s, c.num_heads * head_dim)
         )
         return out, new_cache
@@ -206,18 +282,12 @@ class DecoderMLP(nn.Module):
     def __call__(self, x):
         c = self.config
         if c.fused_projections:
-            gu = nn.Dense(
-                2 * c.intermediate_size, use_bias=False, name="gateup_proj"
-            )(x)
+            gu = _dense(c, 2 * c.intermediate_size, "gateup_proj")(x)
             gate, up = jnp.split(gu, 2, axis=-1)
         else:
-            gate = nn.Dense(
-                c.intermediate_size, use_bias=False, name="gate_proj"
-            )(x)
-            up = nn.Dense(
-                c.intermediate_size, use_bias=False, name="up_proj"
-            )(x)
-        return nn.Dense(x.shape[-1], use_bias=False, name="down_proj")(
+            gate = _dense(c, c.intermediate_size, "gate_proj")(x)
+            up = _dense(c, c.intermediate_size, "up_proj")(x)
+        return _dense(c, x.shape[-1], "down_proj")(
             jax.nn.silu(gate) * up
         )
 
@@ -259,7 +329,15 @@ class LlamaDecoder(nn.Module):
             positions = jnp.broadcast_to(
                 jnp.arange(s, dtype=jnp.int32)[None, :], (b, s)
             )
-        embed = nn.Embed(c.vocab_size, c.hidden_size, name="embed_tokens")
+        if c.quantized_weights:
+            embed = QuantEmbed(
+                c.vocab_size,
+                c.hidden_size,
+                backend=c.quantized_backend,
+                name="embed_tokens",
+            )
+        else:
+            embed = nn.Embed(c.vocab_size, c.hidden_size, name="embed_tokens")
         x = embed(input_ids).astype(c.compute_dtype)
 
         if cache is None:
@@ -317,18 +395,24 @@ class LlamaDecoder(nn.Module):
                 new_cache["v"].append(updated[1])
         x = RMSNorm(c.rms_norm_eps, name="final_norm")(x)
         if c.tie_word_embeddings:
-            # f32 logits WITHOUT upcasting the (V, H) table: keep both
-            # operands in their stored dtype and accumulate in f32
-            # (embed.attend(x.astype(f32)) forces a full f32 read of the
-            # half-GB embedding every decode step when params are bf16).
-            logits = jax.lax.dot_general(
-                x,
-                embed.embedding,
-                dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if c.quantized_weights:
+                logits = embed.attend(x)
+            else:
+                # f32 logits WITHOUT upcasting the (V, H) table: keep both
+                # operands in their stored dtype and accumulate in f32
+                # (embed.attend(x.astype(f32)) forces a full f32 read of
+                # the half-GB embedding every decode step when params are
+                # bf16).
+                logits = jax.lax.dot_general(
+                    x,
+                    embed.embedding,
+                    dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
         else:
-            logits = nn.Dense(c.vocab_size, use_bias=False, name="lm_head")(x)
+            logits = _dense(c, c.vocab_size, "lm_head")(x)
+            if c.quantized_weights:
+                logits = logits.astype(jnp.float32)
         if cache is not None:
             return logits, new_cache
         return logits
@@ -381,6 +465,42 @@ def cast_params(params: Dict, dtype) -> Dict:
         else x,
         params,
     )
+
+
+def quantize_decoder_params(params: Dict) -> Dict:
+    """Convert a served param tree to the int8 layout consumed when
+    ``config.quantized_weights`` is set: every Dense ``{kernel}`` leaf
+    becomes ``{values int8, scale f32}`` (per-output-channel symmetric),
+    and the tied embedding ``{embedding}`` becomes a per-row-quantized
+    table shared by the token gather and the lm_head matmul.
+
+    Apply AFTER cast_params (scales are derived in f32 either way and
+    must STAY f32 — the kernels fold them into the f32 accumulator).
+    """
+    from persian_rag_tpu.ops.quant_matmul import quantize_weight
+
+    def walk(d):
+        out = {}
+        for name, sub in d.items():
+            if isinstance(sub, dict):
+                keys = set(sub)
+                if keys == {"kernel"}:
+                    values, scale = quantize_weight(
+                        jnp.asarray(sub["kernel"]), axis=0
+                    )
+                    out[name] = {"values": values, "scale": scale}
+                elif keys == {"embedding"}:
+                    values, scale = quantize_weight(
+                        jnp.asarray(sub["embedding"]), axis=1
+                    )
+                    out[name] = {"values": values, "scale": scale}
+                else:
+                    out[name] = walk(sub)
+            else:
+                out[name] = sub
+        return out
+
+    return walk(params)
 
 
 def init_cache(

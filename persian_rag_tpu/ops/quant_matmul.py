@@ -1,0 +1,292 @@
+"""Quantized weight-streaming matmuls for decode serving (Pallas).
+
+Parity anchor: the reference serves a *quantized* GGUF export of its
+fine-tuned Llama through llama.cpp (notebooks cell 7 exports
+``q8_0``/``q4_k_m``; served at /root/reference/src/llama_client.py:10)
+— quantized weight serving is part of the component envelope, not just
+an optimization.
+
+Why Pallas and not plain XLA: batch-1 decode on this chip is
+weight-stream-bound (~520 GB/s effective across the whole step,
+DESIGN.md round-3). Storing weights int8 halves the HBM bytes per
+step, but XLA's convert-in-dot halves the achieved byte rate
+(scripts/bench_int8_matvec.py: the 525 MB lm_head streams 401-413 GB/s
+as bf16 but only 231-282 GB/s as int8 -> net 1.15x). These kernels
+stream int8 tiles into VMEM at full DMA rate and dequantize on-core,
+so the stream stays at the bf16 path's byte rate while moving half the
+bytes.
+
+Layouts:
+
+* ``w8a16_matmul``   — w stored (K, N) int8, per-output-channel f32
+  scale (1, N); x bf16; dequant int8->bf16 in VMEM, bf16 MXU dot,
+  scale folded into the f32 accumulator once per output element.
+* ``w8a16_matmul_nt``— w stored (N, K) int8 (row-major by output), for
+  the tied lm_head: the SAME (V, H) int8 table serves the embedding
+  gather and the logits matmul, so quantized serving does not store a
+  second transposed copy of the half-GB vocab matrix.
+* ``w8a8_matmul``    — activations quantized per-row on the fly
+  (symmetric, dynamic), int8 x int8 -> int32 on the native int8 MXU
+  (no VPU convert at all); scales applied to the int32 accumulator.
+
+All wrappers pad the batch dim to the dtype sublane minimum (bf16: 16,
+int8: 32) and slice back; weight arrays must be pre-padded to the
+block grid by ``prepare_quantized`` (done once at weight-load, never
+per dispatch).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+__all__ = [
+    "quantize_weight",
+    "w8a16_matmul",
+    "w8a16_matmul_nt",
+    "w8a8_matmul",
+    "dequant_matmul_reference",
+    "pick_block_n",
+]
+
+
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+def quantize_weight(
+    w: jnp.ndarray, axis: int = 0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel int8 quantization.
+
+    ``axis`` is the REDUCTION axis of the matmul (the one whose error
+    averages out); the scale is per element of the other axis. For a
+    (K, N) kernel pass axis=0 -> scale (1, N); for a (V, H) embedding
+    table pass axis=1 -> scale (V, 1).
+    """
+    w = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    values = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return values, scale
+
+
+def pick_block_n(n: int, k: int, vmem_budget: int = 2 * 1024 * 1024) -> int:
+    """Largest block_n in {1024..128} that divides n and keeps the int8
+    weight block within the VMEM budget (double-buffered by Mosaic)."""
+    for bn in (1024, 768, 512, 384, 256, 128):
+        if n % bn == 0 and k * bn <= vmem_budget:
+            return bn
+    raise ValueError(f"n={n} must be a multiple of 128")
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _w8a16_kernel(x_ref, w_ref, s_ref, o_ref):
+    w = w_ref[...].astype(jnp.bfloat16)
+    acc = jnp.dot(x_ref[...], w, preferred_element_type=jnp.float32)
+    o_ref[...] = acc * s_ref[...]
+
+
+def _w8a16_nt_kernel(x_ref, w_ref, s_ref, o_ref):
+    w = w_ref[...].astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(
+        x_ref[...],
+        w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = acc * s_ref[...]
+
+
+def _w8a8_kernel(x_ref, w_ref, s_ref, o_ref):
+    acc = jnp.dot(
+        x_ref[...], w_ref[...], preferred_element_type=jnp.int32
+    )
+    o_ref[...] = acc.astype(jnp.float32) * s_ref[...]
+
+
+# ---------------------------------------------------------------------------
+# Wrappers
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "interpret")
+)
+def _w8a16_call(x, values, scale, *, block_n: int, interpret: bool):
+    b, k = x.shape
+    n = values.shape[1]
+    b_pad = max(16, _round_up(b, 16))
+    x = jnp.pad(x.astype(jnp.bfloat16), ((0, b_pad - b), (0, 0)))
+    grid = (n // block_n,)
+    out = pl.pallas_call(
+        _w8a16_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b_pad, k), lambda i: (0, 0)),
+            pl.BlockSpec((k, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((b_pad, block_n), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n), jnp.float32),
+        interpret=interpret,
+    )(x, values, scale)
+    return out[:b]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "interpret")
+)
+def _w8a16_nt_call(x, values, scale, *, block_n: int, interpret: bool):
+    b, k = x.shape
+    n = values.shape[0]
+    b_pad = max(16, _round_up(b, 16))
+    x = jnp.pad(x.astype(jnp.bfloat16), ((0, b_pad - b), (0, 0)))
+    grid = (n // block_n,)
+    out = pl.pallas_call(
+        _w8a16_nt_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b_pad, k), lambda i: (0, 0)),
+            pl.BlockSpec((block_n, k), lambda i: (i, 0)),
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((b_pad, block_n), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n), jnp.float32),
+        interpret=interpret,
+    )(x, values, scale)
+    return out[:b]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "interpret")
+)
+def _w8a8_call(x_q, x_scale, values, scale, *, block_n: int, interpret: bool):
+    b, k = x_q.shape
+    n = values.shape[1]
+    b_pad = max(32, _round_up(b, 32))
+    x_q = jnp.pad(x_q, ((0, b_pad - b), (0, 0)))
+    grid = (n // block_n,)
+    out = pl.pallas_call(
+        _w8a8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b_pad, k), lambda i: (0, 0)),
+            pl.BlockSpec((k, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((b_pad, block_n), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n), jnp.float32),
+        interpret=interpret,
+    )(x_q, values, scale)
+    return out[:b] * x_scale
+
+
+def _flatten_leading(x):
+    lead = x.shape[:-1]
+    return x.reshape(-1, x.shape[-1]), lead
+
+
+def w8a16_matmul(
+    x: jnp.ndarray,
+    values: jnp.ndarray,
+    scale: jnp.ndarray,
+    *,
+    block_n: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """x (..., K) bf16 @ dequant(values (K, N) int8, scale (1, N)) -> f32."""
+    x2, lead = _flatten_leading(x)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if block_n is None:
+        block_n = pick_block_n(values.shape[1], values.shape[0])
+    out = _w8a16_call(
+        x2, values, scale, block_n=block_n, interpret=interpret
+    )
+    return out.reshape(*lead, values.shape[1])
+
+
+def w8a16_matmul_nt(
+    x: jnp.ndarray,
+    values: jnp.ndarray,
+    scale: jnp.ndarray,
+    *,
+    block_n: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """x (..., K) @ dequant(values (N, K) int8, scale (N, 1)).T -> f32.
+
+    The (N, K) row-major-by-output layout lets the tied lm_head reuse
+    the embedding's int8 table without a transposed copy."""
+    x2, lead = _flatten_leading(x)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if block_n is None:
+        block_n = pick_block_n(values.shape[0], values.shape[1])
+    out = _w8a16_nt_call(
+        x2, values, scale.reshape(1, -1),
+        block_n=block_n, interpret=interpret,
+    )
+    return out.reshape(*lead, values.shape[0])
+
+
+def w8a8_matmul(
+    x: jnp.ndarray,
+    values: jnp.ndarray,
+    scale: jnp.ndarray,
+    *,
+    block_n: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Dynamic per-row activation quantization + int8 MXU matmul.
+
+    out = (q(x) @ values) * x_scale * scale, accumulated int32 on the
+    MXU. Skips the in-kernel VPU convert entirely; activation
+    quantization adds one cheap (B, K) pass outside the kernel.
+    """
+    x2, lead = _flatten_leading(x)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if block_n is None:
+        block_n = pick_block_n(values.shape[1], values.shape[0])
+    xf = x2.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(amax, 1e-8) / 127.0
+    x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    out = _w8a8_call(
+        x_q, x_scale, values, scale, block_n=block_n, interpret=interpret
+    )
+    return out.reshape(*lead, values.shape[1])
+
+
+def dequant_matmul_reference(
+    x: jnp.ndarray, values: jnp.ndarray, scale: jnp.ndarray
+) -> jnp.ndarray:
+    """Plain-XLA W8A16 reference: bitwise-comparable math to the Pallas
+    kernel (int8 -> bf16 convert, bf16 dot with f32 accumulation,
+    per-channel scale on the accumulator). values (K, N) or (N, K) with
+    scale shaped to broadcast over the output's N axis."""
+    if values.shape[0] == x.shape[-1]:
+        w = values.astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            x.astype(jnp.bfloat16), w,
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc * scale
+    w = values.astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), w,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return acc * scale.reshape(1, -1)

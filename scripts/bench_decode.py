@@ -27,10 +27,15 @@ def main():
     from persian_rag_tpu.models.decoder import DecoderConfig
 
     max_tokens = int(os.environ.get("DEC_TOKENS", 64))
+    quantize = os.environ.get("DEC_QUANTIZE", "0") == "1"
     config = DecoderConfig.llama32_1b(compute_dtype=jnp.bfloat16)
     t0 = time.time()
-    gen = TextGenerator(config, max_len=512)
-    print(f"init {time.time()-t0:.0f}s", flush=True)
+    gen = TextGenerator(config, max_len=512, quantize=quantize)
+    print(
+        f"init {time.time()-t0:.0f}s"
+        + (" [int8 weight serving]" if quantize else ""),
+        flush=True,
+    )
 
     def prompts(seed, n, base=48):
         r = np.random.default_rng(seed)

@@ -1,0 +1,114 @@
+"""Quantized decoder serving (config.quantized_weights).
+
+The reference serves a quantized GGUF export through llama.cpp
+(notebooks cell 7); this is the TPU-native equivalent: int8 params via
+quantize_decoder_params + Pallas weight-streaming kernels (XLA
+reference math on CPU). Random-weight tolerance tests only — real-
+checkpoint quality is env-gated (tests/test_real_assets.py pattern).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from persian_rag_tpu.gen.generator import TextGenerator
+from persian_rag_tpu.models.decoder import (
+    DecoderConfig,
+    LlamaDecoder,
+    quantize_decoder_params,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_pair():
+    cfg = DecoderConfig.tiny(compute_dtype=jnp.bfloat16)
+    gen_f = TextGenerator(cfg, max_len=64, seed=3)
+    gen_q = TextGenerator(
+        cfg, params=gen_f.params, max_len=64, seed=3, quantize=True
+    )
+    return gen_f, gen_q
+
+
+def test_quantized_param_tree_layout(tiny_pair):
+    gen_f, gen_q = tiny_pair
+    p = gen_q.params
+    assert p["embed_tokens"]["values"].dtype == jnp.int8
+    assert p["embed_tokens"]["scale"].dtype == jnp.float32
+    att = p["layer_0"]["attention"]["q_proj"]
+    assert set(att) == {"values", "scale"}
+    assert att["values"].dtype == jnp.int8
+    # norm scales untouched
+    assert "scale" in p["layer_0"]["input_norm"]
+
+
+def test_quantized_logits_close_to_float(tiny_pair):
+    gen_f, gen_q = tiny_pair
+    ids = jnp.array([[5, 9, 200, 31, 7, 88]], jnp.int32)
+    lf = gen_f.model.apply({"params": gen_f.params}, ids)
+    lq = gen_q.model.apply({"params": gen_q.params}, ids)
+    rel = float(jnp.max(jnp.abs(lf - lq)) / jnp.max(jnp.abs(lf)))
+    assert rel < 0.06  # int8 per-channel on a 2-layer model
+
+
+def test_quantized_generation_runs(tiny_pair):
+    _, gen_q = tiny_pair
+    out = gen_q.generate_ids([5, 9, 200, 31], max_tokens=12)
+    assert 0 < len(out) <= 12
+    batched = gen_q.generate_batch_device(
+        [[5, 9, 200], [7, 8, 9, 10]], max_tokens=8
+    )
+    assert len(batched) == 2 and all(len(r) <= 8 for r in batched)
+
+
+def test_quantize_then_fuse_projections():
+    cfg = DecoderConfig.tiny(compute_dtype=jnp.bfloat16)
+    gen_f = TextGenerator(cfg, max_len=64, seed=3)
+    gen_qf = TextGenerator(
+        cfg, params=gen_f.params, max_len=64, seed=3,
+        quantize=True, fuse_projections=True,
+    )
+    assert gen_qf.config.quantized_weights
+    assert gen_qf.config.fused_projections
+    att = gen_qf.params["layer_0"]["attention"]
+    assert set(att) == {"qkv_proj", "o_proj"}
+    assert att["qkv_proj"]["values"].dtype == jnp.int8
+    out = gen_qf.generate_ids([5, 9, 200, 31], max_tokens=6)
+    assert len(out) > 0
+
+
+def test_quantize_mesh_rejected():
+    from persian_rag_tpu.core.mesh import build_mesh
+
+    cfg = DecoderConfig.tiny(compute_dtype=jnp.bfloat16)
+    mesh = build_mesh(corpus_axis=2, data_axis=1)
+    with pytest.raises(ValueError):
+        TextGenerator(cfg, max_len=64, mesh=mesh, quantize=True)
+
+
+def test_quantized_non_tied_lm_head():
+    cfg = DecoderConfig.tiny(
+        compute_dtype=jnp.bfloat16, tie_word_embeddings=False
+    )
+    fgen = TextGenerator(cfg, max_len=64, seed=1)
+    qgen = TextGenerator(
+        cfg, params=fgen.params, max_len=64, seed=1, quantize=True
+    )
+    assert qgen.params["lm_head"]["values"].dtype == jnp.int8
+    ids = jnp.array([[3, 4, 5]], jnp.int32)
+    lf = fgen.model.apply({"params": fgen.params}, ids)
+    lq = qgen.model.apply({"params": qgen.params}, ids)
+    assert lq.dtype == jnp.float32
+    rel = float(jnp.max(jnp.abs(lf - lq)) / jnp.max(jnp.abs(lf)))
+    assert rel < 0.06
+
+
+def test_quantize_idempotent_detection(tiny_pair):
+    _, gen_q = tiny_pair
+    # constructing from an ALREADY-quantized tree must not re-quantize
+    gen_q2 = TextGenerator(
+        gen_q.config, params=gen_q.params, max_len=64, quantize=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(gen_q2.params["embed_tokens"]["values"]),
+        np.asarray(gen_q.params["embed_tokens"]["values"]),
+    )

@@ -1,0 +1,111 @@
+"""Quantized weight-streaming matmul kernels (ops/quant_matmul.py).
+
+CPU interpret-mode parity: the Pallas kernels must match the plain-XLA
+dequant reference bit-for-bit in math structure (same convert, same
+f32 accumulation, same scale placement); quantization error itself is
+bounded separately against the exact f32 matmul.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from persian_rag_tpu.ops.quant_matmul import (
+    dequant_matmul_reference,
+    pick_block_n,
+    quantize_weight,
+    w8a8_matmul,
+    w8a16_matmul,
+    w8a16_matmul_nt,
+)
+
+
+@pytest.fixture
+def wx(rng):
+    k, n, b = 256, 512, 5
+    w = jnp.asarray(rng.normal(size=(k, n)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(b, k)), jnp.bfloat16)
+    return w, x
+
+
+def test_quantize_weight_roundtrip_bound(rng):
+    w = jnp.asarray(rng.normal(size=(128, 256)), jnp.float32)
+    v, s = quantize_weight(w)
+    assert v.dtype == jnp.int8 and s.shape == (1, 256)
+    err = np.abs(np.asarray(v, np.float32) * np.asarray(s) - np.asarray(w))
+    # symmetric round-to-nearest: error <= scale/2 per element
+    assert (err <= np.asarray(s) / 2 + 1e-7).all()
+
+
+def test_w8a16_matches_reference(wx):
+    w, x = wx
+    v, s = quantize_weight(w)
+    out = w8a16_matmul(x, v, s, block_n=256)
+    ref = dequant_matmul_reference(x, v, s)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0, atol=1e-5
+    )
+
+
+def test_w8a16_nt_matches_reference(wx):
+    w, x = wx
+    v, s = quantize_weight(w.T, axis=1)
+    out = w8a16_matmul_nt(x, v, s, block_n=256)
+    ref = dequant_matmul_reference(x, v, s)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0, atol=1e-5
+    )
+
+
+def test_w8a16_leading_dims(wx):
+    w, x = wx
+    v, s = quantize_weight(w)
+    x3 = x.reshape(1, 5, -1)
+    out3 = w8a16_matmul(x3, v, s, block_n=256)
+    out2 = w8a16_matmul(x, v, s, block_n=256)
+    assert out3.shape == (1, 5, w.shape[1])
+    np.testing.assert_array_equal(
+        np.asarray(out3).reshape(5, -1), np.asarray(out2)
+    )
+
+
+def test_w8a16_quant_error_vs_f32(wx):
+    w, x = wx
+    v, s = quantize_weight(w)
+    out = np.asarray(w8a16_matmul(x, v, s, block_n=256))
+    exact = np.asarray(x.astype(jnp.float32) @ w)
+    rel = np.abs(out - exact).max() / np.abs(exact).max()
+    assert rel < 0.02  # int8 per-channel + bf16 activations
+
+
+def test_w8a8_close_to_w8a16(wx):
+    w, x = wx
+    v, s = quantize_weight(w)
+    a16 = np.asarray(w8a16_matmul(x, v, s, block_n=256))
+    a8 = np.asarray(w8a8_matmul(x, v, s, block_n=256))
+    rel = np.abs(a8 - a16).max() / np.abs(a16).max()
+    assert rel < 0.03  # adds one int8 activation rounding
+
+
+def test_pick_block_n():
+    assert pick_block_n(128_256, 2048) == 768  # llama vocab: 768 * 167
+    assert pick_block_n(16384, 2048) == 1024
+    assert pick_block_n(2048, 8192) == 256  # VMEM budget caps block
+    with pytest.raises(ValueError):
+        pick_block_n(100, 2048)
+
+
+def test_batch_one_and_odd_batches(wx):
+    w, _ = wx
+    v, s = quantize_weight(w)
+    for b in (1, 3, 17):
+        x = jnp.asarray(
+            np.random.default_rng(b).normal(size=(b, w.shape[0])),
+            jnp.bfloat16,
+        )
+        out = w8a16_matmul(x, v, s, block_n=256)
+        ref = dequant_matmul_reference(x, v, s)
+        assert out.shape == (b, w.shape[1])
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=0, atol=1e-5
+        )
