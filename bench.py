@@ -537,6 +537,47 @@ def bench_generation(jax, jnp, extras: dict) -> None:
     extras["gen_prefill_tok_s"] = round(pf_tok_s, 1)
     extras["gen_answer_s_128tok"] = round(answer_s_128, 3)
 
+    if os.environ.get("BENCH_GEN_QUANT", "1") != "1":
+        return
+    # int8 weight serving — the reference's own serving config is a
+    # Q8_0 GGUF through llama.cpp (BASELINE.md), so this arm is the
+    # like-for-like comparison; the Pallas dequant kernels stream int8
+    # weights at the bf16 path's byte rate (ops/quant_matmul.py),
+    # halving HBM bytes per step. Same measurement protocol as above.
+    del gen
+    t0 = time.time()
+    genq = TextGenerator(config, max_len=512, quantize=True)
+    initq_s = time.time() - t0
+    t0 = time.time()
+    genq.generate_ids_device(prompt, max_tokens=gen_tokens,
+                             temperature=0.7, seed=1)
+    warmq_s = time.time() - t0
+    t0 = time.time()
+    out = genq.generate_ids_device(prompt[2:] + [3, 5],
+                                   max_tokens=gen_tokens,
+                                   temperature=0.7, seed=2)
+    q1_tok_s = max(len(out), 1) / (time.time() - t0)
+    t0 = time.time()
+    genq.generate_batch_device(prompts8, max_tokens=gen_tokens,
+                               temperature=0.7, seed=3)
+    warmq8_s = time.time() - t0
+    t0 = time.time()
+    outs = genq.generate_batch_device(
+        [p[1:] + [9] for p in prompts8], max_tokens=gen_tokens,
+        temperature=0.7, seed=4,
+    )
+    q8_tok_s = sum(max(len(o), 1) for o in outs) / (time.time() - t0)
+    log(
+        f"generation (int8 weight serving = reference Q8_0 parity): "
+        f"batch-1 {q1_tok_s:.0f} tok/s "
+        f"(-> {128 / max(q1_tok_s, 1e-9):.2f} s per 128-token answer), "
+        f"batch-8 aggregate {q8_tok_s:.0f} tok/s "
+        f"(init {initq_s:.0f}s, compiles {warmq_s:.0f}s/{warmq8_s:.0f}s)"
+    )
+    extras["gen_q8_tok_s_b1"] = round(q1_tok_s, 1)
+    extras["gen_q8_tok_s_b8"] = round(q8_tok_s, 1)
+    extras["gen_q8_answer_s_128tok"] = round(128 / max(q1_tok_s, 1e-9), 3)
+
 
 def bench_realgeom(jax, jnp, extras: dict) -> None:
     """Storage-tier recall on REAL embedding geometry at scale: the

@@ -43,23 +43,37 @@ def main():
 
     # batch-1 reference (device loop). temperature is a runtime arg and
     # lax.cond executes only the taken branch, so greedy vs sampled
-    # share one compile — the delta isolates the top-p full-vocab sort.
-    p1 = prompts(1, 1)[0]
-    t0 = time.time()
-    gen.generate_ids_device(p1, max_tokens=max_tokens, temperature=0.0)
-    print(f"b1 warm+compile {time.time()-t0:.0f}s", flush=True)
+    # share one compile. Per-step cost comes from a TWO-POINT fit
+    # (max_tokens 16 vs 64): dividing one run's wall time by its token
+    # count folds the ~30 ms fixed dispatch overhead into the quotient
+    # — and an early-EOS sampled run then reads 2-4x slower than it is
+    # (the round-3 'b1 top-p 7.9 ms/step' artifact).
+    short = max(max_tokens // 4, 4)
+    for mt in (short, max_tokens):
+        p1 = prompts(mt, 1)[0]
+        t0 = time.time()
+        gen.generate_ids_device(p1, max_tokens=mt, temperature=0.0)
+        print(f"b1 mt={mt} warm+compile {time.time()-t0:.0f}s", flush=True)
     for temp, tag in ((0.0, "greedy"), (0.7, "top-p 0.9")):
-        rates = []
-        for s in (2, 3):
-            p = prompts(int(10 * temp) + s, 1)[0]
-            t0 = time.time()
-            out = gen.generate_ids_device(p, max_tokens=max_tokens,
-                                          temperature=temp)
-            dt = time.time() - t0
-            rates.append(max(len(out), 1) / dt)
-        r = float(np.median(rates))
-        print(f"batch-1 {tag}: {r:.0f} tok/s ({1e3/r:.2f} ms/step)",
-              flush=True)
+        med = {}
+        for mt in (short, max_tokens):
+            runs = []
+            for s in (2, 3, 4):
+                p = prompts(int(10 * temp) + s, 1)[0]
+                t0 = time.time()
+                out = gen.generate_ids_device(p, max_tokens=mt,
+                                              temperature=temp, seed=s)
+                runs.append((time.time() - t0, len(out)))
+            runs.sort()
+            med[mt] = runs[1]
+        (dt_s, n_s), (dt_l, n_l) = med[short], med[max_tokens]
+        if n_l > n_s:
+            step_ms = (dt_l - dt_s) * 1e3 / (n_l - n_s)
+        else:  # early EOS collapsed both runs: fall back to quotient
+            step_ms = dt_l * 1e3 / max(n_l, 1)
+        print(f"batch-1 {tag}: {1e3/step_ms:.0f} tok/s "
+              f"({step_ms:.2f} ms/step, two-point fit "
+              f"{n_s}/{n_l} tokens)", flush=True)
 
     # batched ragged (DEC_BATCHES env, default "8")
     for nb in [int(x) for x in

@@ -102,6 +102,34 @@ def test_quantized_non_tied_lm_head():
     assert rel < 0.06
 
 
+def test_quantized_composes_with_continuous_batching(tiny_pair):
+    import json
+    import urllib.request
+
+    from persian_rag_tpu.gen.local_server import LocalGenerationServer
+
+    _, gen_q = tiny_pair
+    srv = LocalGenerationServer(gen_q, port=0, continuous=True).start()
+    try:
+        req = urllib.request.Request(
+            srv.url + "/completion",
+            data=json.dumps({"prompt": "hello", "n_predict": 6}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            body = json.loads(r.read())
+        assert "content" in body
+    finally:
+        srv.stop()
+
+
+def test_quantized_speculative_route(tiny_pair):
+    _, gen_q = tiny_pair
+    out = gen_q.generate_ids_spec([5, 9, 200, 31, 5, 9, 200, 31],
+                                  max_tokens=8)
+    assert len(out) <= 8
+
+
 def test_quantize_idempotent_detection(tiny_pair):
     _, gen_q = tiny_pair
     # constructing from an ALREADY-quantized tree must not re-quantize
