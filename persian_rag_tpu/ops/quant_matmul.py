@@ -76,12 +76,30 @@ def quantize_weight(
 
 
 def pick_block_n(n: int, k: int, vmem_budget: int = 2 * 1024 * 1024) -> int:
-    """Largest block_n in {1024..128} that divides n and keeps the int8
-    weight block within the VMEM budget (double-buffered by Mosaic)."""
-    for bn in (1024, 768, 512, 384, 256, 128):
-        if n % bn == 0 and k * bn <= vmem_budget:
-            return bn
-    raise ValueError(f"n={n} must be a multiple of 128")
+    """block_n targeting ~16 grid steps within a 2 MB int8 block budget.
+
+    Chip sweep (scripts/bench_quant_blocks.py, v5e): winners share grid
+    depth ~16 with 1-2 MB blocks — (K=8192, N=2048) runs 271 GB/s at
+    bn=128 (16 steps) vs 151 at bn=256 (8 steps) and 60 at bn=512 (4
+    steps: too few steps to hide DMA latency behind compute); (K=2048,
+    N=16384) runs 404 GB/s at bn=1024 (16 steps) vs 267 at bn=512 (32
+    steps: per-step overhead). Blocks over the budget VMEM-OOM at
+    pallas_call runtime."""
+    target = max(128, n // 16)
+    best = None
+    for bn in range(128, n + 1, 128):
+        if n % bn or k * bn > vmem_budget:
+            continue
+        if best is None or abs(bn - target) < abs(best - target) or (
+            abs(bn - target) == abs(best - target) and bn > best
+        ):
+            best = bn
+    if best is None:
+        raise ValueError(
+            f"n={n} must be a multiple of 128 with a block fitting "
+            f"{vmem_budget} bytes at k={k}"
+        )
+    return best
 
 
 # ---------------------------------------------------------------------------
@@ -195,6 +213,14 @@ def _flatten_leading(x):
     return x.reshape(-1, x.shape[-1]), lead
 
 
+# Above this many flattened rows the wrappers fall back to the XLA
+# convert-in-dot path: the whole (B_pad, K) activation block lives in
+# VMEM alongside the weight blocks (a 1024-row bf16 block at K=8192 is
+# 16 MB — the whole VMEM), and at large B the matmul is MXU-bound, so
+# streaming int8 weights faster buys nothing (prefill regime).
+_MAX_KERNEL_ROWS = 256
+
+
 def w8a16_matmul(
     x: jnp.ndarray,
     values: jnp.ndarray,
@@ -207,6 +233,8 @@ def w8a16_matmul(
     x2, lead = _flatten_leading(x)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if x2.shape[0] > _MAX_KERNEL_ROWS:
+        return dequant_matmul_reference(x, values, scale)
     if block_n is None:
         block_n = pick_block_n(values.shape[1], values.shape[0])
     out = _w8a16_call(
@@ -230,6 +258,8 @@ def w8a16_matmul_nt(
     x2, lead = _flatten_leading(x)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if x2.shape[0] > _MAX_KERNEL_ROWS:
+        return dequant_matmul_reference(x, values, scale)
     if block_n is None:
         block_n = pick_block_n(values.shape[0], values.shape[1])
     out = _w8a16_nt_call(
@@ -256,6 +286,8 @@ def w8a8_matmul(
     x2, lead = _flatten_leading(x)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if x2.shape[0] > _MAX_KERNEL_ROWS:
+        return dequant_matmul_reference(x, values, scale)
     if block_n is None:
         block_n = pick_block_n(values.shape[1], values.shape[0])
     xf = x2.astype(jnp.float32)

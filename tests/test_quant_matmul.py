@@ -88,11 +88,25 @@ def test_w8a8_close_to_w8a16(wx):
 
 
 def test_pick_block_n():
-    assert pick_block_n(128_256, 2048) == 768  # llama vocab: 768 * 167
-    assert pick_block_n(16384, 2048) == 1024
-    assert pick_block_n(2048, 8192) == 256  # VMEM budget caps block
+    # targets ~16 grid steps within the 2 MB block budget (chip sweep,
+    # scripts/bench_quant_blocks.py)
+    assert pick_block_n(128_256, 2048) == 768  # budget-capped divisor
+    assert pick_block_n(16384, 2048) == 1024  # 16 steps
+    assert pick_block_n(8192, 2048) == 512  # 16 steps
+    assert pick_block_n(2048, 8192) == 128  # 16 steps (256 ran 0.55x)
     with pytest.raises(ValueError):
         pick_block_n(100, 2048)
+
+
+def test_large_batch_falls_back_to_xla(rng):
+    # prefill regime: >256 flattened rows must route to the XLA dequant
+    # path (the kernel would hold the whole activation block in VMEM)
+    w = jnp.asarray(rng.normal(size=(128, 256)), jnp.float32)
+    v, s = quantize_weight(w)
+    x = jnp.asarray(rng.normal(size=(300, 128)), jnp.bfloat16)
+    out = w8a16_matmul(x, v, s)
+    ref = dequant_matmul_reference(x, v, s)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
 def test_batch_one_and_odd_batches(wx):
