@@ -59,16 +59,18 @@ class TextGenerator:
         fuse_projections: bool = False,
         quantize: bool = False,
     ):
-        if quantize and mesh is None and not config.quantized_weights:
-            # int8 weight serving (llama.cpp GGUF parity, BASELINE.md):
-            # halves the HBM weight stream per decode step via the
-            # Pallas dequant kernels. Single-chip only for now — the TP
-            # mesh path keeps bf16 (Megatron sharding of the quantized
-            # layout is untested).
-            config = dataclasses.replace(config, quantized_weights=True)
-        elif quantize and mesh is not None:
-            raise ValueError(
-                "quantize=True is single-chip serving; unset mesh"
+        if quantize and not config.quantized_weights:
+            # int8 weight serving (llama.cpp Q8_0 parity, BASELINE.md):
+            # halves the HBM weight stream per decode step. Single chip
+            # uses the Pallas dequant kernels; on a TP mesh the XLA
+            # convert-in-dot backend serves instead — GSPMD can
+            # partition a plain dot+convert but treats a pallas_call as
+            # opaque (still halves per-chip weight memory, ~1.2-1.4x
+            # per-op vs bf16, scripts/bench_quant_matmul.py).
+            config = dataclasses.replace(
+                config,
+                quantized_weights=True,
+                quantized_backend="xla" if mesh is not None else "pallas",
             )
         if fuse_projections and mesh is None and not config.fused_projections:
             # serving-time fused q/k/v + gate/up projections (see

@@ -41,6 +41,19 @@ def _spec_for(path, leaf_name: str, axis: str):
         return P(axis, None)
     if parent == "embed_tokens" and leaf_name == "embedding":
         return P(axis, None)
+    # int8-quantized serving layout ({values, scale} per projection,
+    # decoder.quantize_decoder_params). Same Megatron placement: the
+    # per-output-channel scale follows the output dim — sharded with a
+    # column split, replicated for a row split (the RMSNorm "scale"
+    # leaves have norm-layer parents and fall through to P()).
+    if parent in _COLUMN_PARALLEL and leaf_name == "values":
+        return P(None, axis)
+    if parent in _COLUMN_PARALLEL and leaf_name == "scale":
+        return P(None, axis)
+    if parent in _ROW_PARALLEL and leaf_name == "values":
+        return P(axis, None)
+    if parent == "embed_tokens" and leaf_name in ("values", "scale"):
+        return P(axis, None)
     return P()
 
 

@@ -123,3 +123,40 @@ def test_tp_indivisible_dims_replicate():
     )
     got = np.asarray(model2.apply({"params": tp2}, ids), np.float32)
     np.testing.assert_allclose(want, got, rtol=2e-5, atol=2e-5)
+
+
+def test_tp_quantized_generation_matches_single_chip_quantized():
+    # int8 weight serving on the TP mesh: same quantized params, the
+    # XLA dequant backend under GSPMD must produce the same greedy
+    # tokens as the single-device quantized path (the Pallas kernels
+    # gate themselves off on CPU, so both sides run identical math).
+    _, params = _init_params()
+    single = TextGenerator(CONFIG, params=params, max_len=64,
+                           quantize=True)
+    mesh = build_mesh(corpus_axis=8, data_axis=1)
+    tp = TextGenerator(CONFIG, params=params, max_len=64, mesh=mesh,
+                       quantize=True)
+    assert tp.config.quantized_backend == "xla"
+    # quantized leaves really sharded Megatron-style
+    q = tp.params["layer_0"]["attention"]["q_proj"]
+    assert q["values"].addressable_shards[0].data.shape == (128, 128 // 8)
+    assert q["scale"].addressable_shards[0].data.shape == (1, 128 // 8)
+    down = tp.params["layer_0"]["mlp"]["down_proj"]
+    assert down["values"].addressable_shards[0].data.shape == (256 // 8, 128)
+    emb = tp.params["embed_tokens"]
+    assert emb["values"].addressable_shards[0].data.shape == (512 // 8, 128)
+    # norm scales replicated (their parent is the norm layer, not a
+    # projection — the "scale" leaf-name overlap must not shard them)
+    norm = tp.params["layer_0"]["input_norm"]["scale"]
+    assert norm.addressable_shards[0].data.shape == (128,)
+
+    prompts = [
+        list(np.random.default_rng(7).integers(1, 250, 9)),
+        list(np.random.default_rng(8).integers(1, 250, 21)),
+    ]
+    want = single.generate_batch_device(prompts, max_tokens=8)
+    got = tp.generate_batch_device(prompts, max_tokens=8)
+    assert want == got
+    w1 = single.generate_ids_device(prompts[0], max_tokens=8)
+    g1 = tp.generate_ids_device(prompts[0], max_tokens=8)
+    assert w1 == g1
