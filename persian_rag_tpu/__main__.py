@@ -58,11 +58,14 @@ def main(argv=None) -> int:
                              "slot scheduler) — finished rows swap for "
                              "queued prompts mid-flight instead of "
                              "waiting on the micro-batch group barrier")
-    parser.add_argument("--quantize", action="store_true",
-                        help="gen-serve: serve decoder weights int8 "
+    parser.add_argument("--quantize", nargs="?", const="int8",
+                        choices=["int8", "int4"], default=None,
+                        help="gen-serve: serve decoder weights quantized "
                              "through the Pallas dequant kernels "
-                             "(llama.cpp GGUF-quantization parity; "
-                             "halves the HBM weight stream; single-chip)")
+                             "(llama.cpp GGUF parity — the reference "
+                             "serves Q8_0). Bare flag = int8; int4 "
+                             "nibble-packs layer projections for ~1.3x "
+                             "more (coarser per-channel quantization)")
     parser.add_argument("--speculative", action="store_true",
                         help="gen-serve --continuous: prompt-lookup "
                              "speculative verification per row (greedy "

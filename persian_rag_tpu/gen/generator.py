@@ -57,19 +57,22 @@ class TextGenerator:
         mesh=None,
         tp_axis: str = "corpus",
         fuse_projections: bool = False,
-        quantize: bool = False,
+        quantize=False,  # False | True/'int8' | 'int4'
     ):
         if quantize and not config.quantized_weights:
-            # int8 weight serving (llama.cpp Q8_0 parity, BASELINE.md):
-            # halves the HBM weight stream per decode step. Single chip
-            # uses the Pallas dequant kernels; on a TP mesh the XLA
-            # convert-in-dot backend serves instead — GSPMD can
-            # partition a plain dot+convert but treats a pallas_call as
-            # opaque (still halves per-chip weight memory, ~1.2-1.4x
-            # per-op vs bf16, scripts/bench_quant_matmul.py).
+            # quantized weight serving (llama.cpp GGUF parity — the
+            # reference serves Q8_0, BASELINE.md). quantize=True/"int8"
+            # halves the HBM weight stream per decode step; "int4"
+            # nibble-packs the layer projections for another ~1.3x
+            # (coarser per-channel quantization; embedding/lm_head stay
+            # int8). Single chip uses the Pallas dequant kernels; on a
+            # TP mesh the XLA convert-in-dot backend serves instead —
+            # GSPMD can partition a plain dot+convert but treats a
+            # pallas_call as opaque.
             config = dataclasses.replace(
                 config,
                 quantized_weights=True,
+                quantized_bits=4 if quantize == "int4" else 8,
                 quantized_backend="xla" if mesh is not None else "pallas",
             )
         if fuse_projections and mesh is None and not config.fused_projections:
@@ -101,7 +104,9 @@ class TextGenerator:
         # weight stream (f32 params = 2x the HBM bytes per step).
         self.params = cast_params(params, config.compute_dtype)
         if config.quantized_weights and not _is_quantized_tree(self.params):
-            self.params = quantize_decoder_params(self.params)
+            self.params = quantize_decoder_params(
+                self.params, bits=config.quantized_bits
+            )
         if mesh is not None:
             # tensor-parallel serving: Megatron column/row placement;
             # the jitted loops below are unchanged — XLA's SPMD

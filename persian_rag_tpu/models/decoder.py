@@ -57,6 +57,11 @@ class DecoderConfig:
     # whole-step benchmarking and non-TPU execution).
     quantized_weights: bool = False
     quantized_backend: str = "pallas"
+    # 8 (Q8_0 parity; per-output-channel int8 everywhere) or 4 (layer
+    # projections int4 K-half-packed — ~1.3x faster weight stream,
+    # coarser per-channel quantization; embedding/lm_head stay int8:
+    # the logits argmax is the quality-critical matmul).
+    quantized_bits: int = 8
 
     @classmethod
     def llama32_1b(cls, **kw) -> "DecoderConfig":
@@ -134,18 +139,33 @@ class QuantDense(nn.Module):
 
     features: int
     backend: str = "pallas"
+    bits: int = 8
 
     @nn.compact
     def __call__(self, x):
         k = x.shape[-1]
-        values = self.param("values", _init_i8, (k, self.features))
+        on_tpu = jax.default_backend() == "tpu"
         scale = self.param(
             "scale", nn.initializers.ones, (1, self.features), jnp.float32
         )
-        if self.backend == "pallas" and jax.default_backend() == "tpu":
-            out = quant_matmul.w8a16_matmul(x, values, scale)
+        if self.bits == 4:
+            values = self.param(
+                "values", _init_i8, (k // 2, self.features)
+            )
+            if self.backend == "pallas" and on_tpu:
+                out = quant_matmul.w4a16_matmul(x, values, scale)
+            else:
+                out = quant_matmul.dequant_matmul_int4_reference(
+                    x, values, scale
+                )
         else:
-            out = quant_matmul.dequant_matmul_reference(x, values, scale)
+            values = self.param("values", _init_i8, (k, self.features))
+            if self.backend == "pallas" and on_tpu:
+                out = quant_matmul.w8a16_matmul(x, values, scale)
+            else:
+                out = quant_matmul.dequant_matmul_reference(
+                    x, values, scale
+                )
         return out.astype(x.dtype)
 
 
@@ -184,7 +204,13 @@ class QuantEmbed(nn.Module):
 
 def _dense(c: DecoderConfig, features: int, name: str):
     if c.quantized_weights:
-        return QuantDense(features, backend=c.quantized_backend, name=name)
+        # the untied lm_head stays int8 even in 4-bit mode: the logits
+        # argmax is the quality-critical matmul (quantize_decoder_params
+        # applies the same exception)
+        bits = 8 if name == "lm_head" else c.quantized_bits
+        return QuantDense(
+            features, backend=c.quantized_backend, bits=bits, name=name
+        )
     return nn.Dense(features, use_bias=False, name=name)
 
 
@@ -467,27 +493,35 @@ def cast_params(params: Dict, dtype) -> Dict:
     )
 
 
-def quantize_decoder_params(params: Dict) -> Dict:
-    """Convert a served param tree to the int8 layout consumed when
+def quantize_decoder_params(params: Dict, bits: int = 8) -> Dict:
+    """Convert a served param tree to the quantized layout consumed when
     ``config.quantized_weights`` is set: every Dense ``{kernel}`` leaf
-    becomes ``{values int8, scale f32}`` (per-output-channel symmetric),
+    becomes ``{values int8, scale f32}`` (per-output-channel symmetric;
+    bits=4 packs layer projections two-nibbles-per-byte, K-half layout),
     and the tied embedding ``{embedding}`` becomes a per-row-quantized
-    table shared by the token gather and the lm_head matmul.
+    int8 table shared by the token gather and the lm_head matmul
+    (embedding/lm_head stay int8 in 4-bit mode — the logits argmax is
+    the quality-critical matmul).
 
     Apply AFTER cast_params (scales are derived in f32 either way and
     must STAY f32 — the kernels fold them into the f32 accumulator).
     """
-    from persian_rag_tpu.ops.quant_matmul import quantize_weight
+    from persian_rag_tpu.ops.quant_matmul import (
+        quantize_weight,
+        quantize_weight_int4,
+    )
 
-    def walk(d):
+    def walk(d, path=()):
         out = {}
         for name, sub in d.items():
             if isinstance(sub, dict):
                 keys = set(sub)
                 if keys == {"kernel"}:
-                    values, scale = quantize_weight(
-                        jnp.asarray(sub["kernel"]), axis=0
-                    )
+                    kernel = jnp.asarray(sub["kernel"])
+                    if bits == 4 and name != "lm_head":
+                        values, scale = quantize_weight_int4(kernel)
+                    else:
+                        values, scale = quantize_weight(kernel, axis=0)
                     out[name] = {"values": values, "scale": scale}
                 elif keys == {"embedding"}:
                     values, scale = quantize_weight(
@@ -495,7 +529,7 @@ def quantize_decoder_params(params: Dict) -> Dict:
                     )
                     out[name] = {"values": values, "scale": scale}
                 else:
-                    out[name] = walk(sub)
+                    out[name] = walk(sub, path + (name,))
             else:
                 out[name] = sub
         return out

@@ -46,10 +46,13 @@ from jax.experimental import pallas as pl
 
 __all__ = [
     "quantize_weight",
+    "quantize_weight_int4",
     "w8a16_matmul",
     "w8a16_matmul_nt",
     "w8a8_matmul",
+    "w4a16_matmul",
     "dequant_matmul_reference",
+    "dequant_matmul_int4_reference",
     "pick_block_n",
 ]
 
@@ -298,6 +301,117 @@ def w8a8_matmul(
         x_q, x_scale, values, scale, block_n=block_n, interpret=interpret
     )
     return out.reshape(*lead, values.shape[1])
+
+
+def quantize_weight_int4(
+    w: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel int4, K-half nibble packing.
+
+    q in [-7, 7]; packed (K/2, N) int8 holds orig row i in the LOW
+    nibble and row i + K/2 in the HIGH nibble, so the kernel computes
+    dot(x[:, :K/2], lo) + dot(x[:, K/2:], hi) — two half-K MXU passes,
+    no interleave/relayout of the unpacked tiles.
+    """
+    w = jnp.asarray(w, jnp.float32)
+    k = w.shape[0]
+    assert k % 2 == 0
+    amax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int32)
+    lo = q[: k // 2] & 0xF
+    hi = q[k // 2 :] & 0xF
+    packed = jax.lax.bitcast_convert_type(
+        (lo | (hi << 4)).astype(jnp.uint8), jnp.int8
+    )
+    return packed, scale
+
+
+def _unpack_int4(w32):
+    """int32 sign-extended nibbles from packed bytes (already int32)."""
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(w32, 28), jnp.int32(28)
+    )
+    hi = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(w32, 24), jnp.int32(28)
+    )
+    return lo, hi
+
+
+def _w4a16_kernel(x_ref, w_ref, s_ref, o_ref):
+    w32 = w_ref[...].astype(jnp.int32)
+    lo, hi = _unpack_int4(w32)
+    kh = x_ref.shape[1] // 2
+    acc = jnp.dot(
+        x_ref[:, :kh], lo.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    acc += jnp.dot(
+        x_ref[:, kh:], hi.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = acc * s_ref[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "interpret")
+)
+def _w4a16_call(x, packed, scale, *, block_n: int, interpret: bool):
+    b, k = x.shape
+    n = packed.shape[1]
+    b_pad = max(16, _round_up(b, 16))
+    x = jnp.pad(x.astype(jnp.bfloat16), ((0, b_pad - b), (0, 0)))
+    grid = (n // block_n,)
+    out = pl.pallas_call(
+        _w4a16_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b_pad, k), lambda i: (0, 0)),
+            pl.BlockSpec((k // 2, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((b_pad, block_n), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n), jnp.float32),
+        interpret=interpret,
+    )(x, packed, scale)
+    return out[:b]
+
+
+def w4a16_matmul(
+    x: jnp.ndarray,
+    packed: jnp.ndarray,
+    scale: jnp.ndarray,
+    *,
+    block_n: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """x (..., K) @ dequant-int4(packed (K/2, N), scale (1, N)) -> f32."""
+    x2, lead = _flatten_leading(x)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = packed.shape[1]
+    if x2.shape[0] > _MAX_KERNEL_ROWS:
+        return dequant_matmul_int4_reference(x, packed, scale)
+    if block_n is None:
+        block_n = pick_block_n(n, packed.shape[0])
+    out = _w4a16_call(x2, packed, scale, block_n=block_n,
+                      interpret=interpret)
+    return out.reshape(*lead, n)
+
+
+def dequant_matmul_int4_reference(
+    x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray
+) -> jnp.ndarray:
+    """Plain-XLA W4A16 reference: identical unpack + dot math."""
+    w32 = packed.astype(jnp.int32)
+    lo, hi = _unpack_int4(w32)
+    w = jnp.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), w,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return acc * scale
 
 
 def dequant_matmul_reference(

@@ -27,13 +27,15 @@ def main():
     from persian_rag_tpu.models.decoder import DecoderConfig
 
     max_tokens = int(os.environ.get("DEC_TOKENS", 64))
-    quantize = os.environ.get("DEC_QUANTIZE", "0") == "1"
+    qmode = os.environ.get("DEC_QUANTIZE", "0")  # 0 | 1/int8 | 4/int4
+    quantize = {"0": False, "1": "int8", "int8": "int8",
+                "4": "int4", "int4": "int4"}[qmode]
     config = DecoderConfig.llama32_1b(compute_dtype=jnp.bfloat16)
     t0 = time.time()
     gen = TextGenerator(config, max_len=512, quantize=quantize)
     print(
         f"init {time.time()-t0:.0f}s"
-        + (" [int8 weight serving]" if quantize else ""),
+        + (f" [{quantize} weight serving]" if quantize else ""),
         flush=True,
     )
 

@@ -76,13 +76,17 @@ def test_quantize_then_fuse_projections():
     assert len(out) > 0
 
 
-def test_quantize_mesh_rejected():
+def test_quantize_on_mesh_uses_xla_backend():
+    # GSPMD cannot partition a pallas_call; mesh serving must route the
+    # quantized matmuls through the XLA dequant backend (full parity
+    # covered in tests/test_tp_decoder.py)
     from persian_rag_tpu.core.mesh import build_mesh
 
     cfg = DecoderConfig.tiny(compute_dtype=jnp.bfloat16)
     mesh = build_mesh(corpus_axis=2, data_axis=1)
-    with pytest.raises(ValueError):
-        TextGenerator(cfg, max_len=64, mesh=mesh, quantize=True)
+    gen = TextGenerator(cfg, max_len=64, mesh=mesh, quantize=True)
+    assert gen.config.quantized_backend == "xla"
+    assert gen.config.quantized_weights
 
 
 def test_quantized_non_tied_lm_head():
@@ -128,6 +132,52 @@ def test_quantized_speculative_route(tiny_pair):
     out = gen_q.generate_ids_spec([5, 9, 200, 31, 5, 9, 200, 31],
                                   max_tokens=8)
     assert len(out) <= 8
+
+
+def test_int4_param_tree_and_generation(tiny_pair):
+    gen_f, _ = tiny_pair
+    gen4 = TextGenerator(
+        gen_f.config, params=gen_f.params, max_len=64, quantize="int4"
+    )
+    assert gen4.config.quantized_bits == 4
+    p = gen4.params
+    q = p["layer_0"]["attention"]["q_proj"]
+    # tiny config: hidden 64 -> packed K/2 = 32 rows
+    assert q["values"].shape[0] == 32 and q["values"].dtype == jnp.int8
+    # embedding stays int8 (full-K rows, per-vocab-row scale)
+    assert p["embed_tokens"]["values"].shape == (512, 64)
+    out = gen4.generate_ids([5, 9, 200, 31], max_tokens=8)
+    assert len(out) <= 8
+    batched = gen4.generate_batch_device([[5, 9, 200], [7, 8, 9]],
+                                         max_tokens=6)
+    assert len(batched) == 2
+
+
+def test_int4_logits_tolerance(tiny_pair):
+    # per-channel int4 is coarse by construction; the envelope is
+    # documented, not hidden (quantize_decoder_params docstring)
+    gen_f, _ = tiny_pair
+    gen4 = TextGenerator(
+        gen_f.config, params=gen_f.params, max_len=64, quantize="int4"
+    )
+    ids = jnp.array([[5, 9, 200, 31, 7, 88]], jnp.int32)
+    lf = gen_f.model.apply({"params": gen_f.params}, ids)
+    lq = gen4.model.apply({"params": gen4.params}, ids)
+    rel = float(jnp.max(jnp.abs(lf - lq)) / jnp.max(jnp.abs(lf)))
+    assert rel < 0.5
+
+
+def test_int4_untied_lm_head_stays_int8():
+    cfg = DecoderConfig.tiny(
+        compute_dtype=jnp.bfloat16, tie_word_embeddings=False
+    )
+    fgen = TextGenerator(cfg, max_len=64, seed=1)
+    qgen = TextGenerator(cfg, params=fgen.params, max_len=64,
+                         quantize="int4")
+    # full-K rows = int8 layout (int4 would be K/2 = 32)
+    assert qgen.params["lm_head"]["values"].shape[0] == 64
+    out = qgen.generate_ids([3, 4, 5], max_tokens=4)
+    assert len(out) <= 4
 
 
 def test_quantize_idempotent_detection(tiny_pair):

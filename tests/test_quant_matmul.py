@@ -11,9 +11,13 @@ import numpy as np
 import pytest
 
 from persian_rag_tpu.ops.quant_matmul import (
+    _unpack_int4,
+    dequant_matmul_int4_reference,
     dequant_matmul_reference,
     pick_block_n,
     quantize_weight,
+    quantize_weight_int4,
+    w4a16_matmul,
     w8a8_matmul,
     w8a16_matmul,
     w8a16_matmul_nt,
@@ -96,6 +100,33 @@ def test_pick_block_n():
     assert pick_block_n(2048, 8192) == 128  # 16 steps (256 ran 0.55x)
     with pytest.raises(ValueError):
         pick_block_n(100, 2048)
+
+
+def test_int4_pack_roundtrip(rng):
+    w = jnp.asarray(rng.normal(size=(256, 128)), jnp.float32)
+    packed, scale = quantize_weight_int4(w)
+    assert packed.shape == (128, 128) and packed.dtype == jnp.int8
+    lo, hi = _unpack_int4(packed.astype(jnp.int32))
+    wq = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32) * scale
+    err = np.abs(np.asarray(wq) - np.asarray(w))
+    # int4 symmetric round-to-nearest: error <= scale/2 per element
+    assert (err <= np.asarray(scale) / 2 + 1e-6).all()
+    assert int(jnp.max(jnp.abs(jnp.concatenate([lo, hi])))) <= 7
+
+
+def test_w4a16_matches_reference(wx):
+    w, x = wx
+    packed, scale = quantize_weight_int4(w)
+    out = w4a16_matmul(x, packed, scale, block_n=256)
+    ref = dequant_matmul_int4_reference(x, packed, scale)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0, atol=1e-5
+    )
+    # per-channel int4 is rough by construction (~1/7.5 quant step
+    # against weights spanning +-amax): document the error envelope
+    exact = np.asarray(x.astype(jnp.float32) @ w)
+    rel = np.abs(np.asarray(out) - exact).max() / np.abs(exact).max()
+    assert rel < 0.35
 
 
 def test_large_batch_falls_back_to_xla(rng):
