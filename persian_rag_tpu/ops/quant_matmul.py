@@ -236,10 +236,13 @@ def w8a16_matmul(
     x2, lead = _flatten_leading(x)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if x2.shape[0] > _MAX_KERNEL_ROWS:
+    if x2.shape[0] > _MAX_KERNEL_ROWS or values.shape[1] % 128:
+        # prefill regime / non-128-aligned output dims (arbitrary HF
+        # configs): XLA convert-in-dot handles any shape
         return dequant_matmul_reference(x, values, scale)
     if block_n is None:
         block_n = pick_block_n(values.shape[1], values.shape[0])
+    assert values.shape[1] % block_n == 0
     out = _w8a16_call(
         x2, values, scale, block_n=block_n, interpret=interpret
     )
@@ -261,10 +264,11 @@ def w8a16_matmul_nt(
     x2, lead = _flatten_leading(x)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if x2.shape[0] > _MAX_KERNEL_ROWS:
+    if x2.shape[0] > _MAX_KERNEL_ROWS or values.shape[0] % 128:
         return dequant_matmul_reference(x, values, scale)
     if block_n is None:
         block_n = pick_block_n(values.shape[0], values.shape[1])
+    assert values.shape[0] % block_n == 0
     out = _w8a16_nt_call(
         x2, values, scale.reshape(1, -1),
         block_n=block_n, interpret=interpret,
@@ -390,10 +394,11 @@ def w4a16_matmul(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = packed.shape[1]
-    if x2.shape[0] > _MAX_KERNEL_ROWS:
+    if x2.shape[0] > _MAX_KERNEL_ROWS or n % 128:
         return dequant_matmul_int4_reference(x, packed, scale)
     if block_n is None:
         block_n = pick_block_n(n, packed.shape[0])
+    assert n % block_n == 0
     out = _w4a16_call(x2, packed, scale, block_n=block_n,
                       interpret=interpret)
     return out.reshape(*lead, n)

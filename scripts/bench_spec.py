@@ -41,7 +41,10 @@ def zero_layer_params(params):
             node = layer
             for k in path:
                 node = node[k]
-            node["kernel"] = jnp.zeros_like(node["kernel"])
+            # float layout has "kernel"; quantized serving has "values"
+            # (zeroed int8/int4 values zero the projection just the same)
+            key = "kernel" if "kernel" in node else "values"
+            node[key] = jnp.zeros_like(node[key])
     return p
 
 
@@ -53,10 +56,17 @@ def main():
 
     max_tokens = int(os.environ.get("SPEC_TOKENS", 128))
     G = int(os.environ.get("SPEC_G", 7))
+    qmode = os.environ.get("SPEC_QUANTIZE", "0")
+    quantize = {"0": False, "1": "int8", "int8": "int8",
+                "4": "int4", "int4": "int4"}[qmode]
     config = DecoderConfig.llama32_1b(compute_dtype=jnp.bfloat16)
     t0 = time.time()
-    gen = TextGenerator(config, max_len=512)
-    print(f"init {time.time()-t0:.0f}s", flush=True)
+    gen = TextGenerator(config, max_len=512, quantize=quantize)
+    print(
+        f"init {time.time()-t0:.0f}s"
+        + (f" [{quantize} weight serving]" if quantize else ""),
+        flush=True,
+    )
 
     def prompt(seed, base=48):
         r = np.random.default_rng(seed)
