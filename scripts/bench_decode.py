@@ -30,12 +30,15 @@ def main():
     qmode = os.environ.get("DEC_QUANTIZE", "0")  # 0 | 1/int8 | 4/int4
     quantize = {"0": False, "1": "int8", "int8": "int8",
                 "4": "int4", "int4": "int4"}[qmode]
+    fuse = os.environ.get("DEC_FUSE", "0") == "1"
     config = DecoderConfig.llama32_1b(compute_dtype=jnp.bfloat16)
     t0 = time.time()
-    gen = TextGenerator(config, max_len=512, quantize=quantize)
+    gen = TextGenerator(config, max_len=512, quantize=quantize,
+                        fuse_projections=fuse)
     print(
         f"init {time.time()-t0:.0f}s"
-        + (f" [{quantize} weight serving]" if quantize else ""),
+        + (f" [{quantize} weight serving]" if quantize else "")
+        + (" [fused projections]" if fuse else ""),
         flush=True,
     )
 
