@@ -164,7 +164,7 @@ class QuantDense(nn.Module):
                 out = quant_matmul.w8a16_matmul(x, values, scale)
             else:
                 out = quant_matmul.dequant_matmul_reference(
-                    x, values, scale
+                    x, values, scale, nt=False
                 )
         return out.astype(x.dtype)
 
@@ -198,7 +198,7 @@ class QuantEmbed(nn.Module):
         if self.backend == "pallas" and jax.default_backend() == "tpu":
             return quant_matmul.w8a16_matmul_nt(x, self.values, self.scale)
         return quant_matmul.dequant_matmul_reference(
-            x, self.values, self.scale
+            x, self.values, self.scale, nt=True
         )
 
 

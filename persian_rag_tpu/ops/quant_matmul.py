@@ -30,9 +30,10 @@ Layouts:
   (no VPU convert at all); scales applied to the int32 accumulator.
 
 All wrappers pad the batch dim to the dtype sublane minimum (bf16: 16,
-int8: 32) and slice back; weight arrays must be pre-padded to the
-block grid by ``prepare_quantized`` (done once at weight-load, never
-per dispatch).
+int8: 32) and slice back. Output dims must be 128-aligned for the
+kernels (pick_block_n chooses a dividing block); anything else — and
+any activation batch over 256 flattened rows (prefill regime) — routes
+to the XLA convert-in-dot reference, which handles all shapes.
 """
 from __future__ import annotations
 
@@ -239,7 +240,7 @@ def w8a16_matmul(
     if x2.shape[0] > _MAX_KERNEL_ROWS or values.shape[1] % 128:
         # prefill regime / non-128-aligned output dims (arbitrary HF
         # configs): XLA convert-in-dot handles any shape
-        return dequant_matmul_reference(x, values, scale)
+        return dequant_matmul_reference(x, values, scale, nt=False)
     if block_n is None:
         block_n = pick_block_n(values.shape[1], values.shape[0])
     assert values.shape[1] % block_n == 0
@@ -265,7 +266,7 @@ def w8a16_matmul_nt(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if x2.shape[0] > _MAX_KERNEL_ROWS or values.shape[0] % 128:
-        return dequant_matmul_reference(x, values, scale)
+        return dequant_matmul_reference(x, values, scale, nt=True)
     if block_n is None:
         block_n = pick_block_n(values.shape[0], values.shape[1])
     assert values.shape[0] % block_n == 0
@@ -294,7 +295,7 @@ def w8a8_matmul(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if x2.shape[0] > _MAX_KERNEL_ROWS:
-        return dequant_matmul_reference(x, values, scale)
+        return dequant_matmul_reference(x, values, scale, nt=False)
     if block_n is None:
         block_n = pick_block_n(values.shape[1], values.shape[0])
     xf = x2.astype(jnp.float32)
@@ -420,21 +421,29 @@ def dequant_matmul_int4_reference(
 
 
 def dequant_matmul_reference(
-    x: jnp.ndarray, values: jnp.ndarray, scale: jnp.ndarray
+    x: jnp.ndarray,
+    values: jnp.ndarray,
+    scale: jnp.ndarray,
+    nt: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Plain-XLA W8A16 reference: bitwise-comparable math to the Pallas
     kernel (int8 -> bf16 convert, bf16 dot with f32 accumulation,
-    per-channel scale on the accumulator). values (K, N) or (N, K) with
-    scale shaped to broadcast over the output's N axis."""
-    if values.shape[0] == x.shape[-1]:
-        w = values.astype(jnp.bfloat16)
+    per-channel scale on the accumulator). values (K, N), or (N, K)
+    with nt=True (inferred from shapes when unambiguous — pass nt
+    explicitly for square matrices)."""
+    if nt is None:
+        assert values.shape[0] != values.shape[1], (
+            "square quantized matrix: pass nt= explicitly"
+        )
+        nt = values.shape[0] != x.shape[-1]
+    w = values.astype(jnp.bfloat16)
+    if not nt:
         acc = jax.lax.dot_general(
             x.astype(jnp.bfloat16), w,
             dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return acc * scale
-    w = values.astype(jnp.bfloat16)
     acc = jax.lax.dot_general(
         x.astype(jnp.bfloat16), w,
         dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
