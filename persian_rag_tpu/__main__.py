@@ -25,6 +25,7 @@ def main(argv=None) -> int:
             "phase1", "phase2", "phase3", "phase4", "phase4-enhanced",
             "create-embeddings", "run-all",
             "fast-test", "status", "ui", "serve", "gen-serve", "bench",
+            "gguf-export",
         ],
     )
     parser.add_argument("--config", default="config.yaml")
@@ -66,6 +67,16 @@ def main(argv=None) -> int:
                              "serves Q8_0). Bare flag = int8; int4 "
                              "nibble-packs layer projections for ~1.3x "
                              "more (coarser per-channel quantization)")
+    parser.add_argument("--gguf", default=None,
+                        help="gen-serve: llama.cpp GGUF file to serve "
+                             "(f32/f16/bf16/q8_0/q4_0 tensors; the "
+                             "embedded BPE tokenizer is rebuilt from the "
+                             "file). gguf-export: output path.")
+    parser.add_argument("--quant", default="q8_0",
+                        choices=["q8_0", "f16", "f32"],
+                        help="gguf-export: tensor storage in the written "
+                             "file (q8_0 matches the reference's own "
+                             "serving precision)")
     parser.add_argument("--speculative", action="store_true",
                         help="gen-serve --continuous: prompt-lookup "
                              "speculative verification per row (greedy "
@@ -161,6 +172,37 @@ def main(argv=None) -> int:
             params_from_llama,
         )
 
+        if args.gguf:
+            generator = TextGenerator.from_gguf(
+                args.gguf, max_len=512, mesh=mesh,
+                quantize=args.quantize or None,
+            )
+            from persian_rag_tpu.gen.generator import ByteTokenizer
+
+            if isinstance(generator.tokenizer, ByteTokenizer):
+                # a real-weight server with the byte fallback tokenizer
+                # would emit garbage while looking healthy — refuse
+                print(
+                    f"error: {args.gguf} embeds no tokenizer.ggml.tokens "
+                    "metadata; gen-serve needs the file's tokenizer",
+                    file=sys.stderr,
+                )
+                return 2
+            server = LocalGenerationServer(
+                generator, port=8080 if args.port is None else args.port,
+                max_batch=args.max_batch, continuous=args.continuous,
+                speculative=args.speculative,
+            ).start()
+            print(
+                f"generation server at {server.url} "
+                f"(llama.cpp-compatible /completion, /v1/chat/completions; "
+                f"GGUF: {args.gguf})"
+            )
+            try:
+                server._thread.join()
+            except KeyboardInterrupt:
+                server.stop()
+            return 0
         params, tokenizer = None, None
         if args.checkpoint:
             from persian_rag_tpu.models.hf_loader import _read_state_dict
@@ -210,6 +252,55 @@ def main(argv=None) -> int:
             server._thread.join()
         except KeyboardInterrupt:
             server.stop()
+        return 0
+    elif args.command == "gguf-export":
+        # the TPU-native replacement for the reference notebook's GGUF
+        # export cell (save_pretrained_gguf, notebooks cell 7): an HF
+        # LlamaForCausalLM checkpoint dir (e.g. a fine-tune saved by
+        # train/lora.py's merge path) -> llama.cpp-servable GGUF.
+        import os
+
+        from persian_rag_tpu.models.decoder import (
+            DecoderConfig,
+            params_from_llama,
+        )
+        from persian_rag_tpu.models.gguf import write_decoder_gguf
+        from persian_rag_tpu.models.hf_loader import _read_state_dict
+
+        if not args.checkpoint or not args.gguf:
+            print(
+                "usage: gguf-export --checkpoint <hf_dir> --gguf <out.gguf>"
+                " [--quant q8_0|f16|f32]",
+                file=sys.stderr,
+            )
+            return 2
+        with open(
+            os.path.join(args.checkpoint, "config.json"), encoding="utf-8"
+        ) as f:
+            hf = json.load(f)
+        dec_config = DecoderConfig.from_hf(hf)
+        params = params_from_llama(
+            _read_state_dict(args.checkpoint), dec_config
+        )
+        extra = None
+        tok_json = os.path.join(args.checkpoint, "tokenizer.json")
+        if os.path.exists(tok_json):
+            from persian_rag_tpu.models.gguf import tokenizer_metadata_from_hf
+
+            extra = tokenizer_metadata_from_hf(tok_json)
+        else:
+            print(
+                "warning: no tokenizer.json in the checkpoint — the "
+                "exported GGUF will not tokenize under llama.cpp",
+                file=sys.stderr,
+            )
+        write_decoder_gguf(
+            args.gguf, dec_config, params, quant=args.quant,
+            name=os.path.basename(args.checkpoint.rstrip("/")) or "decoder",
+            extra_metadata=extra,
+        )
+        size = os.path.getsize(args.gguf)
+        print(f"wrote {args.gguf} ({size / 1e6:.1f} MB, {args.quant})")
         return 0
     elif args.command == "bench":
         import subprocess

@@ -122,6 +122,56 @@ class TextGenerator:
         self._prefill_cache: Dict[int, object] = {}
         self._step = None
 
+    @classmethod
+    def from_gguf(
+        cls,
+        path: str,
+        max_len: int = 512,
+        quantize=None,
+        mesh=None,
+        **kw,
+    ) -> "TextGenerator":
+        """Serve a llama.cpp GGUF file directly (the reference's serving
+        artifact is a Llama-3.2-1B Q8_0 GGUF — BASELINE.md): weights
+        dequantize to float on import and re-quantize for the TPU
+        per-channel int8 kernels; the embedded BPE tokenizer is rebuilt
+        from the file's metadata. ``quantize`` defaults to int8 when the
+        source file was quantized (parity with what llama.cpp would
+        serve) and to False for f16/f32 files.
+        """
+        from persian_rag_tpu.models.gguf import (
+            GGUFFile,
+            GGML_F32,
+            GGML_F16,
+            GGML_BF16,
+            params_from_gguf,
+            tokenizer_from_gguf,
+        )
+
+        gf = GGUFFile(path)
+        try:
+            config, params = params_from_gguf(
+                gf, compute_dtype=jnp.bfloat16
+            )
+            tokenizer = tokenizer_from_gguf(gf)
+            if quantize is None:
+                float_types = (GGML_F32, GGML_F16, GGML_BF16)
+                quantize = any(
+                    t.ggml_type not in float_types
+                    for t in gf.tensors.values()
+                )
+        finally:
+            gf.close()
+        return cls(
+            config,
+            params=params,
+            tokenizer=tokenizer,
+            max_len=max_len,
+            mesh=mesh,
+            quantize=quantize,
+            **kw,
+        )
+
     # -- jitted pieces ---------------------------------------------------------
 
     def _prefill_fn(self, length: int):

@@ -106,6 +106,45 @@ class HFTokenizer(TokenizerBase):
             self._mode = "transformers"
             pad_token_id = self._tok.pad_token_id or 0
         self.pad_id = pad_id if pad_id is not None else pad_token_id
+        # generation contract (TextGenerator / LocalGenerationServer call
+        # encode/decode/eos_id on the generator's tokenizer)
+        if self._mode == "transformers":
+            self.bos_id = (
+                -1 if self._tok.bos_token_id is None else self._tok.bos_token_id
+            )
+            self.eos_id = (
+                -1 if self._tok.eos_token_id is None else self._tok.eos_token_id
+            )
+        else:
+            self.bos_id = self._first_id(
+                "<|begin_of_text|>", "<s>", "<bos>", "[CLS]"
+            )
+            self.eos_id = self._first_id(
+                "<|eot_id|>", "<|end_of_text|>", "</s>", "<eos>", "[SEP]"
+            )
+
+    def _first_id(self, *candidates: str) -> int:
+        for token in candidates:
+            tid = self._tok.token_to_id(token)
+            if tid is not None:
+                return tid
+        return -1  # "never matches": the decode loop compares token != eos
+
+    def encode(self, text: str, add_bos: bool = True) -> List[int]:
+        """Generation-side single-text encode (List[int], BOS prepended
+        when the vocabulary has one)."""
+        if self._mode == "transformers":
+            return list(self._tok(text)["input_ids"])
+        ids = self._tok.encode(text, add_special_tokens=False).ids
+        if add_bos and self.bos_id >= 0:
+            ids = [self.bos_id] + ids
+        return list(ids)
+
+    def decode(self, ids: Sequence[int]) -> str:
+        keep = [int(i) for i in ids]
+        if self._mode == "transformers":
+            return self._tok.decode(keep, skip_special_tokens=True)
+        return self._tok.decode(keep, skip_special_tokens=True)
 
     def encode_batch(
         self, texts: Sequence[str], max_len: int = 256
