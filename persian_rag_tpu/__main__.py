@@ -67,6 +67,11 @@ def main(argv=None) -> int:
                              "serves Q8_0). Bare flag = int8; int4 "
                              "nibble-packs layer projections for ~1.3x "
                              "more (coarser per-channel quantization)")
+    parser.add_argument("--quantize-kv", action="store_true",
+                        help="gen-serve: int8 KV cache (llama.cpp "
+                             "--cache-type-k/-v q8_0 parity) — halves "
+                             "the per-step KV read and the cache HBM "
+                             "footprint; composes with --quantize")
     parser.add_argument("--gguf", default=None,
                         help="gen-serve: llama.cpp GGUF file to serve "
                              "(f32/f16/bf16/q8_0/q4_0 tensors; the "
@@ -176,6 +181,7 @@ def main(argv=None) -> int:
             generator = TextGenerator.from_gguf(
                 args.gguf, max_len=512, mesh=mesh,
                 quantize=args.quantize or None,
+                quantize_kv=args.quantize_kv,
             )
             from persian_rag_tpu.gen.generator import ByteTokenizer
 
@@ -237,6 +243,7 @@ def main(argv=None) -> int:
         generator = TextGenerator(
             dec_config, params=params, tokenizer=tokenizer, max_len=512,
             mesh=mesh, quantize=args.quantize,
+            quantize_kv=args.quantize_kv,
         )
         server = LocalGenerationServer(
             generator, port=8080 if args.port is None else args.port,

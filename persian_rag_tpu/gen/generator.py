@@ -58,7 +58,13 @@ class TextGenerator:
         tp_axis: str = "corpus",
         fuse_projections: bool = False,
         quantize=False,  # False | True/'int8' | 'int4'
+        quantize_kv: bool = False,
     ):
+        if quantize_kv and config.kv_cache_dtype != "int8":
+            # int8 KV cache (llama.cpp --cache-type-k/-v q8_0 parity):
+            # halves the per-step KV read and the cache HBM footprint;
+            # orthogonal to weight quantization.
+            config = dataclasses.replace(config, kv_cache_dtype="int8")
         if quantize and not config.quantized_weights:
             # quantized weight serving (llama.cpp GGUF parity — the
             # reference serves Q8_0, BASELINE.md). quantize=True/"int8"

@@ -62,10 +62,43 @@ class DecoderConfig:
     # coarser per-channel quantization; embedding/lm_head stay int8:
     # the logits argmax is the quality-critical matmul).
     quantized_bits: int = 8
+    # KV-cache storage: "compute" (bf16/f32 = compute_dtype) or "int8"
+    # (llama.cpp --cache-type-k/-v q8_0 parity). int8 halves the
+    # per-step KV read — the bottleneck once batch grows (batch-32
+    # decode measured KV-read-bound) — and halves cache HBM residency,
+    # doubling the serveable batch x context budget. Symmetric
+    # per-(token, kv-head) scales (finer than q8_0's 32-element
+    # blocks); dequant folds into the attention einsums, so the HBM
+    # stream stays int8 end to end.
+    kv_cache_dtype: str = "compute"
 
     @classmethod
     def llama32_1b(cls, **kw) -> "DecoderConfig":
         return cls(**kw)  # defaults above are Llama-3.2-1B
+
+    @classmethod
+    def llama32_3b(cls, **kw) -> "DecoderConfig":
+        """Llama-3.2-3B arch — the next size up from the reference's
+        served 1B (notebooks cell 7 fine-tunes 3.2-1B; BASELINE.md).
+        int8 weights are ~3.2 GB: comfortable single-v5e serving."""
+        fields = dict(
+            hidden_size=3072, num_layers=28, num_heads=24,
+            num_kv_heads=8, intermediate_size=8192,
+        )
+        fields.update(kw)
+        return cls(**fields)
+
+    @classmethod
+    def llama31_8b(cls, **kw) -> "DecoderConfig":
+        """Llama-3.1-8B arch (untied lm_head). int8 weights ~7.5 GB —
+        fits one 16 GB v5e only through the quantized serving path."""
+        fields = dict(
+            hidden_size=4096, num_layers=32, num_heads=32,
+            num_kv_heads=8, intermediate_size=14336,
+            tie_word_embeddings=False,
+        )
+        fields.update(kw)
+        return cls(**fields)
 
     @classmethod
     def from_hf(cls, cfg: Dict[str, Any], **kw) -> "DecoderConfig":
@@ -126,6 +159,18 @@ class RMSNorm(nn.Module):
 
 def _init_i8(key, shape, dtype=jnp.int8):
     return jnp.zeros(shape, dtype)
+
+
+def _quantize_kv(x: jnp.ndarray):
+    """Symmetric int8 over the head dim: x (B, S, H, D) -> (values int8,
+    scale f32 (B, S, H)). amax scaling per (token, head); an all-zero
+    vector (e.g. a padding slot) maps to values 0 / scale 0 rather than
+    a 0/0 NaN."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    inv = jnp.where(amax > 0, 127.0 / amax, 0.0)
+    values = jnp.round(xf * inv[..., None]).astype(jnp.int8)
+    return values, amax / 127.0
 
 
 class QuantDense(nn.Module):
@@ -246,20 +291,37 @@ class DecoderAttention(nn.Module):
         q = _rope(q, positions, c.rope_theta)
         k = _rope(k, positions, c.rope_theta)
 
+        k_scale = v_scale = None
         if cache is not None:
             # write this step's k/v block at the SCALAR cache position:
             # prefill writes the whole prompt block at 0; every decode
             # step (single or batched) writes one token at a shared slot
             # — batched ragged decode decouples slot from token position
             # (generator._batch_loop_fn), so no per-row scatter exists.
-            k_cache, v_cache, cache_pos = cache
+            k_cache, v_cache, cache_pos, k_scale, v_scale = cache
+            quant_kv = k_scale is not None
+            if quant_kv:
+                # int8 KV (config.kv_cache_dtype): quantize the fresh
+                # block once at write; reads stream int8 forever after.
+                k_new, ks_new = _quantize_kv(k)
+                v_new, vs_new = _quantize_kv(v)
+            else:
+                k_new = k.astype(k_cache.dtype)
+                v_new = v.astype(v_cache.dtype)
             if jnp.ndim(cache_pos) == 0:
                 k_cache = jax.lax.dynamic_update_slice(
-                    k_cache, k.astype(k_cache.dtype), (0, cache_pos, 0, 0)
+                    k_cache, k_new, (0, cache_pos, 0, 0)
                 )
                 v_cache = jax.lax.dynamic_update_slice(
-                    v_cache, v.astype(v_cache.dtype), (0, cache_pos, 0, 0)
+                    v_cache, v_new, (0, cache_pos, 0, 0)
                 )
+                if quant_kv:
+                    k_scale = jax.lax.dynamic_update_slice(
+                        k_scale, ks_new, (0, cache_pos, 0)
+                    )
+                    v_scale = jax.lax.dynamic_update_slice(
+                        v_scale, vs_new, (0, cache_pos, 0)
+                    )
             else:
                 # (B,) per-row block starts: batched SPECULATIVE decode
                 # commits different counts per row, so rows' blocks start
@@ -269,14 +331,13 @@ class DecoderAttention(nn.Module):
                 # (already-done rows parked at the edge) drop silently.
                 rows = jnp.arange(b)[:, None]
                 slots = cache_pos[:, None] + jnp.arange(s)[None, :]
-                k_cache = k_cache.at[rows, slots].set(
-                    k.astype(k_cache.dtype)
-                )
-                v_cache = v_cache.at[rows, slots].set(
-                    v.astype(v_cache.dtype)
-                )
+                k_cache = k_cache.at[rows, slots].set(k_new)
+                v_cache = v_cache.at[rows, slots].set(v_new)
+                if quant_kv:
+                    k_scale = k_scale.at[rows, slots].set(ks_new)
+                    v_scale = v_scale.at[rows, slots].set(vs_new)
             k, v = k_cache, v_cache
-            new_cache = (k_cache, v_cache)
+            new_cache = (k_cache, v_cache, k_scale, v_scale)
         else:
             new_cache = None
 
@@ -286,14 +347,29 @@ class DecoderAttention(nn.Module):
         # cache per decode step). q: (B, S, KV, G, D) vs k: (B, L, KV, D).
         groups = c.num_heads // c.num_kv_heads
         qg = q.reshape(b, s, c.num_kv_heads, groups, head_dim)
+        # int8 KV dequant folds into the einsums: the convert runs
+        # in-register (XLA convert-in-dot) and the per-(token, head)
+        # scale multiplies the f32 scores / probs AFTER the reduction —
+        # HBM only ever streams the int8 values.
+        k_mat = k.astype(x.dtype) if k_scale is not None else k
         scores = jnp.einsum(
-            "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
+            "bqhgd,bkhd->bhgqk", qg, k_mat,
+            preferred_element_type=jnp.float32,
         ) / np.sqrt(head_dim)
+        if k_scale is not None:
+            # scale (B, L, KV) -> broadcast over (g, q): (B, KV, 1, 1, L)
+            scores = scores * k_scale.transpose(0, 2, 1)[:, :, None, None]
         # attn_bias is (B|1, 1, S, L); insert the group axis it broadcasts over
         scores = scores + attn_bias[:, :, None]
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        probs = jax.nn.softmax(scores, axis=-1)
+        if v_scale is not None:
+            # fold the v dequant scale into the (still-f32) probs
+            probs = probs * v_scale.transpose(0, 2, 1)[:, :, None, None]
+        probs = probs.astype(x.dtype)
+        v_mat = v.astype(x.dtype) if v_scale is not None else v
         ctx = jnp.einsum(
-            "bhgqk,bkhd->bqhgd", probs, v, preferred_element_type=jnp.float32
+            "bhgqk,bkhd->bqhgd", probs, v_mat,
+            preferred_element_type=jnp.float32,
         ).astype(x.dtype)
         out = _dense(c, h, "o_proj")(
             ctx.reshape(b, s, c.num_heads * head_dim)
@@ -408,17 +484,31 @@ class LlamaDecoder(nn.Module):
                     attention_mask[:, None, None, :] > 0, 0.0, -1e9
                 )
 
-        new_cache = {"k": [], "v": []} if cache is not None else None
+        quant_kv = cache is not None and "k_scale" in cache
+        new_cache = None
+        if cache is not None:
+            new_cache = {"k": [], "v": []}
+            if quant_kv:
+                new_cache.update({"k_scale": [], "v_scale": []})
         for i in range(c.num_layers):
             layer_cache = None
             if cache is not None:
-                layer_cache = (cache["k"][i], cache["v"][i], cache_pos)
+                layer_cache = (
+                    cache["k"][i],
+                    cache["v"][i],
+                    cache_pos,
+                    cache["k_scale"][i] if quant_kv else None,
+                    cache["v_scale"][i] if quant_kv else None,
+                )
             x, updated = DecoderLayer(c, name=f"layer_{i}")(
                 x, positions, bias, layer_cache
             )
             if updated is not None:
                 new_cache["k"].append(updated[0])
                 new_cache["v"].append(updated[1])
+                if quant_kv:
+                    new_cache["k_scale"].append(updated[2])
+                    new_cache["v_scale"].append(updated[3])
         x = RMSNorm(c.rms_norm_eps, name="final_norm")(x)
         if c.tie_word_embeddings:
             if c.quantized_weights:
@@ -484,13 +574,27 @@ def fuse_params(params: Dict) -> Dict:
 def cast_params(params: Dict, dtype) -> Dict:
     """Cast floating-point weight leaves to `dtype` (serving wants bf16:
     batch-1 decode is HBM-bound on the weight stream, and f32 params
-    double it — measured 2x step latency on the 1B config)."""
-    return jax.tree.map(
-        lambda x: x.astype(dtype)
-        if jnp.issubdtype(x.dtype, jnp.floating)
-        else x,
-        params,
-    )
+    double it — measured 2x step latency on the 1B config).
+
+    Quantized ``{values int8, scale f32}`` pairs pass through untouched:
+    the dequant kernels fold the scale into the f32 accumulator and
+    require it to STAY f32 (a pre-quantized tree, e.g. from
+    random_quantized_params, must survive the serving cast)."""
+
+    def walk(d):
+        if isinstance(d, dict):
+            if set(d) == {"values", "scale"} and jnp.issubdtype(
+                jnp.asarray(d["values"]).dtype, jnp.integer
+            ):
+                return d
+            return {name: walk(sub) for name, sub in d.items()}
+        return (
+            d.astype(dtype)
+            if jnp.issubdtype(d.dtype, jnp.floating)
+            else d
+        )
+
+    return walk(params)
 
 
 def quantize_decoder_params(params: Dict, bits: int = 8) -> Dict:
@@ -537,25 +641,115 @@ def quantize_decoder_params(params: Dict, bits: int = 8) -> Dict:
     return walk(params)
 
 
+def random_quantized_params(
+    config: DecoderConfig, seed: int = 0, bits: Optional[int] = None
+) -> Dict:
+    """Random int8/int4 param tree built DIRECTLY on device, for
+    throughput work on model sizes whose float tree cannot exist:
+    TextGenerator's default path inits the f32 model and quantizes,
+    which for an 8B config means a ~32 GB f32 tree — 2x this chip's
+    HBM. Here every leaf is generated quantized (peak memory = the
+    final int8 tree plus one leaf), so 3B/8B-arch serving benches run
+    without a checkpoint or a float intermediate.
+
+    Scales are per-output-channel constants chosen so dequantized
+    weights match lecun-normal magnitude (std 1/sqrt(fan_in)) — the
+    forward stays numerically sane (no bf16 overflow through 32
+    layers); values are uniform ints, which is what throughput cares
+    about (the byte stream, not the distribution)."""
+    bits = config.quantized_bits if bits is None else bits
+    c, h = config, config.hidden_size
+    head_dim = h // c.num_heads
+    key = jax.random.PRNGKey(seed)
+    counter = [0]
+
+    def ints(shape):
+        counter[0] += 1
+        return jax.random.randint(
+            jax.random.fold_in(key, counter[0]),
+            shape,
+            -127,
+            128,
+            dtype=jnp.int8,
+        )
+
+    def dense(k_in, n_out, four_bit: bool):
+        # uniform[-127,127] int8 has std ~73.6; a packed random byte's
+        # two nibbles decode to uniform[-8,7], std ~4.6
+        if four_bit:
+            values = ints((k_in // 2, n_out))
+            scale = 1.0 / (4.6 * np.sqrt(k_in))
+        else:
+            values = ints((k_in, n_out))
+            scale = 1.0 / (73.6 * np.sqrt(k_in))
+        return {
+            "values": values,
+            "scale": jnp.full((1, n_out), scale, jnp.float32),
+        }
+
+    four = bits == 4
+    norm = lambda: {"scale": jnp.ones((h,), c.compute_dtype)}  # noqa: E731
+    params: Dict[str, Any] = {
+        "embed_tokens": {
+            "values": ints((c.vocab_size, h)),
+            "scale": jnp.full(
+                (c.vocab_size, 1), 1.0 / (73.6 * np.sqrt(h)), jnp.float32
+            ),
+        },
+        "final_norm": norm(),
+    }
+    for i in range(c.num_layers):
+        params[f"layer_{i}"] = {
+            "attention": {
+                "q_proj": dense(h, c.num_heads * head_dim, four),
+                "k_proj": dense(h, c.num_kv_heads * head_dim, four),
+                "v_proj": dense(h, c.num_kv_heads * head_dim, four),
+                "o_proj": dense(c.num_heads * head_dim, h, four),
+            },
+            "mlp": {
+                "gate_proj": dense(h, c.intermediate_size, four),
+                "up_proj": dense(h, c.intermediate_size, four),
+                "down_proj": dense(c.intermediate_size, h, four),
+            },
+            "input_norm": norm(),
+            "post_attention_norm": norm(),
+        }
+    if not c.tie_word_embeddings:
+        # the untied lm_head stays int8 even in 4-bit mode (the logits
+        # argmax is the quality-critical matmul; quantize_decoder_params
+        # applies the same exception)
+        params["lm_head"] = dense(h, c.vocab_size, False)
+    return params
+
+
 def init_cache(
     config: DecoderConfig, batch: int, max_len: int
 ) -> Dict[str, list]:
     head_dim = config.hidden_size // config.num_heads
     shape = (batch, max_len, config.num_kv_heads, head_dim)
+    kv_dtype = (
+        jnp.int8
+        if config.kv_cache_dtype == "int8"
+        else config.compute_dtype
+    )
     # distinct buffers per layer (not one zeros array list-multiplied):
     # the continuous batcher donates the whole cache pytree to its
     # jitted segment/admit calls, and donating one aliased buffer twice
     # is a runtime error.
-    return {
-        "k": [
-            jnp.zeros(shape, config.compute_dtype)
-            for _ in range(config.num_layers)
-        ],
-        "v": [
-            jnp.zeros(shape, config.compute_dtype)
-            for _ in range(config.num_layers)
-        ],
+    out = {
+        "k": [jnp.zeros(shape, kv_dtype) for _ in range(config.num_layers)],
+        "v": [jnp.zeros(shape, kv_dtype) for _ in range(config.num_layers)],
     }
+    if config.kv_cache_dtype == "int8":
+        out["k_scale"] = [
+            jnp.zeros(shape[:3], jnp.float32)
+            for _ in range(config.num_layers)
+        ]
+        out["v_scale"] = [
+            jnp.zeros(shape[:3], jnp.float32)
+            for _ in range(config.num_layers)
+        ]
+    return out
 
 
 # ---------------------------------------------------------------------------

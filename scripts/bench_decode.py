@@ -1,8 +1,11 @@
 """Batched-decode step-cost microbench (chip A/B for the KV-write path).
 
-Measures generate_batch_device aggregate tok/s at batch 8 (Llama-1B
-arch, bf16) plus batch-1 for reference. Distinct prompts per timed call
-(the relay caches identical dispatches); greedy decoding so every run
+Measures generate_batch_device aggregate tok/s at batch 8 plus batch-1.
+DEC_ARCH=1b|3b|8b picks the model family (default Llama-1B bf16); big
+archs require DEC_QUANTIZE — their float tree cannot exist on one chip,
+so weights come from the on-device random quantized init (which is what
+throughput measurement needs). Distinct prompts per timed call (the
+relay caches identical dispatches); greedy decoding so every run
 generates exactly max_tokens (no EOS variance in the denominator).
 
 Context: the round-3 bench measured 567 tok/s aggregate at batch 8 vs
@@ -31,10 +34,35 @@ def main():
     quantize = {"0": False, "1": "int8", "int8": "int8",
                 "4": "int4", "int4": "int4"}[qmode]
     fuse = os.environ.get("DEC_FUSE", "0") == "1"
-    config = DecoderConfig.llama32_1b(compute_dtype=jnp.bfloat16)
+    arch = os.environ.get("DEC_ARCH", "1b")  # 1b | 3b | 8b
+    config = {
+        "1b": DecoderConfig.llama32_1b,
+        "3b": DecoderConfig.llama32_3b,
+        "8b": DecoderConfig.llama31_8b,
+    }[arch](compute_dtype=jnp.bfloat16)
     t0 = time.time()
-    gen = TextGenerator(config, max_len=512, quantize=quantize,
-                        fuse_projections=fuse)
+    if quantize and arch != "1b":
+        # big archs: the f32 init tree alone would blow 16 GB HBM (8B:
+        # ~32 GB), and a host-side init can't ship over the relay in
+        # reasonable time — generate the quantized tree directly on
+        # device instead.
+        import dataclasses
+
+        from persian_rag_tpu.models.decoder import random_quantized_params
+
+        config = dataclasses.replace(
+            config,
+            quantized_weights=True,
+            quantized_bits=4 if quantize == "int4" else 8,
+            quantized_backend="pallas",
+        )
+        gen = TextGenerator(
+            config, params=random_quantized_params(config),
+            max_len=512, fuse_projections=fuse,
+        )
+    else:
+        gen = TextGenerator(config, max_len=512, quantize=quantize,
+                            fuse_projections=fuse)
     print(
         f"init {time.time()-t0:.0f}s"
         + (f" [{quantize} weight serving]" if quantize else "")
