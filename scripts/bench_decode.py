@@ -34,6 +34,7 @@ def main():
     quantize = {"0": False, "1": "int8", "int8": "int8",
                 "4": "int4", "int4": "int4"}[qmode]
     fuse = os.environ.get("DEC_FUSE", "0") == "1"
+    quant_kv = os.environ.get("DEC_KV", "0") == "1"  # int8 KV cache
     arch = os.environ.get("DEC_ARCH", "1b")  # 1b | 3b | 8b
     config = {
         "1b": DecoderConfig.llama32_1b,
@@ -58,14 +59,15 @@ def main():
         )
         gen = TextGenerator(
             config, params=random_quantized_params(config),
-            max_len=512, fuse_projections=fuse,
+            max_len=512, fuse_projections=fuse, quantize_kv=quant_kv,
         )
     else:
         gen = TextGenerator(config, max_len=512, quantize=quantize,
-                            fuse_projections=fuse)
+                            fuse_projections=fuse, quantize_kv=quant_kv)
     print(
         f"init {time.time()-t0:.0f}s"
         + (f" [{quantize} weight serving]" if quantize else "")
+        + (" [int8 KV cache]" if quant_kv else "")
         + (" [fused projections]" if fuse else ""),
         flush=True,
     )

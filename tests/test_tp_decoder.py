@@ -160,3 +160,24 @@ def test_tp_quantized_generation_matches_single_chip_quantized():
     w1 = single.generate_ids_device(prompts[0], max_tokens=8)
     g1 = tp.generate_ids_device(prompts[0], max_tokens=8)
     assert w1 == g1
+
+
+def test_tp_int8_kv_generation_matches_single_chip():
+    # int8 KV cache on the TP mesh: the cache pytree gains
+    # k_scale/v_scale leaves, which flow through GSPMD as ordinary
+    # traced values (tp_decoder places only params). Greedy tokens must
+    # match the single-device int8-KV path exactly.
+    _, params = _init_params()
+    single = TextGenerator(CONFIG, params=params, max_len=64,
+                           quantize=True, quantize_kv=True)
+    mesh = build_mesh(corpus_axis=8, data_axis=1)
+    tp = TextGenerator(CONFIG, params=params, max_len=64, mesh=mesh,
+                       quantize=True, quantize_kv=True)
+    assert tp.config.kv_cache_dtype == "int8"
+    prompts = [
+        list(np.random.default_rng(9).integers(1, 250, 11)),
+        list(np.random.default_rng(10).integers(1, 250, 17)),
+    ]
+    want = single.generate_batch_device(prompts, max_tokens=8)
+    got = tp.generate_batch_device(prompts, max_tokens=8)
+    assert want == got
