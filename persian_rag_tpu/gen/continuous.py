@@ -41,7 +41,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from persian_rag_tpu.gen.generator import TextGenerator
+from persian_rag_tpu.gen.generator import (
+    PENALTY_LAST_N,
+    TextGenerator,
+    _penalize,
+    _recent_window,
+)
 from persian_rag_tpu.models.decoder import init_cache
 
 
@@ -54,6 +59,9 @@ class Request:
     max_tokens: int
     temperature: float
     top_p: float
+    repeat_penalty: float = 1.0
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
     tokens: List[int] = field(default_factory=list)
     done: bool = False
 
@@ -146,6 +154,19 @@ class ContinuousBatcher:
             "done": jnp.ones((batch,), bool),
             "temp": jnp.zeros((batch,), jnp.float32),
             "topp": jnp.ones((batch,), jnp.float32),
+            # llama.cpp penalty chain, per row: (repeat, freq, present)
+            # + the last-64-context-token window it looks back over.
+            # Neutral (1, 0, 0) is an exact identity in _penalize, so
+            # the always-threaded state costs nothing semantically and
+            # one small scatter+elementwise per step computationally.
+            "pen": jnp.tile(
+                jnp.asarray([1.0, 0.0, 0.0], jnp.float32), (batch, 1)
+            ),
+            "recent": jnp.full(
+                (batch, PENALTY_LAST_N),
+                self.config.vocab_size,
+                jnp.int32,
+            ),
             "key": jax.random.PRNGKey(seed),
         }
 
@@ -157,10 +178,15 @@ class ContinuousBatcher:
         max_tokens: int = 128,
         temperature: float = 0.0,
         top_p: float = 0.9,
+        repeat_penalty: float = 1.0,
+        frequency_penalty: float = 0.0,
+        presence_penalty: float = 0.0,
     ) -> int:
         req = Request(
             self._next_id, list(prompt_ids), int(max_tokens),
             float(temperature), float(top_p),
+            float(repeat_penalty), float(frequency_penalty),
+            float(presence_penalty),
         )
         self._next_id += 1
         self._pending.append(req)
@@ -201,6 +227,7 @@ class ContinuousBatcher:
             model, config, max_len = self.model, self.config, self.max_len
             eos = self.eos
             spec = self.speculative
+            vocab = config.vocab_size
             sample = functools.partial(
                 TextGenerator._sample, top_k=self.top_k
             )
@@ -210,10 +237,12 @@ class ContinuousBatcher:
                 """Prefill + row insert + first-token sample in ONE
                 dispatch (admission is per-request; every extra dispatch
                 costs the relay's fixed host round-trip). meta_i packs
-                (row, length, nmax), meta_f (temperature, top_p) — one
-                upload each instead of five scalar uploads."""
+                (row, length, nmax), meta_f (temperature, top_p,
+                repeat/freq/presence penalties) — one upload each
+                instead of eight scalar uploads."""
                 row, length, nmax = meta_i[0], meta_i[1], meta_i[2]
                 temp, topp = meta_f[0], meta_f[1]
+                pen_row = meta_f[2:5]
                 bstart = jnp.int32(bucket)
                 cache1 = init_cache(config, 1, max_len)
                 positions = jnp.arange(bucket, dtype=jnp.int32)[None, :]
@@ -229,7 +258,12 @@ class ContinuousBatcher:
                     cache_pos=jnp.int32(0),
                 )
                 key, sub = jax.random.split(state["key"])
-                first = sample(logits[0, length - 1, :], sub, temp, topp)
+                recent0 = _recent_window(ids[0], length, vocab)
+                first = sample(
+                    _penalize(logits[0, length - 1, :], recent0, pen_row),
+                    sub, temp, topp,
+                )
+                recent0 = jnp.concatenate([recent0[1:], first[None]])
                 cache = jax.tree_util.tree_map(
                     lambda big, one: big.at[row].set(one[0]),
                     state["cache"], cache1,
@@ -254,6 +288,8 @@ class ContinuousBatcher:
                     "done": state["done"].at[row].set(done),
                     "temp": state["temp"].at[row].set(temp),
                     "topp": state["topp"].at[row].set(topp),
+                    "pen": state["pen"].at[row].set(pen_row),
+                    "recent": state["recent"].at[row].set(recent0),
                     "key": key,
                 }
 
@@ -270,20 +306,22 @@ class ContinuousBatcher:
                 functools.partial(TextGenerator._sample, top_k=self.top_k),
                 in_axes=(0, 0, 0, 0),
             )
+            penalize = jax.vmap(_penalize, in_axes=(0, 0, 0))
 
             @functools.partial(jax.jit, donate_argnums=(1,))
             def segment(params, state):
                 plen, bstart = state["plen"], state["bstart"]
                 nmax = state["nmax"]
                 temp, topp = state["temp"], state["topp"]
+                pen = state["pen"]
                 out0 = jnp.full((batch, seg), -1, jnp.int32)
 
                 def cond(st):
-                    i, _, _, done, _, _, _ = st
+                    i, _, _, done, _, _, _, _ = st
                     return (i < seg) & jnp.logical_not(jnp.all(done))
 
                 def body(st):
-                    i, token, ngen, done, cache, key, out = st
+                    i, token, ngen, done, cache, key, out, recent = st
                     out = out.at[:, i].set(jnp.where(done, -1, token))
                     pos = plen + ngen
                     # done rows park their write slot out of bounds; the
@@ -306,27 +344,41 @@ class ContinuousBatcher:
                     )
                     key, sub = jax.random.split(key)
                     nxt = sample(
-                        logits[:, -1, :], jax.random.split(sub, batch),
+                        penalize(logits[:, -1, :], recent, pen),
+                        jax.random.split(sub, batch),
                         temp, topp,
+                    )
+                    # roll the freshly committed token into live rows'
+                    # penalty windows; done rows keep their window as-is
+                    recent2 = jnp.where(
+                        done[:, None],
+                        recent,
+                        jnp.concatenate(
+                            [recent[:, 1:], nxt[:, None]], axis=1
+                        ),
                     )
                     ngen2 = jnp.where(done, ngen, ngen + 1)
                     done2 = done | (nxt == eos) | (ngen2 >= nmax) | (
                         bstart + ngen2 >= max_len - 1
                     )
                     token2 = jnp.where(done, token, nxt)
-                    return i + 1, token2, ngen2, done2, cache, key, out
+                    return (i + 1, token2, ngen2, done2, cache, key, out,
+                            recent2)
 
-                i, token, ngen, done, cache, key, out = jax.lax.while_loop(
+                (i, token, ngen, done, cache, key, out,
+                 recent) = jax.lax.while_loop(
                     cond,
                     body,
                     (
                         jnp.int32(0), state["token"], state["ngen"],
                         state["done"], state["cache"], state["key"], out0,
+                        state["recent"],
                     ),
                 )
                 new_state = dict(state)
                 new_state.update(
-                    token=token, ngen=ngen, done=done, cache=cache, key=key
+                    token=token, ngen=ngen, done=done, cache=cache,
+                    key=key, recent=recent,
                 )
                 # ONE readback array: out and done in separate results
                 # would be two device->host transfers on the relay
@@ -363,23 +415,36 @@ class ContinuousBatcher:
                 in_axes=(0, 0, 0, 0),
             )
 
+            penalize = jax.vmap(_penalize, in_axes=(0, 0, 0))
+
             @functools.partial(jax.jit, donate_argnums=(1,))
             def segment(params, state, flushed):
                 plen, bstart = state["plen"], state["bstart"]
                 nmax = state["nmax"]
                 temp, topp = state["temp"], state["topp"]
+                pen = state["pen"]
                 key_slot = jnp.arange(max_len, dtype=jnp.int32)
                 win_idx = jnp.arange(n_win, dtype=jnp.int32)
                 rows = jnp.arange(batch)
                 offs = jnp.arange(G + 1, dtype=jnp.int32)
                 is_greedy = temp <= 0.0
+                # draft acceptance verifies against PLAIN argmax;
+                # penalties change the argmax per position (each
+                # accepted token shifts the window), so penalized rows
+                # commit exactly one penalized token per iteration from
+                # the block's first logits — like sampled rows.
+                neutral = (
+                    (pen[:, 0] == 1.0)
+                    & (pen[:, 1] == 0.0)
+                    & (pen[:, 2] == 0.0)
+                )
 
                 def cond(st):
-                    i, _, _, done, _, _ = st
+                    i, _, _, done, _, _, _ = st
                     return (i < iters) & jnp.logical_not(jnp.all(done))
 
                 def body(st):
-                    i, seq, ngen, done, cache, key = st
+                    i, seq, ngen, done, cache, key, recent = st
                     end = bstart + ngen  # slot after last committed
                     # -- draft: per-row most recent committed occurrence
                     # of the row's last `ng` tokens; junk drafts (misses,
@@ -448,7 +513,8 @@ class ContinuousBatcher:
                     g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                     key, sub = jax.random.split(key)
                     first = sample(
-                        logits[:, 0, :], jax.random.split(sub, batch),
+                        penalize(logits[:, 0, :], recent, pen),
+                        jax.random.split(sub, batch),
                         temp, topp,
                     )
                     g = jnp.concatenate([first[:, None], g[:, 1:]], axis=1)
@@ -458,7 +524,7 @@ class ContinuousBatcher:
                         ),
                         axis=1,
                     )
-                    m = jnp.where(is_greedy, m, 0)
+                    m = jnp.where(is_greedy & neutral, m, 0)
                     hit_eos = (offs[None, :] <= m[:, None]) & (g == eos)
                     c = jnp.where(
                         jnp.any(hit_eos, axis=1),
@@ -474,6 +540,19 @@ class ContinuousBatcher:
                     seq = seq.at[
                         rows[:, None], w_start[:, None] + offs[None, :]
                     ].set(g)
+                    # shift the c committed tokens into each row's
+                    # penalty window (variable per-row shift via gather;
+                    # positions past c hold uncommitted argmax garbage
+                    # and stay outside the gathered range)
+                    cat = jnp.concatenate([recent, g], axis=1)
+                    recent2 = jnp.take_along_axis(
+                        cat,
+                        c[:, None]
+                        + jnp.arange(recent.shape[1], dtype=jnp.int32)[
+                            None, :
+                        ],
+                        axis=1,
+                    )
                     ngen2 = ngen + c
                     done2 = (
                         done
@@ -481,14 +560,16 @@ class ContinuousBatcher:
                         | (ngen2 >= nmax)
                         | (bstart + ngen2 > max_len - G - 1)
                     )
-                    return i + 1, seq, ngen2, done2, cache, key
+                    return i + 1, seq, ngen2, done2, cache, key, recent2
 
-                i, seq, ngen, done, cache, key = jax.lax.while_loop(
+                (i, seq, ngen, done, cache, key,
+                 recent) = jax.lax.while_loop(
                     cond,
                     body,
                     (
                         jnp.int32(0), state["seq"], state["ngen"],
                         state["done"], state["cache"], state["key"],
+                        state["recent"],
                     ),
                 )
                 # unflushed readout window; pad the gather source so the
@@ -513,7 +594,8 @@ class ContinuousBatcher:
                 )
                 new_state = dict(state)
                 new_state.update(
-                    seq=seq, ngen=ngen, done=done, cache=cache, key=key
+                    seq=seq, ngen=ngen, done=done, cache=cache, key=key,
+                    recent=recent,
                 )
                 return new_state, packed
 
@@ -539,7 +621,11 @@ class ContinuousBatcher:
             self.state, self.params, jnp.asarray(ids),
             jnp.asarray(prompt_row),
             jnp.asarray([row, len(clipped), nmax], np.int32),
-            jnp.asarray([req.temperature, req.top_p], np.float32),
+            jnp.asarray(
+                [req.temperature, req.top_p, req.repeat_penalty,
+                 req.frequency_penalty, req.presence_penalty],
+                np.float32,
+            ),
         )
         self._rows[row] = req
         self._flushed[row] = 0

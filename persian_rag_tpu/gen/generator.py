@@ -30,6 +30,54 @@ def _is_quantized_tree(params) -> bool:
     return isinstance(embed, dict) and "values" in embed
 
 
+# llama.cpp's repeat_last_n default — the window of context tokens the
+# penalty chain looks back over. Fixed (not per-request): a traced
+# window length would be a dynamic shape, and one compiled variant per
+# requested value would invite relay compile storms (30s-5min each).
+PENALTY_LAST_N = 64
+
+
+def _recent_window(ids: jnp.ndarray, length, vocab_size: int):
+    """Last PENALTY_LAST_N context tokens of a right-padded id row.
+
+    ids (L,) int32, length scalar = number of valid tokens. Slots
+    before the start of a short prompt read the ``vocab_size`` sentinel,
+    which the penalty scatter drops as out-of-bounds (-1 would WRAP to
+    the last vocab id under NumPy indexing semantics and wrongly
+    penalize it)."""
+    idx = length - PENALTY_LAST_N + jnp.arange(
+        PENALTY_LAST_N, dtype=jnp.int32
+    )
+    return jnp.where(
+        idx >= 0,
+        ids[jnp.clip(idx, 0, ids.shape[0] - 1)],
+        jnp.int32(vocab_size),
+    )
+
+
+def _penalize(logits: jnp.ndarray, recent: jnp.ndarray, pen: jnp.ndarray):
+    """llama.cpp sampler-chain penalties (applied BEFORE top-k/top-p,
+    and before greedy argmax — llama.cpp's chain runs them even at
+    temperature 0). pen = (repeat, frequency, presence):
+
+    - repeat (llama.cpp default 1.1 server-side): binary presence over
+      the last-64 window; positive logits divide, negative multiply
+      (llama-sampling.cpp llama_sampler_penalties_apply).
+    - frequency/presence (OpenAI-style, llama.cpp defaults 0):
+      logit -= count*freq + (count>0)*present.
+
+    Neutral pen (1, 0, 0) is an exact identity (x/1.0 and x*0.0 are
+    exact), so a penalized compiled variant serves neutral requests
+    with bit-identical results."""
+    counts = jnp.zeros(logits.shape[-1], jnp.float32).at[recent].add(
+        1.0, mode="drop"
+    )
+    out = logits.astype(jnp.float32)
+    seen = counts > 0
+    out = jnp.where(seen, jnp.where(out > 0, out / pen[0], out * pen[0]), out)
+    return out - counts * pen[1] - seen.astype(jnp.float32) * pen[2]
+
+
 class ByteTokenizer:
     """UTF-8 byte-level tokenizer: ids 0..255 bytes, 256=BOS, 257=EOS."""
 
@@ -250,18 +298,24 @@ class TextGenerator:
         return jax.lax.cond(temperature <= 0.0, greedy, sampled, None)
 
     def _device_loop_fn(self, prompt_len: int, max_tokens: int,
-                        top_k: int = 40):
+                        top_k: int = 40, penalized: bool = False):
         """Whole-generation jitted function: prefill + lax.while_loop
         decode on device — ONE dispatch per request (the per-step Python
-        loop pays host<->device latency per token; this pays it once)."""
-        cache_key = ("loop", prompt_len, max_tokens, top_k)
+        loop pays host<->device latency per token; this pays it once).
+
+        ``penalized`` is a STATIC variant flag: the default graphs stay
+        byte-identical to the penalty-free compile (no recompiles, no
+        per-step scatter cost) and only requests that actually carry
+        llama.cpp penalties pay for the penalized variant."""
+        cache_key = ("loop", prompt_len, max_tokens, top_k, penalized)
         if cache_key in self._prefill_cache:
             return self._prefill_cache[cache_key]
         model, config, max_len = self.model, self.config, self.max_len
         eos = getattr(self.tokenizer, "eos_id", -1)
+        vocab = config.vocab_size
 
         @jax.jit
-        def run(params, prompt_ids, key, temperature, top_p):
+        def run(params, prompt_ids, key, temperature, top_p, pen):
             cache = init_cache(config, 1, max_len)
             positions = jnp.arange(prompt_len, dtype=jnp.int32)[None, :]
             logits, cache = model.apply(
@@ -271,9 +325,18 @@ class TextGenerator:
                 cache=cache,
                 cache_pos=jnp.int32(0),
             )
+            last = logits[0, -1, :]
+            recent = None
+            if penalized:
+                recent = _recent_window(
+                    prompt_ids[0], jnp.int32(prompt_len), vocab
+                )
+                last = _penalize(last, recent, pen)
             first = TextGenerator._sample(
-                logits[0, -1, :], key, temperature, top_p, top_k=top_k
+                last, key, temperature, top_p, top_k=top_k
             )
+            if penalized:
+                recent = jnp.concatenate([recent[1:], first[None]])
             out = jnp.full((max_tokens,), -1, jnp.int32)
 
             def cond(state):
@@ -281,7 +344,7 @@ class TextGenerator:
                 return (i < max_tokens) & (token != eos)
 
             def body(state):
-                i, token, pos, cache, key, out = state
+                i, token, pos, cache, key, out, recent = state
                 out = out.at[i].set(token)
                 logits, cache = model.apply(
                     {"params": params},
@@ -291,15 +354,23 @@ class TextGenerator:
                     cache_pos=pos,
                 )
                 key, sub = jax.random.split(key)
+                last = logits[0, -1, :]
+                if penalized:
+                    last = _penalize(last, recent, pen)
                 nxt = TextGenerator._sample(
-                    logits[0, -1, :], sub, temperature, top_p, top_k=top_k
+                    last, sub, temperature, top_p, top_k=top_k
                 )
-                return i + 1, nxt, pos + 1, cache, key, out
+                if penalized:
+                    recent = jnp.concatenate([recent[1:], nxt[None]])
+                return i + 1, nxt, pos + 1, cache, key, out, recent
 
-            i, token, pos, cache, key, out = jax.lax.while_loop(
+            if recent is None:  # keep the state pytree static-shaped
+                recent = jnp.zeros((0,), jnp.int32)
+            i, token, pos, cache, key, out, recent = jax.lax.while_loop(
                 cond,
                 body,
-                (jnp.int32(0), first, jnp.int32(prompt_len), cache, key, out),
+                (jnp.int32(0), first, jnp.int32(prompt_len), cache, key,
+                 out, recent),
             )
             return out, i
 
@@ -307,22 +378,28 @@ class TextGenerator:
         return run
 
     def _batch_loop_fn(self, bucket: int, max_tokens: int, batch: int,
-                       top_k: int = 40):
+                       top_k: int = 40, penalized: bool = False):
         """Batched whole-generation function: ragged prompts right-padded
         to one bucket, per-row positions/EOS masking, one dispatch for
-        the entire batch's decode."""
-        cache_key = ("batch", bucket, max_tokens, batch, top_k)
+        the entire batch's decode.
+
+        ``penalized`` (static) compiles the llama.cpp penalty-chain
+        variant — see _device_loop_fn; pen is one (3,) vector for the
+        whole group (the server batches only same-sampler requests)."""
+        cache_key = ("batch", bucket, max_tokens, batch, top_k, penalized)
         if cache_key in self._prefill_cache:
             return self._prefill_cache[cache_key]
         model, config, max_len = self.model, self.config, self.max_len
         eos = getattr(self.tokenizer, "eos_id", -1)
+        vocab = config.vocab_size
         sample = jax.vmap(
             functools.partial(TextGenerator._sample, top_k=top_k),
             in_axes=(0, 0, None, None),
         )
+        penalize = jax.vmap(_penalize, in_axes=(0, 0, None))
 
         @jax.jit
-        def run(params, ids, lengths, key, temperature, top_p):
+        def run(params, ids, lengths, key, temperature, top_p, pen):
             cache = init_cache(config, batch, max_len)
             positions = jnp.broadcast_to(
                 jnp.arange(bucket, dtype=jnp.int32)[None, :], (batch, bucket)
@@ -341,8 +418,18 @@ class TextGenerator:
             )
             rows = jnp.arange(batch)
             last = logits[rows, lengths - 1, :]
+            recent = None
+            if penalized:
+                recent = jax.vmap(_recent_window, in_axes=(0, 0, None))(
+                    ids, lengths, vocab
+                )
+                last = penalize(last, recent, pen)
             key, sub = jax.random.split(key)
             token = sample(last, jax.random.split(sub, batch), temperature, top_p)
+            if penalized:
+                recent = jnp.concatenate(
+                    [recent[:, 1:], token[:, None]], axis=1
+                )
             done = token == eos
             out = jnp.full((batch, max_tokens), -1, jnp.int32)
 
@@ -351,7 +438,7 @@ class TextGenerator:
                 return (t < max_tokens) & jnp.logical_not(jnp.all(done))
 
             def body(state):
-                t, token, done, cache, key, out = state
+                t, token, done, cache, key, out, recent = state
                 out = out.at[:, t].set(jnp.where(done, -1, token))
                 # RoPE/true position is per-row (ragged prompts), but the
                 # CACHE SLOT is the scalar bucket+t — every row's step-t
@@ -380,15 +467,25 @@ class TextGenerator:
                     kv_valid=kv_valid,
                 )
                 key, sub = jax.random.split(key)
+                last = logits[:, -1, :]
+                if penalized:
+                    last = penalize(last, recent, pen)
                 nxt = sample(
-                    logits[:, -1, :], jax.random.split(sub, batch),
+                    last, jax.random.split(sub, batch),
                     temperature, top_p,
                 )
+                if penalized:
+                    recent = jnp.concatenate(
+                        [recent[:, 1:], nxt[:, None]], axis=1
+                    )
                 done = done | (nxt == eos) | (lengths + t + 1 >= max_len - 1)
-                return t + 1, nxt, done, cache, key, out
+                return t + 1, nxt, done, cache, key, out, recent
 
-            t, token, done, cache, key, out = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), token, done, cache, key, out)
+            if recent is None:  # keep the state pytree static-shaped
+                recent = jnp.zeros((batch, 0), jnp.int32)
+            t, token, done, cache, key, out, recent = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), token, done, cache, key, out, recent),
             )
             return out
 
@@ -587,8 +684,19 @@ class TextGenerator:
         seed: int = 0,
         length_bucket: int = 32,
         top_k: int = 40,
+        repeat_penalty: float = 1.0,
+        frequency_penalty: float = 0.0,
+        presence_penalty: float = 0.0,
     ) -> List[List[int]]:
         """Generate for a batch of (ragged) prompts in one device loop.
+
+        llama.cpp penalty-chain parity: ``repeat_penalty`` (llama.cpp
+        server default 1.1 — the reference's client never sets it, so
+        llama.cpp's default silently shapes every reference answer),
+        plus OpenAI-style frequency/presence penalties, all over the
+        last PENALTY_LAST_N (=64) context tokens, applied before top-k
+        and before greedy argmax. One value per call — the serving
+        front-end groups same-sampler requests.
 
         The batch dimension is padded to the next power of two (pad rows
         replicate row 0 and are dropped from the result) so a serving
@@ -620,7 +728,13 @@ class TextGenerator:
         for i, p in enumerate(clipped):
             ids[i, : len(p)] = p
             lengths[i] = len(p)
-        run = self._batch_loop_fn(bucket, max_tokens, bpad, top_k=top_k)
+        penalized = (
+            repeat_penalty != 1.0
+            or frequency_penalty != 0.0
+            or presence_penalty != 0.0
+        )
+        run = self._batch_loop_fn(bucket, max_tokens, bpad, top_k=top_k,
+                                  penalized=penalized)
         out = np.asarray(
             run(
                 self.params,
@@ -629,6 +743,10 @@ class TextGenerator:
                 jax.random.PRNGKey(seed),
                 jnp.float32(temperature),
                 jnp.float32(top_p),
+                jnp.asarray(
+                    [repeat_penalty, frequency_penalty, presence_penalty],
+                    jnp.float32,
+                ),
             )
         )
         eos = getattr(self.tokenizer, "eos_id", None)
@@ -650,6 +768,9 @@ class TextGenerator:
         top_k: int = 40,
         bucket_lengths: bool = True,
         speculative: Optional[bool] = None,
+        repeat_penalty: float = 1.0,
+        frequency_penalty: float = 0.0,
+        presence_penalty: float = 0.0,
     ) -> List[int]:
         """Whole-generation device loop in one jitted call. Stops at EOS.
 
@@ -667,9 +788,17 @@ class TextGenerator:
         weight-stream-bound, so accepted drafts are ~free). Pass
         speculative=False to force the plain one-token-per-step loop.
         """
+        penalized = (
+            repeat_penalty != 1.0
+            or frequency_penalty != 0.0
+            or presence_penalty != 0.0
+        )
         if speculative is None:
-            speculative = temperature <= 0.0
-        if speculative and temperature <= 0.0:
+            # prompt-lookup speculation verifies against PLAIN argmax;
+            # penalties change the argmax, so penalized greedy requests
+            # take the one-token-per-step loop instead.
+            speculative = temperature <= 0.0 and not penalized
+        if speculative and temperature <= 0.0 and not penalized:
             return self.generate_ids_spec(
                 prompt_ids, max_tokens=max_tokens
             )
@@ -677,16 +806,23 @@ class TextGenerator:
             return self.generate_batch_device(
                 [prompt_ids], max_tokens=max_tokens,
                 temperature=temperature, top_p=top_p, seed=seed,
-                top_k=top_k,
+                top_k=top_k, repeat_penalty=repeat_penalty,
+                frequency_penalty=frequency_penalty,
+                presence_penalty=presence_penalty,
             )[0]
         prompt_ids = list(prompt_ids)[-(self.max_len - max_tokens - 1):]
-        run = self._device_loop_fn(len(prompt_ids), max_tokens, top_k=top_k)
+        run = self._device_loop_fn(len(prompt_ids), max_tokens, top_k=top_k,
+                                   penalized=penalized)
         out, count = run(
             self.params,
             jnp.asarray([prompt_ids], jnp.int32),
             jax.random.PRNGKey(seed),
             jnp.float32(temperature),
             jnp.float32(top_p),
+            jnp.asarray(
+                [repeat_penalty, frequency_penalty, presence_penalty],
+                jnp.float32,
+            ),
         )
         out = np.asarray(out)[: int(count)]
         eos = getattr(self.tokenizer, "eos_id", None)

@@ -21,18 +21,31 @@ from persian_rag_tpu.gen.generator import TextGenerator
 
 class _PendingGen:
     __slots__ = ("prompt", "max_tokens", "temperature", "top_p", "top_k",
-                 "stop", "event", "text")
+                 "stop", "repeat_penalty", "frequency_penalty",
+                 "presence_penalty", "seed", "event", "text")
 
     def __init__(self, prompt, max_tokens, temperature, top_p, stop,
-                 top_k=40):
+                 top_k=40, repeat_penalty=1.0, frequency_penalty=0.0,
+                 presence_penalty=0.0, seed=0):
         self.prompt = prompt
         self.max_tokens = max_tokens
         self.temperature = temperature
         self.top_p = top_p
         self.top_k = top_k
         self.stop = stop
+        self.repeat_penalty = repeat_penalty
+        self.frequency_penalty = frequency_penalty
+        self.presence_penalty = presence_penalty
+        self.seed = seed
         self.event = threading.Event()
         self.text: Optional[str] = None
+
+    def sampler_key(self):
+        """Requests batch together only when every device-side sampler
+        parameter matches (they are per-call, not per-row)."""
+        return (self.temperature, self.top_p, self.top_k,
+                self.repeat_penalty, self.frequency_penalty,
+                self.presence_penalty, self.seed)
 
 
 class LocalGenerationServer:
@@ -131,13 +144,29 @@ class LocalGenerationServer:
                 else:
                     self._json(404, {"error": "not found"})
                     return
+                # llama.cpp also spells max_tokens as n_predict
+                max_tokens = data.get("max_tokens",
+                                      data.get("n_predict", 128))
+                # llama.cpp penalty chain. Server default is MODERN
+                # llama.cpp's repeat_penalty=1.0 (older builds shipped
+                # 1.1); clients wanting the legacy behavior pass it
+                # explicitly. seed=-1 (llama.cpp "random") maps to 0.
+                seed = int(data.get("seed", 0))
                 pending = _PendingGen(
                     prompt,
-                    int(data.get("max_tokens", 128)),
+                    int(max_tokens),
                     float(data.get("temperature", 0.0)),
                     float(data.get("top_p", 0.9)),
                     data.get("stop"),
                     top_k=int(data.get("top_k", 40)),
+                    repeat_penalty=float(data.get("repeat_penalty", 1.0)),
+                    frequency_penalty=float(
+                        data.get("frequency_penalty", 0.0)
+                    ),
+                    presence_penalty=float(
+                        data.get("presence_penalty", 0.0)
+                    ),
+                    seed=max(seed, 0),
                 )
                 outer._queue.put(pending)
                 pending.event.wait(timeout=600)
@@ -201,6 +230,9 @@ class LocalGenerationServer:
                     max_tokens=p.max_tokens,
                     temperature=p.temperature,
                     top_p=p.top_p,
+                    repeat_penalty=p.repeat_penalty,
+                    frequency_penalty=p.frequency_penalty,
+                    presence_penalty=p.presence_penalty,
                 )
                 inflight[rid] = p
             if self._batcher.idle():
@@ -243,20 +275,28 @@ class LocalGenerationServer:
             prompts = [tokenizer.encode(p.prompt) for p in group]
             max_tokens = max(p.max_tokens for p in group)
             # sampling params are per-batch on device: serve groups with
-            # homogeneous temperature together, else fall back per-item
-            temps = {(p.temperature, p.top_p, p.top_k) for p in group}
-            if len(temps) == 1 and len(group) > 1:
-                temperature, top_p, top_k = next(iter(temps))
+            # homogeneous sampler settings together, else fall back
+            # per-item
+            keys = {p.sampler_key() for p in group}
+            if len(keys) == 1 and len(group) > 1:
+                p0 = group[0]
                 outs = self.generator.generate_batch_device(
                     prompts, max_tokens=max_tokens,
-                    temperature=temperature, top_p=top_p, top_k=top_k,
+                    temperature=p0.temperature, top_p=p0.top_p,
+                    top_k=p0.top_k, seed=p0.seed,
+                    repeat_penalty=p0.repeat_penalty,
+                    frequency_penalty=p0.frequency_penalty,
+                    presence_penalty=p0.presence_penalty,
                 )
             else:
                 outs = [
                     self.generator.generate_ids_device(
                         prompt, max_tokens=p.max_tokens,
                         temperature=p.temperature, top_p=p.top_p,
-                        top_k=p.top_k,
+                        top_k=p.top_k, seed=p.seed,
+                        repeat_penalty=p.repeat_penalty,
+                        frequency_penalty=p.frequency_penalty,
+                        presence_penalty=p.presence_penalty,
                     )
                     for prompt, p in zip(prompts, group)
                 ]
