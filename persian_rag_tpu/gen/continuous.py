@@ -209,6 +209,26 @@ class ContinuousBatcher:
         out, self._finished = self._finished, []
         return out
 
+    def request(self, req_id: int) -> Optional[Request]:
+        """The still-running request with this id, or None (streaming
+        front-ends poll row progress between segments)."""
+        for req in self._rows:
+            if req is not None and req.req_id == req_id:
+                return req
+        return None
+
+    def cancel(self, req_id: int) -> bool:
+        """Free the row serving ``req_id`` (e.g. a stop string matched
+        on the host). One small device update marks the row done so the
+        next segment skips its decode work and an admit can reuse it."""
+        for row, req in enumerate(self._rows):
+            if req is not None and req.req_id == req_id:
+                self.state["done"] = self.state["done"].at[row].set(True)
+                req.done = True
+                self._rows[row] = None
+                return True
+        return False
+
     def run_until_drained(self) -> List[Request]:
         """Convenience synchronous driver: step until everything queued
         or in flight has completed; returns all finished requests."""

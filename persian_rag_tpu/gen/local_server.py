@@ -22,11 +22,12 @@ from persian_rag_tpu.gen.generator import TextGenerator
 class _PendingGen:
     __slots__ = ("prompt", "max_tokens", "temperature", "top_p", "top_k",
                  "stop", "repeat_penalty", "frequency_penalty",
-                 "presence_penalty", "seed", "event", "text")
+                 "presence_penalty", "seed", "stream", "chunks", "sent",
+                 "event", "text")
 
     def __init__(self, prompt, max_tokens, temperature, top_p, stop,
                  top_k=40, repeat_penalty=1.0, frequency_penalty=0.0,
-                 presence_penalty=0.0, seed=0):
+                 presence_penalty=0.0, seed=0, stream=False):
         self.prompt = prompt
         self.max_tokens = max_tokens
         self.temperature = temperature
@@ -37,8 +38,48 @@ class _PendingGen:
         self.frequency_penalty = frequency_penalty
         self.presence_penalty = presence_penalty
         self.seed = seed
+        self.stream = stream
+        # streaming: worker pushes (delta_text, is_last); handler drains
+        self.chunks: "queue.Queue" = queue.Queue()
+        self.sent = ""  # cumulative text already pushed to the client
         self.event = threading.Event()
         self.text: Optional[str] = None
+
+    def push_progress(self, full_text: str) -> bool:
+        """Emit the new suffix of ``full_text`` as a stream chunk,
+        honoring stop markers across chunk boundaries (llama.cpp scans
+        the whole generated text, not each chunk). Returns True when a
+        stop marker fired — the caller should finish the request."""
+        for marker in self.stop or []:
+            idx = full_text.find(marker)
+            if idx >= 0:
+                self.finish(full_text[:idx])
+                return True
+        # hold back a partial trailing replacement char (a UTF-8
+        # sequence split across token boundaries decodes to U+FFFD
+        # until its continuation tokens arrive)
+        stable = full_text.rstrip("�")
+        if len(stable) > len(self.sent):
+            delta = stable[len(self.sent):]
+            self.sent = stable
+            if self.stream:
+                self.chunks.put((delta, False))
+        return False
+
+    def finish(self, full_text: str) -> None:
+        for marker in self.stop or []:
+            idx = full_text.find(marker)
+            if idx >= 0:
+                full_text = full_text[:idx]
+        self.text = full_text
+        if self.stream:
+            delta = (
+                full_text[len(self.sent):]
+                if full_text.startswith(self.sent)
+                else full_text
+            )
+            self.chunks.put((delta, True))
+        self.event.set()
 
     def sampler_key(self):
         """Requests batch together only when every device-side sampler
@@ -152,6 +193,7 @@ class LocalGenerationServer:
                 # 1.1); clients wanting the legacy behavior pass it
                 # explicitly. seed=-1 (llama.cpp "random") maps to 0.
                 seed = int(data.get("seed", 0))
+                stream = bool(data.get("stream", False))
                 pending = _PendingGen(
                     prompt,
                     int(max_tokens),
@@ -167,8 +209,12 @@ class LocalGenerationServer:
                         data.get("presence_penalty", 0.0)
                     ),
                     seed=max(seed, 0),
+                    stream=stream,
                 )
                 outer._queue.put(pending)
+                if stream:
+                    self._stream_response(pending)
+                    return
                 pending.event.wait(timeout=600)
                 text = pending.text or ""
                 if self.path == "/completion":
@@ -189,6 +235,51 @@ class LocalGenerationServer:
                     )
                 else:
                     self._json(200, {"content": text})
+
+            def _stream_response(self, pending) -> None:
+                """Server-sent events. /completion frames follow
+                llama.cpp ({"content": ..., "stop": bool} per chunk);
+                /v1/chat/completions follows the OpenAI delta format
+                with a final ``data: [DONE]`` sentinel. The static
+                scheduler streams one chunk per finished answer; the
+                continuous scheduler streams one chunk per decode
+                segment as rows flush."""
+                chat = self.path == "/v1/chat/completions"
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/event-stream; charset=utf-8"
+                )
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+
+                def frame(obj):
+                    self.wfile.write(
+                        b"data: "
+                        + json.dumps(obj, ensure_ascii=False).encode()
+                        + b"\n\n"
+                    )
+                    self.wfile.flush()
+
+                while True:
+                    try:
+                        delta, last = pending.chunks.get(timeout=600)
+                    except queue.Empty:
+                        delta, last = "", True
+                    if chat:
+                        choice = {"index": 0, "delta": {}}
+                        if delta:
+                            choice["delta"] = {"content": delta}
+                        if last:
+                            choice["finish_reason"] = "stop"
+                        frame({"object": "chat.completion.chunk",
+                               "choices": [choice]})
+                    else:
+                        frame({"content": delta, "stop": bool(last)})
+                    if last:
+                        if chat:
+                            self.wfile.write(b"data: [DONE]\n\n")
+                            self.wfile.flush()
+                        return
 
         self._server = BurstHTTPServer((host, port), Handler)
         self._thread: Optional[threading.Thread] = None
@@ -240,10 +331,21 @@ class LocalGenerationServer:
             try:
                 self._batcher.step()
                 finished = self._batcher.finished()
+                # stream partials for still-running rows; a stop-marker
+                # hit finishes the request early and frees its slot
+                for rid, pending in list(inflight.items()):
+                    req = self._batcher.request(rid)
+                    if req is None or not req.tokens:
+                        continue
+                    text = tokenizer.decode(
+                        req.tokens[: pending.max_tokens]
+                    )
+                    if pending.push_progress(text):
+                        self._batcher.cancel(rid)
+                        del inflight[rid]
             except Exception:
                 for pending in inflight.values():
-                    pending.text = ""
-                    pending.event.set()
+                    pending.finish("")
                 inflight.clear()
                 # a failed dispatch may have consumed (donated) the
                 # batcher's device state — rebuild it so later requests
@@ -261,13 +363,9 @@ class LocalGenerationServer:
                 pending = inflight.pop(req.req_id, None)
                 if pending is None:
                     continue
-                text = tokenizer.decode(req.tokens[: pending.max_tokens])
-                for marker in pending.stop or []:
-                    idx = text.find(marker)
-                    if idx >= 0:
-                        text = text[:idx]
-                pending.text = text
-                pending.event.set()
+                pending.finish(
+                    tokenizer.decode(req.tokens[: pending.max_tokens])
+                )
 
     def _serve_group(self, group) -> None:
         try:
@@ -301,17 +399,10 @@ class LocalGenerationServer:
                     for prompt, p in zip(prompts, group)
                 ]
             for pending, out in zip(group, outs):
-                text = tokenizer.decode(out[: pending.max_tokens])
-                for marker in pending.stop or []:
-                    idx = text.find(marker)
-                    if idx >= 0:
-                        text = text[:idx]
-                pending.text = text
-                pending.event.set()
+                pending.finish(tokenizer.decode(out[: pending.max_tokens]))
         except Exception:
             for pending in group:
-                pending.text = ""
-                pending.event.set()
+                pending.finish("")
 
     @property
     def url(self) -> str:

@@ -159,3 +159,107 @@ def test_server_penalty_and_n_predict():
         assert pen != base
     finally:
         srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# SSE streaming (llama.cpp "stream": true / OpenAI chat chunks)
+# ---------------------------------------------------------------------------
+
+
+def _read_sse(resp):
+    frames = []
+    buf = b""
+    while True:
+        chunk = resp.read(1)
+        if not chunk:
+            break
+        buf += chunk
+        while b"\n\n" in buf:
+            frame, buf = buf.split(b"\n\n", 1)
+            if frame.startswith(b"data: "):
+                frames.append(frame[6:].decode())
+    return frames
+
+
+def _stream_request(url, path, payload):
+    req = urllib.request.Request(
+        url + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        return _read_sse(r)
+
+
+@pytest.mark.parametrize("continuous", [False, True])
+def test_streaming_completion(continuous):
+    from persian_rag_tpu.gen.local_server import LocalGenerationServer
+
+    cfg = DecoderConfig.tiny(compute_dtype=jnp.bfloat16)
+    g = TextGenerator(cfg, max_len=64, seed=0)
+    srv = LocalGenerationServer(g, port=0, continuous=continuous).start()
+    try:
+        # non-streamed reference for the same request
+        req = urllib.request.Request(
+            srv.url + "/completion",
+            data=json.dumps({"prompt": "hi", "n_predict": 12}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            want = json.loads(r.read())["content"]
+
+        frames = _stream_request(
+            srv.url, "/completion",
+            {"prompt": "hi", "n_predict": 12, "stream": True},
+        )
+        objs = [json.loads(f) for f in frames]
+        assert objs, "no SSE frames"
+        assert objs[-1]["stop"] is True
+        assert all(o["stop"] is False for o in objs[:-1])
+        got = "".join(o["content"] for o in objs)
+        assert got == want  # greedy: streamed == non-streamed
+
+        # OpenAI chat chunk format with the [DONE] sentinel
+        frames = _stream_request(
+            srv.url, "/v1/chat/completions",
+            {"messages": [{"role": "user", "content": "hi"}],
+             "max_tokens": 8, "stream": True},
+        )
+        assert frames[-1] == "[DONE]"
+        chunks = [json.loads(f) for f in frames[:-1]]
+        assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+        assert all(
+            c["object"] == "chat.completion.chunk" for c in chunks
+        )
+    finally:
+        srv.stop()
+
+
+def test_streaming_stop_marker_frees_slot():
+    from persian_rag_tpu.gen.local_server import LocalGenerationServer
+
+    cfg = DecoderConfig.tiny(compute_dtype=jnp.bfloat16)
+    g = TextGenerator(cfg, max_len=64, seed=0)
+    srv = LocalGenerationServer(g, port=0, continuous=True).start()
+    try:
+        # find what greedy emits, then stop on an early substring
+        req = urllib.request.Request(
+            srv.url + "/completion",
+            data=json.dumps({"prompt": "hi", "n_predict": 16}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            full = json.loads(r.read())["content"]
+        if len(full) < 3:
+            pytest.skip("tiny model answered too short to split")
+        marker = full[2:4]
+        frames = _stream_request(
+            srv.url, "/completion",
+            {"prompt": "hi", "n_predict": 16, "stream": True,
+             "stop": [marker]},
+        )
+        got = "".join(json.loads(f)["content"] for f in frames)
+        assert got == full[: full.find(marker)]
+    finally:
+        srv.stop()
