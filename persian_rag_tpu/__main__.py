@@ -67,6 +67,15 @@ def main(argv=None) -> int:
                              "serves Q8_0). Bare flag = int8; int4 "
                              "nibble-packs layer projections for ~1.3x "
                              "more (coarser per-channel quantization)")
+    parser.add_argument("--max-len", type=int, default=None,
+                        help="gen-serve: context window (prompt + "
+                             "answer) in tokens. Default 2048 = the "
+                             "reference checkpoint's fine-tune "
+                             "max_seq_length (notebooks cell 3); the "
+                             "RAG prompt template packs ~2000 chars of "
+                             "retrieved context, which truncates at "
+                             "shorter windows. --tiny smoke servers "
+                             "default to 512")
     parser.add_argument("--quantize-kv", action="store_true",
                         help="gen-serve: int8 KV cache (llama.cpp "
                              "--cache-type-k/-v q8_0 parity) — halves "
@@ -168,6 +177,9 @@ def main(argv=None) -> int:
     elif args.command == "gen-serve":
         import os
 
+        if args.max_len is None:
+            args.max_len = 512 if args.tiny else 2048
+
         import jax.numpy as jnp
 
         from persian_rag_tpu.gen.generator import TextGenerator
@@ -179,7 +191,7 @@ def main(argv=None) -> int:
 
         if args.gguf:
             generator = TextGenerator.from_gguf(
-                args.gguf, max_len=512, mesh=mesh,
+                args.gguf, max_len=args.max_len, mesh=mesh,
                 quantize=args.quantize or None,
                 quantize_kv=args.quantize_kv,
             )
@@ -241,8 +253,8 @@ def main(argv=None) -> int:
         else:
             dec_config = DecoderConfig.llama32_1b(compute_dtype=jnp.bfloat16)
         generator = TextGenerator(
-            dec_config, params=params, tokenizer=tokenizer, max_len=512,
-            mesh=mesh, quantize=args.quantize,
+            dec_config, params=params, tokenizer=tokenizer,
+            max_len=args.max_len, mesh=mesh, quantize=args.quantize,
             quantize_kv=args.quantize_kv,
         )
         server = LocalGenerationServer(
