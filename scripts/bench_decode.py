@@ -30,6 +30,7 @@ def main():
     from persian_rag_tpu.models.decoder import DecoderConfig
 
     max_tokens = int(os.environ.get("DEC_TOKENS", 64))
+    max_len = int(os.environ.get("DEC_MAXLEN", 512))  # 2048 = real RAG window
     qmode = os.environ.get("DEC_QUANTIZE", "0")  # 0 | 1/int8 | 4/int4
     quantize = {"0": False, "1": "int8", "int8": "int8",
                 "4": "int4", "int4": "int4"}[qmode]
@@ -59,10 +60,10 @@ def main():
         )
         gen = TextGenerator(
             config, params=random_quantized_params(config),
-            max_len=512, fuse_projections=fuse, quantize_kv=quant_kv,
+            max_len=max_len, fuse_projections=fuse, quantize_kv=quant_kv,
         )
     else:
-        gen = TextGenerator(config, max_len=512, quantize=quantize,
+        gen = TextGenerator(config, max_len=max_len, quantize=quantize,
                             fuse_projections=fuse, quantize_kv=quant_kv)
     print(
         f"init {time.time()-t0:.0f}s"
