@@ -505,3 +505,244 @@ def sparse_topk(
     scores = sparse_scores_ref(doc_ids, doc_vals, q_ids, q_vals)
     top_s, top_i = jax.lax.top_k(scores, k)
     return top_s, top_i.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Union-slot (batch-deduplicated) kernel.
+#
+# The flat kernel's match work scales with the QUERY BATCH: every corpus
+# ELL slot is compared against all B*T query term slots (fori over T per
+# tile_b rows). But a 512-query batch of natural-language queries shares
+# vocabulary heavily — the UNION of its terms is typically ~1-2k ids,
+# not B*T = 4096. Here the batch's terms are deduplicated into U union
+# slots once per dispatch (pure-JAX prep, same jit), each corpus tile
+# builds a dense contribution matrix D (U, TN) with U*L*TN compare work
+# (independent of B), and the per-query accumulation
+#     scores (B, TN) = Qw (B, U) @ D (U, TN)
+# rides the MXU, which the lexical path never used. Win factor over the
+# flat kernel's VPU match ~ B*T / U_padded, growing with batch size.
+# The union chunk loop is bounded by a RUNTIME scalar (SMEM), so work
+# tracks the batch's actual unique-term count, not the static worst
+# case. Reference semantics unchanged: rank_bm25 get_scores / sklearn
+# TF-IDF (reference src/retrieval.py:117-172).
+# ---------------------------------------------------------------------------
+
+
+def union_prep(
+    q_ids: jnp.ndarray,
+    q_vals: jnp.ndarray,
+    u_chunk: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Deduplicate a (B, T) query batch into union-term form. Pure JAX
+    (jit-safe; runs in the same dispatch as the kernel).
+
+    Returns:
+      u_ids   (NC, UC, 1) int32 — union term ids, -2 padded, chunked;
+      qw      (NC, B, UC) f32   — per-query weight of each union term
+                                  (within-query duplicate ids sum — the
+                                  score is linear in the query weight);
+      n_chunks () int32         — number of chunks actually populated.
+
+    NC * UC = u_cap = B*T rounded up to u_chunk, so overflow is
+    impossible by construction; only the first n_chunks chunks hold
+    real terms and the kernel never touches the rest.
+    """
+    b, t = q_ids.shape
+    m = b * t
+    u_cap = _round_up(max(m, u_chunk), u_chunk)
+    nc_max = u_cap // u_chunk
+
+    flat = q_ids.reshape(-1)
+    fval = q_vals.reshape(-1)
+    valid = flat >= 0
+    big = jnp.int32(2**31 - 1)
+    order = jnp.argsort(jnp.where(valid, flat, big))
+    s = jnp.where(valid, flat, big)[order]
+    sval = valid[order]  # valid entries sort first (ids < big)
+    first = jnp.concatenate([sval[:1], (s[1:] != s[:-1]) & sval[1:]])
+    slot_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_union = jnp.sum(first.astype(jnp.int32))
+
+    u_ids = (
+        jnp.full((u_cap,), -2, jnp.int32)
+        .at[jnp.where(sval, slot_sorted, u_cap)]
+        .set(jnp.where(sval, s, -2), mode="drop")
+    )
+    # per-element slot in original (b*t) order
+    slot_flat = jnp.zeros((m,), jnp.int32).at[order].set(slot_sorted)
+    rows = jnp.arange(m, dtype=jnp.int32) // t
+    qw = (
+        jnp.zeros((b, u_cap), jnp.float32)
+        .at[rows, jnp.where(valid, slot_flat, u_cap)]
+        .add(jnp.where(valid, fval, 0.0), mode="drop")
+    )
+    n_chunks = (n_union + u_chunk - 1) // u_chunk
+    return (
+        u_ids.reshape(nc_max, u_chunk, 1),
+        qw.reshape(b, nc_max, u_chunk).transpose(1, 0, 2),
+        n_chunks.astype(jnp.int32),
+    )
+
+
+def _sparse_topk_union_kernel(
+    nc_ref,       # SMEM (1, 1) int32: populated union chunks
+    u_ids_ref,    # (NC, UC, 1) int32
+    qw_ref,       # (NC, B, UC) f32
+    doc_ids_ref,  # (L, 1, TN) int32
+    doc_vals_ref, # (L, 1, TN) f32
+    out_s_ref,    # (B, k)
+    out_i_ref,    # (B, k)
+    *,
+    k: int,
+    n_actual: int,
+    tile_n: int,
+):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
+        out_i_ref[:] = jnp.full_like(out_i_ref, -1)
+
+    el = doc_ids_ref.shape[0]
+    _, b, uc = qw_ref.shape
+    tn = doc_ids_ref.shape[2]
+
+    def chunk_body(c, scores):
+        u8 = u_ids_ref[c]  # (UC, 1) — dynamic leading-dim index
+        # D[u, n] = sum_l [doc_ids[l, n] == union[u]] * doc_vals[l, n]
+        def l_body(l, d):
+            row_ids = doc_ids_ref[l]   # (1, TN)
+            row_vals = doc_vals_ref[l]
+            return d + jnp.where(row_ids == u8, row_vals, 0.0)
+
+        d = jax.lax.fori_loop(
+            0, el, l_body, jnp.zeros((uc, tn), jnp.float32)
+        )
+        qw = qw_ref[c]  # (B, UC)
+        return scores + jax.lax.dot_general(
+            qw, d, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    scores = jax.lax.fori_loop(
+        0, nc_ref[0, 0], chunk_body, jnp.zeros((b, tn), jnp.float32)
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, tn), 1) + j * tile_n
+    scores = jnp.where(col < n_actual, scores, NEG_INF)
+
+    cand_s = jnp.concatenate([out_s_ref[:], scores], axis=1)
+    cand_i = jnp.concatenate([out_i_ref[:], col], axis=1)
+    out_s_ref[:], out_i_ref[:] = merge_topk(cand_s, cand_i, k)
+
+
+def sparse_topk_union_pallas(
+    doc_ids: jnp.ndarray,
+    doc_vals: jnp.ndarray,
+    q_ids: jnp.ndarray,
+    q_vals: jnp.ndarray,
+    k: int,
+    tile_n: int = 2048,
+    u_chunk: int = 256,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused lexical top-k via batch term dedup + MXU accumulation.
+    Returns ((B, k) scores, (B, k) ids) — same semantics and tie order
+    (score desc, lower doc id first) as sparse_topk_pallas."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, el = doc_ids.shape
+    b, t = q_ids.shape
+    el = max(el, 1)
+    # The (UC, TN) match intermediate and D tile budget ~4MB.
+    budget = 4 * 1024 * 1024 // (u_chunk * 4)
+    tile_n = min(tile_n, max(128, (budget // 128) * 128))
+    tile_n = min(tile_n, _round_up(n, 128))
+    n_pad = _round_up(n, tile_n)
+    b_pad = _round_up(b, 8)
+
+    u_ids, qw, n_chunks = union_prep(
+        _pad_axis(q_ids, b_pad, 0, -2), _pad_axis(q_vals, b_pad, 0, 0.0),
+        u_chunk,
+    )
+    nc_max = u_ids.shape[0]
+    nc = jnp.reshape(jnp.minimum(n_chunks, nc_max), (1, 1))
+
+    # (N, L) -> (L, 1, N): term slots lead (dynamically indexable rows),
+    # docs ride lanes.
+    doc_ids_t = _pad_axis(_pad_axis(doc_ids, el, 1, -1), n_pad, 0, -1).T[
+        :, None, :
+    ]
+    doc_vals_t = _pad_axis(
+        _pad_axis(doc_vals, el, 1, 0.0), n_pad, 0, 0.0
+    ).T[:, None, :]
+
+    kernel = functools.partial(
+        _sparse_topk_union_kernel, k=k, n_actual=n, tile_n=tile_n
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nc_max, u_chunk, 1), lambda j: (0, 0, 0)),
+            pl.BlockSpec((nc_max, b_pad, u_chunk), lambda j: (0, 0, 0)),
+            pl.BlockSpec((el, 1, tile_n), lambda j: (0, 0, j)),
+            pl.BlockSpec((el, 1, tile_n), lambda j: (0, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_pad, k), lambda j: (0, 0)),
+            pl.BlockSpec((b_pad, k), lambda j: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * nc_max * u_chunk
+            + n_pad * el * nc_max * u_chunk,
+            bytes_accessed=n_pad * el * 8
+            + nc_max * u_chunk * (b_pad + 1) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(nc, u_ids, qw, doc_ids_t, doc_vals_t)
+    return out_s[:b], out_i[:b]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "u_chunk", "interpret")
+)
+def _sparse_topk_union_jit(
+    doc_ids, doc_vals, q_ids, q_vals, k, tile_n, u_chunk, interpret
+):
+    return sparse_topk_union_pallas(
+        doc_ids, doc_vals, q_ids, q_vals, k, tile_n=tile_n,
+        u_chunk=u_chunk, interpret=interpret,
+    )
+
+
+def sparse_topk_union(
+    doc_ids: jnp.ndarray,
+    doc_vals: jnp.ndarray,
+    q_ids: jnp.ndarray,
+    q_vals: jnp.ndarray,
+    k: int,
+    use_pallas: Optional[bool] = None,
+    tile_n: int = 2048,
+    u_chunk: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dispatching entry for the union-slot kernel (non-Pallas path =
+    reference scorer + top_k, identical to sparse_topk's)."""
+    k = min(k, doc_ids.shape[0])
+    backend = jax.default_backend()
+    if use_pallas is None:
+        use_pallas = backend == "tpu"
+    if use_pallas:
+        return _sparse_topk_union_jit(
+            doc_ids, doc_vals, q_ids, q_vals, k, tile_n, u_chunk,
+            backend != "tpu",
+        )
+    scores = sparse_scores_ref(doc_ids, doc_vals, q_ids, q_vals)
+    top_s, top_i = jax.lax.top_k(scores, k)
+    return top_s, top_i.astype(jnp.int32)

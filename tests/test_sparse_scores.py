@@ -197,3 +197,115 @@ def test_hashed_kernel_tile_boundaries_and_negative_vals(rng):
         tile_n=128, tile_b=8, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+# -- union-slot (batch-deduplicated) kernel -----------------------------------
+
+
+def test_union_prep_invariants(rng):
+    import jax.numpy as jnp
+
+    from persian_rag_tpu.ops.sparse_scores import union_prep
+
+    qids, qvals = _random_queries(rng, b=13, t=9, vocab=40)
+    u_ids, qw, n_chunks = (
+        np.asarray(x)
+        for x in union_prep(jnp.asarray(qids), jnp.asarray(qvals), 32)
+    )
+    flat_u = u_ids.reshape(-1)
+    real = flat_u[flat_u >= 0]
+    want_union = np.unique(qids[qids >= 0])
+    np.testing.assert_array_equal(np.sort(real), want_union)
+    # populated chunk count covers the union
+    n_union = len(want_union)
+    assert int(n_chunks) == -(-n_union // 32) if n_union else n_chunks == 0
+    # qw reconstructs each query's per-term weight (duplicates sum)
+    b = qids.shape[0]
+    qw_bu = qw.transpose(1, 0, 2).reshape(b, -1)
+    for bi in range(b):
+        for u_slot, tid in enumerate(flat_u):
+            if tid < 0:
+                continue
+            want = qvals[bi][qids[bi] == tid].sum()
+            np.testing.assert_allclose(qw_bu[bi, u_slot], want, rtol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "n_docs,max_len,b,t,k,vocab",
+    [(300, 20, 4, 8, 5, 500), (513, 9, 12, 5, 10, 30), (130, 7, 9, 6, 7, 25)],
+)
+def test_union_topk_matches_ref(rng, n_docs, max_len, b, t, k, vocab):
+    """Id + score parity vs the dense reference, including heavy term
+    sharing across the batch (small vocab) and duplicate in-query
+    terms (BM25 multiplicity sums into one union slot)."""
+    from persian_rag_tpu.ops.sparse_scores import sparse_topk_union_pallas
+
+    ids, vals = make_corpus(rng, n_docs=n_docs, vocab=vocab, max_len=max_len)
+    qids = np.full((b, t), -1, np.int32)
+    qvals = np.zeros((b, t), np.float32)
+    for i in range(b):
+        length = rng.integers(1, t + 1)
+        qids[i, :length] = rng.choice(vocab, size=length, replace=True)
+        qvals[i, :length] = rng.random(length).astype(np.float32)
+    dense = np.asarray(
+        sparse_scores_ref(
+            jnp.asarray(ids), jnp.asarray(vals),
+            jnp.asarray(qids), jnp.asarray(qvals),
+        )
+    )
+    got_s, got_i = sparse_topk_union_pallas(
+        jnp.asarray(ids), jnp.asarray(vals),
+        jnp.asarray(qids), jnp.asarray(qvals),
+        k=k, tile_n=128, u_chunk=32, interpret=True,
+    )
+    order = np.argsort(-dense, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(np.asarray(got_i), order)
+    np.testing.assert_allclose(
+        np.asarray(got_s), np.take_along_axis(dense, order, axis=1),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_union_negative_scores_and_tile_boundary(rng):
+    """All-negative contributions (floored-idf BM25) with N not a tile
+    multiple: padding columns must not reach the top-k."""
+    from persian_rag_tpu.ops.sparse_scores import (
+        sparse_topk,
+        sparse_topk_union_pallas,
+    )
+
+    ids, vals = _random_ell(rng, n=391, el=11, vocab=60)
+    vals = -np.abs(vals)
+    qids, qvals = _random_queries(rng, b=5, t=5, vocab=60)
+    want_s, want_i = sparse_topk(
+        jnp.asarray(ids), jnp.asarray(vals),
+        jnp.asarray(qids), jnp.asarray(qvals), 6, use_pallas=False,
+    )
+    got_s, got_i = sparse_topk_union_pallas(
+        jnp.asarray(ids), jnp.asarray(vals),
+        jnp.asarray(qids), jnp.asarray(qvals), 6,
+        tile_n=128, u_chunk=32, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(got_s), np.asarray(want_s), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_union_all_pad_queries(rng):
+    """A batch whose queries have no valid terms: zero chunks run, all
+    scores 0, ids are the lowest doc ids (stable tie order)."""
+    from persian_rag_tpu.ops.sparse_scores import sparse_topk_union_pallas
+
+    ids, vals = _random_ell(rng, n=50, el=5, vocab=30)
+    qids = np.full((3, 4), -1, np.int32)
+    qvals = np.zeros((3, 4), np.float32)
+    s, i = sparse_topk_union_pallas(
+        jnp.asarray(ids), jnp.asarray(vals),
+        jnp.asarray(qids), jnp.asarray(qvals), 4,
+        tile_n=128, u_chunk=32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(s), 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(i), np.tile(np.arange(4), (3, 1))
+    )
