@@ -43,6 +43,7 @@ from persian_rag_tpu.ops.sparse_scores import (
     sparse_scores_ref,
     sparse_topk,
     sparse_topk_hashed,
+    sparse_topk_union,
 )
 
 _TOKEN_RE = re.compile(r"(?u)\b\w\w+\b")
@@ -86,7 +87,9 @@ class _Bucket:
         self.n_actual = ids.shape[0]
 
 
-@functools.partial(jax.jit, static_argnames=("kbs", "k", "use_pallas"))
+@functools.partial(
+    jax.jit, static_argnames=("kbs", "k", "use_pallas", "use_union")
+)
 def _fused_bucket_topk(
     bucket_ids,
     bucket_vals,
@@ -96,6 +99,7 @@ def _fused_bucket_topk(
     kbs: Tuple[int, ...],
     k: int,
     use_pallas,
+    use_union: bool = False,
 ):
     """All buckets' top-k plus the global merge in ONE device dispatch.
 
@@ -110,6 +114,10 @@ def _fused_bucket_topk(
     for ids, vals, gids, kb in zip(bucket_ids, bucket_vals, bucket_gids, kbs):
         if ids.ndim == 3:  # hashed-segment device layout
             s, i = sparse_topk_hashed(
+                ids, vals, qids, qvals, kb, use_pallas=use_pallas
+            )
+        elif use_union:
+            s, i = sparse_topk_union(
                 ids, vals, qids, qvals, kb, use_pallas=use_pallas
             )
         else:
@@ -146,6 +154,19 @@ _BUCKET_BASE = 16
 _HASH_MIN_L = 64       # below this, buckets stay flat outright
 _HASH_MAX_WORK = 3.0   # require Ls <= L_pad / 3 (a >=3x match-work win)
 _HASH_MAX_STORE = 2.5  # require S * Ls <= 2.5 * L_pad (HBM stream cap)
+
+# Union-slot batch kernel gate (ops.sparse_scores.sparse_topk_union):
+# the kernel's match work scales with the batch's UNIQUE term count U
+# instead of B*T query slots, plus an MXU accumulation pass. Measured
+# on chip at 200k x L=47, batch 512 x 8 slots: Zipf batch (U=782)
+# 35.6 ms vs flat 59.7 (1.68x win); uniform batch (U=3818) 110.6 ms
+# (0.54x — dedup buys nothing and the f32-precision MXU pass is pure
+# overhead). Linear in populated 256-wide union chunks (~6.8 ms/chunk
+# + 8.3 fixed there), crossover ~ U = 0.45 * B*T; the gate takes 0.4
+# with the small-batch floor excluding regimes where the ~27 ms fixed
+# dispatch dominates anyway.
+_UNION_MIN_SLOTS = 1024   # b*t below this, flat is always fine
+_UNION_MAX_FRAC = 0.4     # unique terms <= 40% of b*t slots
 
 # Hashed-UB prefilter (ops.lexical_prefilter) storage gate: a bucketed
 # corpus must densify into a unified (N, Lmax) gather ELL within this
@@ -212,6 +233,9 @@ class _EllIndex:
         # scale and documented as such.
         self.prefilter: Optional[str] = None
         self._prefilter_failed = False
+        # None = auto (union-slot kernel when the batch's unique-term
+        # count clears _UNION_MAX_FRAC); "flat"/"union" force a kernel.
+        self.batch_kernel: Optional[str] = None
 
     @property
     def ntotal(self) -> int:
@@ -452,6 +476,7 @@ class _EllIndex:
         k: int,
         n_actual: int,
         use_pallas: Optional[bool],
+        use_union: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         if self.mesh is not None:
             from persian_rag_tpu.parallel.sharded_lexical import (
@@ -466,11 +491,36 @@ class _EllIndex:
             s, i = sparse_topk_hashed(
                 dev_ids, dev_vals, qids, qvals, k, use_pallas=use_pallas
             )
+        elif use_union:
+            s, i = sparse_topk_union(
+                dev_ids, dev_vals, qids, qvals, k, use_pallas=use_pallas
+            )
         else:
             s, i = sparse_topk(
                 dev_ids, dev_vals, qids, qvals, k, use_pallas=use_pallas
             )
         return np.asarray(s), np.asarray(i)
+
+    def _union_gate(self, qids_np: np.ndarray) -> bool:
+        """Host-side per-dispatch kernel choice: the union-slot kernel
+        wins when the batch shares vocabulary (see _UNION_MAX_FRAC).
+        np.unique over the (B, T) id matrix costs microseconds next to
+        the ~27 ms relay dispatch floor. Near-tie caveat: union scores
+        accumulate in a different f32 reduction order than the flat
+        kernel's (MXU HIGHEST dot vs sequential VPU adds) — measured
+        max |ds| 7.6e-06 at 200k with ~2% of top-10 ids flipping on
+        sub-1e-5 near-ties; both orders sit inside the f32 envelope of
+        the rank_bm25 float64 formula, and exact ties (duplicate docs)
+        keep the deterministic lower-id-first order in both kernels."""
+        if self.batch_kernel == "union":
+            return True
+        if self.batch_kernel is not None or self.mesh is not None:
+            return False
+        b, t = qids_np.shape
+        if b * t < _UNION_MIN_SLOTS:
+            return False
+        n_unique = len(np.unique(qids_np[qids_np >= 0]))
+        return n_unique <= _UNION_MAX_FRAC * b * t
 
     def _search_encoded(
         self,
@@ -485,11 +535,12 @@ class _EllIndex:
             pf = self._prefilter
             if pf is not None and k <= pf.k_scan:
                 return self._prefilter_search(qids_np, qvals_np, k, use_pallas)
+        use_union = self._union_gate(qids_np)
         qids, qvals = jnp.asarray(qids_np), jnp.asarray(qvals_np)
         if self._buckets is None:
             return self._topk_one_ell(
                 self._dev_ids, self._dev_vals, qids, qvals, k, self.ntotal,
-                use_pallas,
+                use_pallas, use_union,
             )
         # Bucketed: per-bucket top-min(k, N_b) candidates, ids mapped to
         # global docs, merged with the same lower-id-first tie order as
@@ -508,6 +559,7 @@ class _EllIndex:
                 kbs=kbs,
                 k=k,
                 use_pallas=use_pallas,
+                use_union=use_union,
             )
             return np.asarray(s), np.asarray(i)
         s, i = self._sharded_bucket_topk(qids, qvals, k, use_pallas)

@@ -578,7 +578,7 @@ def union_prep(
     )
     n_chunks = (n_union + u_chunk - 1) // u_chunk
     return (
-        u_ids.reshape(nc_max, u_chunk, 1),
+        u_ids.reshape(nc_max, 1, u_chunk),
         qw.reshape(b, nc_max, u_chunk).transpose(1, 0, 2),
         n_chunks.astype(jnp.int32),
     )
@@ -586,17 +586,21 @@ def union_prep(
 
 def _sparse_topk_union_kernel(
     nc_ref,       # SMEM (1, 1) int32: populated union chunks
-    u_ids_ref,    # (NC, UC, 1) int32
-    qw_ref,       # (NC, B, UC) f32
+    u_ids_ref,    # (NC, 1, UC) int32, VMEM
+    qw_hbm,       # (NC, B, UC) f32, HBM (chunks DMA'd on demand)
     doc_ids_ref,  # (L, 1, TN) int32
     doc_vals_ref, # (L, 1, TN) f32
     out_s_ref,    # (B, k)
     out_i_ref,    # (B, k)
+    qw_vmem,      # scratch (B, UC) f32
+    dma_sem,
     *,
     k: int,
     n_actual: int,
     tile_n: int,
 ):
+    from jax.experimental.pallas import tpu as pltpu
+
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -605,11 +609,19 @@ def _sparse_topk_union_kernel(
         out_i_ref[:] = jnp.full_like(out_i_ref, -1)
 
     el = doc_ids_ref.shape[0]
-    _, b, uc = qw_ref.shape
+    b, uc = qw_vmem.shape
     tn = doc_ids_ref.shape[2]
 
     def chunk_body(c, scores):
-        u8 = u_ids_ref[c]  # (UC, 1) — dynamic leading-dim index
+        # Chunk c of the query-weight matrix streams from HBM while the
+        # VPU builds D (the whole qw would blow the 16MB scoped-VMEM
+        # budget at NC_max blocks).
+        copy = pltpu.make_async_copy(qw_hbm.at[c], qw_vmem, dma_sem)
+        copy.start()
+        # (1, UC) -> (UC, 1): trailing-size-1 stored layouts crash the
+        # Mosaic compiler ("limits[i] <= dim(i)"); store lane-major and
+        # transpose the tiny chunk in-kernel instead.
+        u8 = jnp.transpose(u_ids_ref[c], (1, 0))  # (UC, 1)
         # D[u, n] = sum_l [doc_ids[l, n] == union[u]] * doc_vals[l, n]
         def l_body(l, d):
             row_ids = doc_ids_ref[l]   # (1, TN)
@@ -619,10 +631,16 @@ def _sparse_topk_union_kernel(
         d = jax.lax.fori_loop(
             0, el, l_body, jnp.zeros((uc, tn), jnp.float32)
         )
-        qw = qw_ref[c]  # (B, UC)
+        copy.wait()
+        # HIGHEST: the MXU's default bf16 multiply loses ~4e-3 relative
+        # on BM25-scale scores (measured max |ds| 0.11 vs the flat
+        # kernel's f32 VPU accumulation -> 20% of top-10 ids flip on
+        # near-ties). The f32-exact passes keep the kernel id-parity
+        # with get_scores; the MXU share of the runtime is small.
         return scores + jax.lax.dot_general(
-            qw, d, (((1,), (0,)), ((), ())),
+            qw_vmem[:], d, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     scores = jax.lax.fori_loop(
@@ -631,6 +649,10 @@ def _sparse_topk_union_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (b, tn), 1) + j * tile_n
     scores = jnp.where(col < n_actual, scores, NEG_INF)
 
+    # Whole-batch merge. (A 128-row-group merge loop — static ref
+    # slices — crashes the Mosaic compiler: "limits[i] <= dim(i)";
+    # with qw streamed from HBM and tile_n <= 1024 the whole merge
+    # fits scoped VMEM at B=512.)
     cand_s = jnp.concatenate([out_s_ref[:], scores], axis=1)
     cand_i = jnp.concatenate([out_i_ref[:], col], axis=1)
     out_s_ref[:], out_i_ref[:] = merge_topk(cand_s, cand_i, k)
@@ -642,7 +664,7 @@ def sparse_topk_union_pallas(
     q_ids: jnp.ndarray,
     q_vals: jnp.ndarray,
     k: int,
-    tile_n: int = 2048,
+    tile_n: int = 896,
     u_chunk: int = 256,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -654,8 +676,10 @@ def sparse_topk_union_pallas(
     n, el = doc_ids.shape
     b, t = q_ids.shape
     el = max(el, 1)
-    # The (UC, TN) match intermediate and D tile budget ~4MB.
-    budget = 4 * 1024 * 1024 // (u_chunk * 4)
+    # The (UC, TN) match intermediate and D tile budget ~2MB (scoped
+    # VMEM is 16MB total; the (B, TN) scores carry is the other big
+    # resident).
+    budget = 2 * 1024 * 1024 // (u_chunk * 4)
     tile_n = min(tile_n, max(128, (budget // 128) * 128))
     tile_n = min(tile_n, _round_up(n, 128))
     n_pad = _round_up(n, tile_n)
@@ -685,8 +709,8 @@ def sparse_topk_union_pallas(
         grid=(n_pad // tile_n,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nc_max, u_chunk, 1), lambda j: (0, 0, 0)),
-            pl.BlockSpec((nc_max, b_pad, u_chunk), lambda j: (0, 0, 0)),
+            pl.BlockSpec((nc_max, 1, u_chunk), lambda j: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((el, 1, tile_n), lambda j: (0, 0, j)),
             pl.BlockSpec((el, 1, tile_n), lambda j: (0, 0, j)),
         ],
@@ -697,6 +721,10 @@ def sparse_topk_union_pallas(
         out_shape=[
             jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
             jax.ShapeDtypeStruct((b_pad, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b_pad, u_chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b_pad * n_pad * nc_max * u_chunk
@@ -729,7 +757,7 @@ def sparse_topk_union(
     q_vals: jnp.ndarray,
     k: int,
     use_pallas: Optional[bool] = None,
-    tile_n: int = 2048,
+    tile_n: int = 896,
     u_chunk: int = 256,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dispatching entry for the union-slot kernel (non-Pallas path =

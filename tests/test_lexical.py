@@ -137,3 +137,63 @@ def test_tfidf_save_load(tmp_path):
     loaded = TfidfIndex.load(str(tmp_path / "tfidf"))
     q = "brown fox"
     np.testing.assert_allclose(loaded.get_scores(q), index.get_scores(q))
+
+
+# -- union-slot batch-kernel wiring -------------------------------------------
+
+
+def _zipf_corpus(rng, n_docs, vocab=400, lo=5, hi=40):
+    return [
+        " ".join(map(str, rng.zipf(1.4, size=rng.integers(lo, hi)) % vocab))
+        for _ in range(n_docs)
+    ]
+
+
+def test_union_gate_logic():
+    from persian_rag_tpu.index.lexical import _UNION_MIN_SLOTS
+
+    index = BM25Index()
+    shared = np.tile(np.arange(8, dtype=np.int32), (256, 1))  # b*t=2048, U=8
+    distinct = np.arange(2048, dtype=np.int32).reshape(256, 8)
+    small = np.tile(np.arange(8, dtype=np.int32), (4, 1))
+    assert small.size < _UNION_MIN_SLOTS
+    assert index._union_gate(shared)
+    assert not index._union_gate(distinct)  # U = b*t, flat wins
+    assert not index._union_gate(small)  # below the dispatch floor
+    index.batch_kernel = "union"
+    assert index._union_gate(small)
+    index.batch_kernel = "flat"
+    assert not index._union_gate(shared)
+    index.batch_kernel = None
+    index.mesh = object()  # mesh path has its own sharded kernel
+    assert not index._union_gate(shared)
+
+
+@pytest.mark.parametrize("bucketed", [False, True])
+def test_search_union_matches_flat(bucketed):
+    """Forced union-kernel search returns the same ids as the default
+    flat kernel and the dense-scores argsort, through both the single-
+    ELL and the fused-bucket dispatch paths."""
+    rng = np.random.default_rng(11)
+    if bucketed:
+        docs = _zipf_corpus(rng, 257)
+        # one long doc forces multiple length buckets
+        docs[3] = " ".join(map(str, rng.zipf(1.4, size=600) % 400))
+    else:
+        # short docs stay under one bucket width = flat ELL
+        docs = _zipf_corpus(rng, 257, lo=5, hi=12)
+    index = BM25Index().build(docs)
+    assert (index._buckets is not None) == bucketed
+    queries = [
+        " ".join(map(str, rng.zipf(1.4, size=6) % 400)) for _ in range(64)
+    ]
+    k = 10
+    index.batch_kernel = "flat"
+    s_flat, i_flat = index.search(queries, k)
+    index.batch_kernel = "union"
+    s_uni, i_uni = index.search(queries, k)
+    dense = np.stack([index.get_scores(q) for q in queries])
+    want = np.argsort(-dense, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(i_uni, want)
+    np.testing.assert_array_equal(i_flat, want)
+    np.testing.assert_allclose(s_uni, s_flat, rtol=1e-5, atol=1e-5)
