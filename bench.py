@@ -162,7 +162,7 @@ def bench_end_to_end(jax, jnp, corpus_dev) -> float:
     return (time.time() - t0) / reps * 1e3
 
 
-def bench_lexical(jax, jnp) -> None:
+def bench_lexical(jax, jnp, extras: dict) -> None:
     """BM25 over LEXICAL_N synthetic zipf docs: native C++ build + fused
     sparse_topk QPS vs a NumPy CSR-equivalent dense scan."""
     from persian_rag_tpu.index.lexical import BM25Index
@@ -231,6 +231,9 @@ def bench_lexical(jax, jnp) -> None:
         f"{len(queries)} q -> {qps:.0f} QPS ({qps/max(cpu_qps,1e-9):.0f}x "
         f"CPU scan; warm incl. compile {warm_s:.1f}s)"
     )
+    extras["bm25_qps_b512"] = round(qps, 1)
+    extras["bm25_n_docs"] = LEXICAL_N
+    extras["bm25_vs_cpu_scan"] = round(qps / max(cpu_qps, 1e-9), 1)
 
 
 def bench_hybrid(jax, jnp, extras: dict) -> None:
@@ -921,7 +924,7 @@ def main() -> None:
     # -- BM25 at scale -----------------------------------------------------------
     if LEXICAL_N:
         try:
-            bench_lexical(jax, jnp)
+            bench_lexical(jax, jnp, extras)
         except Exception as e:
             log(f"lexical bench skipped: {e}")
 

@@ -87,10 +87,7 @@ class _Bucket:
         self.n_actual = ids.shape[0]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("kbs", "k", "use_pallas", "use_union")
-)
-def _fused_bucket_topk(
+def _fused_bucket_topk_impl(
     bucket_ids,
     bucket_vals,
     bucket_gids,
@@ -133,6 +130,94 @@ def _fused_bucket_topk(
     )
     kk = min(k, cat_s.shape[1])
     return s_sorted[:, :kk], gid_sorted[:, :kk]
+
+
+_fused_bucket_topk = functools.partial(
+    jax.jit, static_argnames=("kbs", "k", "use_pallas", "use_union")
+)(_fused_bucket_topk_impl)
+
+
+# -- packed single-transfer serving wrappers -----------------------------------
+#
+# On the relay each host<->device array transfer costs a ~15-35 ms round
+# trip REGARDLESS of size (measured: two (512, 8) query uploads 33 ms,
+# two (512, 10) result fetches 65 ms against a 36 ms kernel). Serving
+# therefore packs (qids, qvals) into ONE int32 upload and (scores, ids)
+# into ONE int32 readback, bitcasting the f32 halves — bit-exact,
+# arithmetic-free. The packed container must be INT32 on both legs:
+# int32 ids bitcast to f32 are denormals (< 2^23 -> zero exponent) and
+# the TPU f32 path flushes them to 0 (measured on chip: scores exact,
+# ids all-zero when packed as f32). Integer transport preserves float
+# bits exactly. Cuts the 200k BM25 batch-512 e2e from ~103 to ~73 ms.
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t", "kbs", "k", "use_pallas", "use_union")
+)
+def _packed_bucket_topk(
+    packed_q,
+    bucket_ids,
+    bucket_vals,
+    bucket_gids,
+    t: int,
+    kbs: Tuple[int, ...],
+    k: int,
+    use_pallas,
+    use_union: bool = False,
+):
+    qids = packed_q[:, :t]
+    qvals = jax.lax.bitcast_convert_type(packed_q[:, t:], jnp.float32)
+    s, i = _fused_bucket_topk_impl(
+        bucket_ids, bucket_vals, bucket_gids, qids, qvals,
+        kbs=kbs, k=k, use_pallas=use_pallas, use_union=use_union,
+    )
+    return jnp.concatenate(
+        [jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t", "k", "use_pallas", "use_union")
+)
+def _packed_flat_topk(
+    packed_q,
+    dev_ids,
+    dev_vals,
+    t: int,
+    k: int,
+    use_pallas,
+    use_union: bool = False,
+):
+    qids = packed_q[:, :t]
+    qvals = jax.lax.bitcast_convert_type(packed_q[:, t:], jnp.float32)
+    if dev_ids.ndim == 3:  # hashed-segment device layout
+        s, i = sparse_topk_hashed(
+            dev_ids, dev_vals, qids, qvals, k, use_pallas=use_pallas
+        )
+    elif use_union:
+        s, i = sparse_topk_union(
+            dev_ids, dev_vals, qids, qvals, k, use_pallas=use_pallas
+        )
+    else:
+        s, i = sparse_topk(
+            dev_ids, dev_vals, qids, qvals, k, use_pallas=use_pallas
+        )
+    return jnp.concatenate(
+        [jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1
+    )
+
+
+def _pack_queries(qids_np: np.ndarray, qvals_np: np.ndarray) -> np.ndarray:
+    return np.concatenate(
+        [qids_np, qvals_np.view(np.int32)], axis=1
+    )
+
+
+def _unpack_topk(arr: np.ndarray, kk: int) -> Tuple[np.ndarray, np.ndarray]:
+    return (
+        np.ascontiguousarray(arr[:, :kk]).view(np.float32),
+        np.ascontiguousarray(arr[:, kk:]),
+    )
 
 
 # The kernel streams ELL transposed (term slots on the 8-sublane axis),
@@ -536,6 +621,29 @@ class _EllIndex:
             if pf is not None and k <= pf.k_scan:
                 return self._prefilter_search(qids_np, qvals_np, k, use_pallas)
         use_union = self._union_gate(qids_np)
+        if self.mesh is None:
+            # single-chip serving: one packed upload, one packed readback
+            # (each relay transfer costs a fixed ~15-35 ms round trip)
+            t = qids_np.shape[1]
+            dev_q = jnp.asarray(_pack_queries(qids_np, qvals_np))
+            if self._buckets is None:
+                out = _packed_flat_topk(
+                    dev_q, self._dev_ids, self._dev_vals, t=t, k=k,
+                    use_pallas=use_pallas, use_union=use_union,
+                )
+                return _unpack_topk(np.asarray(out), k)
+            kbs = tuple(min(k, b.n_actual) for b in self._buckets)
+            out = _packed_bucket_topk(
+                dev_q,
+                tuple(b.dev_ids for b in self._buckets),
+                tuple(b.dev_vals for b in self._buckets),
+                tuple(b.dev_gids for b in self._buckets),
+                t=t, kbs=kbs, k=k,
+                use_pallas=use_pallas, use_union=use_union,
+            )
+            return _unpack_topk(np.asarray(out), min(k, sum(kbs)))
+        # mesh paths: per-shard kernels + collective merges (transfer
+        # packing matters less — the dispatch is the sharded kernel)
         qids, qvals = jnp.asarray(qids_np), jnp.asarray(qvals_np)
         if self._buckets is None:
             return self._topk_one_ell(
@@ -545,23 +653,8 @@ class _EllIndex:
         # Bucketed: per-bucket top-min(k, N_b) candidates, ids mapped to
         # global docs, merged with the same lower-id-first tie order as
         # the flat scan — ALL buckets and the merge in one jitted
-        # dispatch on both the single-chip and mesh paths (a host-side
-        # per-bucket loop pays a dispatch + readback round trip per
-        # bucket).
-        if self.mesh is None:
-            kbs = tuple(min(k, b.n_actual) for b in self._buckets)
-            s, i = _fused_bucket_topk(
-                tuple(b.dev_ids for b in self._buckets),
-                tuple(b.dev_vals for b in self._buckets),
-                tuple(b.dev_gids for b in self._buckets),
-                qids,
-                qvals,
-                kbs=kbs,
-                k=k,
-                use_pallas=use_pallas,
-                use_union=use_union,
-            )
-            return np.asarray(s), np.asarray(i)
+        # dispatch (a host-side per-bucket loop pays a dispatch +
+        # readback round trip per bucket).
         s, i = self._sharded_bucket_topk(qids, qvals, k, use_pallas)
         return np.asarray(s), np.asarray(i)
 

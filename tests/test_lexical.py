@@ -197,3 +197,60 @@ def test_search_union_matches_flat(bucketed):
     np.testing.assert_array_equal(i_uni, want)
     np.testing.assert_array_equal(i_flat, want)
     np.testing.assert_allclose(s_uni, s_flat, rtol=1e-5, atol=1e-5)
+
+
+def test_packed_serving_container_is_int32():
+    """The single-transfer serving pack must use an INT32 container on
+    both legs: int32 doc ids bitcast into f32 are denormals (< 2^23 has
+    a zero exponent) and the TPU f32 path flushes them to zero — on
+    chip this returned all-zero ids with exact scores. Integer
+    transport preserves float bits exactly. Locks the container dtype
+    and the pack/unpack round trip."""
+    from persian_rag_tpu.index.lexical import (
+        _pack_queries,
+        _packed_bucket_topk,
+        _packed_flat_topk,
+        _unpack_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    qids = rng.integers(0, 400, size=(8, 4)).astype(np.int32)
+    qvals = rng.random((8, 4)).astype(np.float32)
+    packed = _pack_queries(qids, qvals)
+    assert packed.dtype == np.int32
+    np.testing.assert_array_equal(packed[:, :4], qids)
+    np.testing.assert_array_equal(packed[:, 4:].view(np.float32), qvals)
+
+    # device-side pack round trip: ids survive exactly (incl. id 0 and
+    # small ids, the denormal hazard zone), scores bit-exact
+    docs = _zipf_corpus(rng, 64)
+    index = BM25Index().build(docs)
+    queries = [" ".join(map(str, rng.zipf(1.4, size=5) % 400)) for _ in range(8)]
+    s, i = index.search(queries, 5)
+    assert i.dtype == np.int32 and s.dtype == np.float32
+    dense = np.stack([index.get_scores(q) for q in queries])
+    want = np.argsort(-dense, axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(i, want)
+
+    # the jitted packed wrappers must return int32 (f32 would flush
+    # denormal id bits on TPU)
+    import jax.numpy as jnp
+
+    t = qids.shape[1]
+    if index._buckets is None:
+        out = _packed_flat_topk(
+            jnp.asarray(packed), index._dev_ids, index._dev_vals,
+            t=t, k=5, use_pallas=False,
+        )
+    else:
+        kbs = tuple(min(5, b.n_actual) for b in index._buckets)
+        out = _packed_bucket_topk(
+            jnp.asarray(packed),
+            tuple(b.dev_ids for b in index._buckets),
+            tuple(b.dev_vals for b in index._buckets),
+            tuple(b.dev_gids for b in index._buckets),
+            t=t, kbs=kbs, k=5, use_pallas=False,
+        )
+    assert out.dtype == jnp.int32
+    s2, i2 = _unpack_topk(np.asarray(out), 5)
+    assert s2.dtype == np.float32 and i2.dtype == np.int32
