@@ -296,21 +296,41 @@ class RetrievalSystem:
             index = self.dense_index
             encoder, head = enc.encoder, enc.head
 
-            def step(params, input_ids, attention_mask, corpus, row_scales,
+            def step(params, packed_tok, corpus, row_scales,
                      refine_corpus, sqnorms, stage1_bf16, center,
                      stage1_center, center_sqmax, stage1_lo):
+                # packed_tok = [input_ids | attention_mask], one int32
+                # upload instead of two (each relay transfer is a fixed
+                # ~15-35 ms round trip regardless of size)
+                l = packed_tok.shape[1] // 2
+                input_ids = packed_tok[:, :l]
+                attention_mask = packed_tok[:, l:]
                 hidden = encoder.apply(
                     {"params": params["encoder"]}, input_ids, attention_mask
                 )
                 emb = head.apply(
                     {"params": params["head"]}, hidden, attention_mask
                 )
-                return index.search_device(
+                s, i = index.search_device(
                     emb, k, corpus=corpus, row_scales=row_scales,
                     refine_corpus=refine_corpus, sqnorms=sqnorms,
                     stage1_bf16=stage1_bf16, center=center,
                     stage1_center=stage1_center, center_sqmax=center_sqmax,
                     stage1_lo=stage1_lo,
+                )
+                # one int32 readback: [bitcast(scores) | ids]. The
+                # container must be INT32 — ids bitcast into f32 are
+                # denormals and the TPU f32 path flushes them to zero.
+                import jax.numpy as jnp
+
+                return jnp.concatenate(
+                    [
+                        jax.lax.bitcast_convert_type(
+                            s.astype(jnp.float32), jnp.int32
+                        ),
+                        i.astype(jnp.int32),
+                    ],
+                    axis=1,
                 )
 
             # None args are empty pytrees — jit handles them natively
@@ -365,10 +385,24 @@ class RetrievalSystem:
             dense_sim = "l2" if self.dense_metric == "l2" else "sim"
             n_buckets = len(kbs)
 
-            def step(params, input_ids, attention_mask, corpus, row_scales,
+            def step(params, packed_q, corpus, row_scales,
                      refine_corpus, sqnorms, stage1_bf16, center,
-                     stage1_center, center_sqmax, stage1_lo, qids, qvals,
-                     *lex_arrays):
+                     stage1_center, center_sqmax, stage1_lo,
+                     *lex_arrays, l):
+                # packed_q = [input_ids | attention_mask | qids |
+                # bitcast(qvals)] — ONE int32 upload for all four query
+                # arrays (each relay transfer is a fixed ~15-35 ms round
+                # trip). l (token length) is static; the lexical term
+                # width t falls out of the packed width.
+                import jax.numpy as jnp
+
+                t = (packed_q.shape[1] - 2 * l) // 2
+                input_ids = packed_q[:, :l]
+                attention_mask = packed_q[:, l : 2 * l]
+                qids = packed_q[:, 2 * l : 2 * l + t]
+                qvals = jax.lax.bitcast_convert_type(
+                    packed_q[:, 2 * l + t :], jnp.float32
+                )
                 hidden = encoder.apply(
                     {"params": params["encoder"]}, input_ids, attention_mask
                 )
@@ -403,14 +437,24 @@ class RetrievalSystem:
                     dense_weight=dense_weight, bm25_weight=bm25_weight,
                     dense_sim=dense_sim,
                 )
-                if not rerank:
-                    return f_s, f_i
-                rows = gather_rows_device(
-                    f_i, corpus, row_scales, refine_corpus
+                if rerank:
+                    rows = gather_rows_device(
+                        f_i, corpus, row_scales, refine_corpus
+                    )
+                    f_s, f_i = rerank_cosine(emb, rows, f_s, f_i)
+                # one int32 readback: [bitcast(scores) | ids] (f32
+                # containers flush denormal id bits on TPU)
+                return jnp.concatenate(
+                    [
+                        jax.lax.bitcast_convert_type(
+                            f_s.astype(jnp.float32), jnp.int32
+                        ),
+                        f_i.astype(jnp.int32),
+                    ],
+                    axis=1,
                 )
-                return rerank_cosine(emb, rows, f_s, f_i)
 
-            self._fused_cache[key] = jax.jit(step)
+            self._fused_cache[key] = jax.jit(step, static_argnames=("l",))
         return self._fused_cache[key]
 
     def _retrieve_hybrid_fused(
@@ -443,13 +487,24 @@ class RetrievalSystem:
         fn = self._fused_hybrid_fn(
             k, m_d, m_b, rerank, dense_weight, bm25_weight
         )
-        scores, gids = fn(
-            enc.params, jnp.asarray(ids), jnp.asarray(mask), corpus, scales,
-            refine, sqnorms, stage1, center, s1_center, c_sqmax, s1_lo,
-            qids, qvals, *bm.device_arrays(),
+        packed_q = np.concatenate(
+            [
+                ids.astype(np.int32),
+                mask.astype(np.int32),
+                qids.astype(np.int32),
+                qvals.astype(np.float32).view(np.int32),
+            ],
+            axis=1,
         )
-        scores = np.asarray(scores)[:real]
-        gids = np.asarray(gids)[:real]
+        out = np.asarray(
+            fn(
+                enc.params, jnp.asarray(packed_q), corpus, scales,
+                refine, sqnorms, stage1, center, s1_center, c_sqmax, s1_lo,
+                *bm.device_arrays(), l=ids.shape[1],
+            )
+        )
+        scores = np.ascontiguousarray(out[:real, :k]).view(np.float32)
+        gids = np.ascontiguousarray(out[:real, k:])
         out: List[List[Result]] = []
         for qi in range(real):
             out.append(
@@ -475,12 +530,21 @@ class RetrievalSystem:
         )
         (corpus, scales, refine, sqnorms, stage1, center,
          s1_center, c_sqmax, s1_lo) = self.dense_index.fused_args()
-        fn = self._fused_dense_fn(min(top_k, self.dense_index.ntotal))
-        scores, gids = fn(
-            enc.params, jnp.asarray(ids), jnp.asarray(mask), corpus, scales,
-            refine, sqnorms, stage1, center, s1_center, c_sqmax, s1_lo,
+        kk = min(top_k, self.dense_index.ntotal)
+        fn = self._fused_dense_fn(kk)
+        packed_tok = np.concatenate(
+            [ids.astype(np.int32), mask.astype(np.int32)], axis=1
         )
-        return np.asarray(scores)[:real], np.asarray(gids)[:real]
+        out = np.asarray(
+            fn(
+                enc.params, jnp.asarray(packed_tok), corpus, scales,
+                refine, sqnorms, stage1, center, s1_center, c_sqmax, s1_lo,
+            )
+        )
+        return (
+            np.ascontiguousarray(out[:real, :kk]).view(np.float32),
+            np.ascontiguousarray(out[:real, kk:]),
+        )
 
     def retrieve_dense_batch(
         self, queries: Sequence[str], top_k: int = 10
