@@ -914,6 +914,48 @@ def main() -> None:
     except Exception as e:
         log(f"e2e bench skipped: {e}")
 
+    # -- dense SERVING e2e (numpy boundary, fresh host queries) ----------------
+    # The fori-loop headline measures the kernel; real serving pays host
+    # transfers. The packed single-transfer path (one int32 upload + one
+    # int32 readback incl. the proof verdict column) measured 124.9 ->
+    # 58.5 ms / 512 q at 100k in a same-session A/B vs the 3-readback
+    # flow it replaced.
+    if os.environ.get("BENCH_SERVING", "1") != "0":
+        try:
+            from persian_rag_tpu.index.dense import DenseIndex
+
+            sidx = DenseIndex(DIM, metric="ip")
+            sidx.add(corpus)
+            t0 = time.time()
+            sidx.commit()
+            commit_s = time.time() - t0
+
+            def fresh_q(seed):
+                r = np.random.default_rng(seed)
+                q = r.standard_normal((BATCH, DIM)).astype(np.float32)
+                return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+            sidx.search(fresh_q(0), K)
+            sidx.search(fresh_q(1), K)
+            times = []
+            for rep in range(10):
+                qb = fresh_q(100 + rep)
+                t0 = time.time()
+                sidx.search(qb, K)
+                times.append(time.time() - t0)
+            p50 = sorted(times)[len(times) // 2] * 1e3
+            log(
+                f"dense SERVING e2e (numpy in/out, packed transfers, "
+                f"N={N_DOCS}, stage1={sidx._stage1_mode}): p50 {p50:.1f} ms"
+                f" / {BATCH} q = {BATCH/p50*1e3:.0f} QPS"
+                f" (commit {commit_s:.0f}s)"
+            )
+            extras["dense_serving_p50_ms"] = round(p50, 1)
+            extras["dense_serving_qps"] = round(BATCH / p50 * 1e3, 1)
+            del sidx
+        except Exception as e:
+            log(f"dense serving bench skipped: {e}")
+
     # -- IVF latency-recall curve ----------------------------------------------
     if RUN_IVF:
         try:

@@ -774,3 +774,299 @@ def sparse_topk_union(
     scores = sparse_scores_ref(doc_ids, doc_vals, q_ids, q_vals)
     top_s, top_i = jax.lax.top_k(scores, k)
     return top_s, top_i.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Hashed-union kernel: segment-partitioned batch dedup.
+#
+# The union kernel's match work is U * L * TN per corpus tile — every
+# union term is compared against EVERY term slot of every doc. With the
+# hashed-segment corpus layout (tid % S partitions each doc's slots), a
+# union term can only match inside its own segment, so grouping union
+# chunks by segment cuts per-chunk match work from UC*L to UC*Ls
+# (Ls ~ L/S padded). Chunks are segment-homogeneous: union terms sort
+# by (tid % S, tid), each segment's run pads up to a u_chunk boundary,
+# and an SMEM chunk->segment map tells the kernel which Ls-slot row
+# range to scan (rows g*Ls..g*Ls+Ls of the (S*Ls, 1, TN) layout — one
+# dynamic LEADING-dim ref index per row, the form Mosaic supports).
+# Compute drops ~L/Ls per populated chunk at the price of more chunks
+# (per-segment padding) and a 2-2.5x corpus stream (hashed layout
+# bytes) — at 200k+ the union path is compute-bound, so the stream is
+# noise. Scores are identical to the flat union kernel up to f32
+# reduction order (same HIGHEST-precision MXU accumulation).
+# ---------------------------------------------------------------------------
+
+
+def union_prep_hashed(
+    q_ids: jnp.ndarray,
+    q_vals: jnp.ndarray,
+    u_chunk: int,
+    n_segments: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Segment-grouped batch dedup (pure JAX, jit-safe).
+
+    Returns:
+      u_ids     (NC, 1, UC) int32 — union ids, -2 padded, chunked;
+                chunks are segment-homogeneous (all real ids in a chunk
+                share tid % S);
+      qw        (NC, B, UC) f32   — per-query weights (dup ids sum);
+      chunk_seg (1, NC) int32     — segment of each chunk;
+      n_chunks  () int32          — populated chunk count.
+
+    NC = ceil(B*T / UC) + S covers the worst per-segment padding case
+    (each partially-filled segment wastes < one chunk).
+    """
+    b, t = q_ids.shape
+    m = b * t
+    s_n = n_segments
+    u_cap = _round_up(max(m, u_chunk), u_chunk)
+    nc_max = u_cap // u_chunk + s_n
+    cap = nc_max * u_chunk
+
+    flat = q_ids.reshape(-1)
+    fval = q_vals.reshape(-1)
+    valid = flat >= 0
+    seg = jnp.where(valid, flat % s_n, s_n - 1)
+    big = jnp.int32(2**31 - 1)
+    # (segment, tid) sort key; tid < 2^26 (sklearn/BM25 vocab ids are
+    # dense small ints) and S <= 16 keeps the key inside int32
+    key = jnp.where(valid, seg * jnp.int32(1 << 26) + flat, big)
+    order = jnp.argsort(key)
+    s_sorted = jnp.where(valid, flat, big)[order]
+    sval = valid[order]
+    sseg = seg[order]
+    first = jnp.concatenate(
+        [sval[:1], (s_sorted[1:] != s_sorted[:-1]) & sval[1:]]
+    )
+    f32i = first.astype(jnp.int32)
+    uniq_rank = jnp.cumsum(f32i) - 1  # global unique rank (seg-major)
+
+    # per-segment unique counts -> u_chunk-padded slot offsets
+    seg_onehot = (
+        sseg[:, None] == jnp.arange(s_n, dtype=jnp.int32)[None, :]
+    )
+    cnt = jnp.sum(seg_onehot & first[:, None], axis=0).astype(jnp.int32)
+    padded = ((cnt + u_chunk - 1) // u_chunk) * u_chunk
+    off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1]]
+    )
+    seg_rank_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)[:-1]]
+    )
+    # padded slot of each sorted entry's union term
+    slot_sorted = uniq_rank - seg_rank_start[sseg] + off[sseg]
+
+    u_ids = (
+        jnp.full((cap,), -2, jnp.int32)
+        .at[jnp.where(sval & first, slot_sorted, cap)]
+        .set(jnp.where(sval, s_sorted, -2), mode="drop")
+    )
+    slot_flat = jnp.zeros((m,), jnp.int32).at[order].set(slot_sorted)
+    rows = jnp.arange(m, dtype=jnp.int32) // t
+    qw = (
+        jnp.zeros((b, cap), jnp.float32)
+        .at[rows, jnp.where(valid, slot_flat, cap)]
+        .add(jnp.where(valid, fval, 0.0), mode="drop")
+    )
+
+    # chunk c covers padded slots [c*UC, (c+1)*UC) -> its segment is
+    # the one whose [off, off+padded) range contains c*UC. Chunks past
+    # the populated range get segment 0 (never visited).
+    ends = jnp.cumsum(padded)  # (S,)
+    chunk_start = jnp.arange(nc_max, dtype=jnp.int32) * u_chunk
+    chunk_seg = jnp.sum(
+        (chunk_start[:, None] >= ends[None, :]).astype(jnp.int32), axis=1
+    )
+    chunk_seg = jnp.minimum(chunk_seg, s_n - 1)
+    n_chunks = ends[-1] // u_chunk
+    return (
+        u_ids.reshape(nc_max, 1, u_chunk),
+        qw.reshape(b, nc_max, u_chunk).transpose(1, 0, 2),
+        chunk_seg.reshape(1, nc_max),
+        n_chunks.astype(jnp.int32),
+    )
+
+
+def _sparse_topk_union_hashed_kernel(
+    nc_ref,        # SMEM (1, 1) int32: populated union chunks
+    chunk_seg_ref, # SMEM (1, NC) int32: segment of each chunk
+    u_ids_ref,     # (NC, 1, UC) int32, VMEM
+    qw_hbm,        # (NC, B, UC) f32, HBM (chunks DMA'd on demand)
+    doc_ids_ref,   # (S*Ls, 1, TN) int32 (segment-major row blocks)
+    doc_vals_ref,  # (S*Ls, 1, TN) f32
+    out_s_ref,     # (B, k)
+    out_i_ref,     # (B, k)
+    qw_vmem,       # scratch (B, UC) f32
+    dma_sem,
+    *,
+    k: int,
+    n_actual: int,
+    tile_n: int,
+    ls: int,
+):
+    from jax.experimental.pallas import tpu as pltpu
+
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
+        out_i_ref[:] = jnp.full_like(out_i_ref, -1)
+
+    b, uc = qw_vmem.shape
+    tn = doc_ids_ref.shape[2]
+
+    def chunk_body(c, scores):
+        copy = pltpu.make_async_copy(qw_hbm.at[c], qw_vmem, dma_sem)
+        copy.start()
+        g = chunk_seg_ref[0, c]
+        u8 = jnp.transpose(u_ids_ref[c], (1, 0))  # (UC, 1)
+
+        # only the Ls rows of segment g can match this chunk's terms
+        def l_body(l, d):
+            row = g * ls + l
+            row_ids = doc_ids_ref[row]   # (1, TN)
+            row_vals = doc_vals_ref[row]
+            return d + jnp.where(row_ids == u8, row_vals, 0.0)
+
+        d = jax.lax.fori_loop(
+            0, ls, l_body, jnp.zeros((uc, tn), jnp.float32)
+        )
+        copy.wait()
+        return scores + jax.lax.dot_general(
+            qw_vmem[:], d, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    scores = jax.lax.fori_loop(
+        0, nc_ref[0, 0], chunk_body, jnp.zeros((b, tn), jnp.float32)
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, tn), 1) + j * tile_n
+    scores = jnp.where(col < n_actual, scores, NEG_INF)
+
+    cand_s = jnp.concatenate([out_s_ref[:], scores], axis=1)
+    cand_i = jnp.concatenate([out_i_ref[:], col], axis=1)
+    out_s_ref[:], out_i_ref[:] = merge_topk(cand_s, cand_i, k)
+
+
+def sparse_topk_union_hashed_pallas(
+    doc_ids3: jnp.ndarray,
+    doc_vals3: jnp.ndarray,
+    q_ids: jnp.ndarray,
+    q_vals: jnp.ndarray,
+    k: int,
+    tile_n: int = 896,
+    u_chunk: int = 128,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused lexical top-k: hashed-segment corpus x segment-grouped
+    union chunks. Returns ((B, k) scores, (B, k) ids), same semantics
+    and tie order as sparse_topk_pallas."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, s_n, ls = doc_ids3.shape
+    b, t = q_ids.shape
+    # budget the (UC, TN) match intermediate like the flat union kernel
+    budget = 2 * 1024 * 1024 // (u_chunk * 4)
+    tile_n = min(tile_n, max(128, (budget // 128) * 128))
+    tile_n = min(tile_n, _round_up(n, 128))
+    n_pad = _round_up(n, tile_n)
+    b_pad = _round_up(b, 8)
+
+    u_ids, qw, chunk_seg, n_chunks = union_prep_hashed(
+        _pad_axis(q_ids, b_pad, 0, -2), _pad_axis(q_vals, b_pad, 0, 0.0),
+        u_chunk, s_n,
+    )
+    nc_max = u_ids.shape[0]
+    nc = jnp.reshape(jnp.minimum(n_chunks, nc_max), (1, 1))
+
+    # (N, S, Ls) -> (S*Ls, 1, N): segment-major term-slot rows lead
+    # (dynamically indexable), docs ride lanes.
+    ids_p = _pad_axis(doc_ids3, n_pad, 0, -1)
+    vals_p = _pad_axis(doc_vals3, n_pad, 0, 0.0)
+    doc_ids_t = ids_p.reshape(n_pad, s_n * ls).T[:, None, :]
+    doc_vals_t = vals_p.reshape(n_pad, s_n * ls).T[:, None, :]
+
+    kernel = functools.partial(
+        _sparse_topk_union_hashed_kernel,
+        k=k, n_actual=n, tile_n=tile_n, ls=ls,
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, nc_max), lambda j: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((nc_max, 1, u_chunk), lambda j: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((s_n * ls, 1, tile_n), lambda j: (0, 0, j)),
+            pl.BlockSpec((s_n * ls, 1, tile_n), lambda j: (0, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_pad, k), lambda j: (0, 0)),
+            pl.BlockSpec((b_pad, k), lambda j: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b_pad, u_chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * nc_max * u_chunk
+            + n_pad * ls * nc_max * u_chunk,
+            bytes_accessed=n_pad * s_n * ls * 8
+            + nc_max * u_chunk * (b_pad + 1) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(nc, chunk_seg, u_ids, qw, doc_ids_t, doc_vals_t)
+    return out_s[:b], out_i[:b]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "u_chunk", "interpret")
+)
+def _sparse_topk_union_hashed_jit(
+    doc_ids3, doc_vals3, q_ids, q_vals, k, tile_n, u_chunk, interpret
+):
+    return sparse_topk_union_hashed_pallas(
+        doc_ids3, doc_vals3, q_ids, q_vals, k, tile_n=tile_n,
+        u_chunk=u_chunk, interpret=interpret,
+    )
+
+
+def sparse_topk_union_hashed(
+    doc_ids3: jnp.ndarray,
+    doc_vals3: jnp.ndarray,
+    q_ids: jnp.ndarray,
+    q_vals: jnp.ndarray,
+    k: int,
+    use_pallas: Optional[bool] = None,
+    tile_n: int = 896,
+    u_chunk: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dispatching entry for the hashed-union kernel (non-Pallas path
+    flattens segments back to an ELL for the reference scorer)."""
+    k = min(k, doc_ids3.shape[0])
+    backend = jax.default_backend()
+    if use_pallas is None:
+        use_pallas = backend == "tpu"
+    if use_pallas:
+        return _sparse_topk_union_hashed_jit(
+            doc_ids3, doc_vals3, q_ids, q_vals, k, tile_n, u_chunk,
+            backend != "tpu",
+        )
+    n, s_n, ls = doc_ids3.shape
+    scores = sparse_scores_ref(
+        doc_ids3.reshape(n, s_n * ls),
+        doc_vals3.reshape(n, s_n * ls),
+        q_ids, q_vals,
+    )
+    top_s, top_i = jax.lax.top_k(scores, k)
+    return top_s, top_i.astype(jnp.int32)

@@ -309,3 +309,143 @@ def test_union_all_pad_queries(rng):
     np.testing.assert_array_equal(
         np.asarray(i), np.tile(np.arange(4), (3, 1))
     )
+
+
+def test_union_prep_hashed_invariants(rng):
+    """Segment-grouped dedup: chunks are segment-homogeneous, the union
+    covers exactly the batch's distinct ids, qw reconstructs per-query
+    weights (duplicates sum), and chunk_seg maps populated chunks to
+    the segment their terms hash to."""
+    import jax.numpy as jnp
+
+    from persian_rag_tpu.ops.sparse_scores import union_prep_hashed
+
+    qids, qvals = _random_queries(rng, b=13, t=9, vocab=40)
+    s_n, uc = 4, 16
+    u_ids, qw, chunk_seg, n_chunks = (
+        np.asarray(x)
+        for x in union_prep_hashed(
+            jnp.asarray(qids), jnp.asarray(qvals), uc, s_n
+        )
+    )
+    flat_u = u_ids.reshape(-1)
+    real = flat_u[flat_u >= 0]
+    want_union = np.unique(qids[qids >= 0])
+    np.testing.assert_array_equal(np.sort(real), np.sort(want_union))
+    # segment homogeneity + chunk_seg correctness
+    nc = int(n_chunks)
+    for c in range(nc):
+        chunk = u_ids[c].reshape(-1)
+        chunk = chunk[chunk >= 0]
+        if len(chunk):
+            segs = np.unique(chunk % s_n)
+            assert len(segs) == 1, (c, segs)
+            assert segs[0] == chunk_seg[0, c], (c, segs, chunk_seg[0, c])
+    # every real term sits in a populated chunk
+    for c in range(nc, u_ids.shape[0]):
+        assert (u_ids[c] < 0).all()
+    # qw weights
+    b = qids.shape[0]
+    qw_bu = qw.transpose(1, 0, 2).reshape(b, -1)
+    for bi in range(b):
+        for u_slot, tid in enumerate(flat_u):
+            if tid < 0:
+                continue
+            want = qvals[bi][qids[bi] == tid].sum()
+            np.testing.assert_allclose(qw_bu[bi, u_slot], want, rtol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "n_docs,max_len,b,t,k,vocab,s_n",
+    [
+        (300, 20, 4, 8, 5, 500, 4),
+        (513, 9, 12, 5, 10, 30, 8),
+        (130, 7, 9, 6, 7, 25, 2),
+    ],
+)
+def test_union_hashed_topk_matches_ref(rng, n_docs, max_len, b, t, k,
+                                       vocab, s_n):
+    """Id + score parity vs the dense reference through the hashed-
+    segment corpus layout x segment-grouped union chunks."""
+    from persian_rag_tpu.ops.sparse_scores import (
+        hash_segments,
+        sparse_topk_union_hashed_pallas,
+    )
+
+    ids, vals = make_corpus(rng, n_docs=n_docs, vocab=vocab, max_len=max_len)
+    ids3, vals3 = hash_segments(ids, vals, s_n)
+    qids = np.full((b, t), -1, np.int32)
+    qvals = np.zeros((b, t), np.float32)
+    for i in range(b):
+        length = rng.integers(1, t + 1)
+        qids[i, :length] = rng.choice(vocab, size=length, replace=True)
+        qvals[i, :length] = rng.random(length).astype(np.float32)
+    dense = np.asarray(
+        sparse_scores_ref(
+            jnp.asarray(ids), jnp.asarray(vals),
+            jnp.asarray(qids), jnp.asarray(qvals),
+        )
+    )
+    got_s, got_i = sparse_topk_union_hashed_pallas(
+        jnp.asarray(ids3), jnp.asarray(vals3),
+        jnp.asarray(qids), jnp.asarray(qvals),
+        k=k, tile_n=128, u_chunk=32, interpret=True,
+    )
+    order = np.argsort(-dense, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(np.asarray(got_i), order)
+    np.testing.assert_allclose(
+        np.asarray(got_s), np.take_along_axis(dense, order, axis=1),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_union_hashed_skewed_segments_and_all_pad(rng):
+    """All of the batch's terms hash into ONE segment (worst-case
+    imbalance: other segments get zero chunks), plus the all-pad
+    batch (zero chunks run at all)."""
+    from persian_rag_tpu.ops.sparse_scores import (
+        hash_segments,
+        sparse_topk_union_hashed_pallas,
+    )
+
+    s_n = 4
+    vocab_ids = np.arange(3, 60, s_n, dtype=np.int32)  # all % s_n == 3
+    ids = np.full((97, 6), -1, np.int32)
+    vals = np.zeros((97, 6), np.float32)
+    for r in range(97):
+        ln = rng.integers(1, 7)
+        ids[r, :ln] = rng.choice(vocab_ids, size=ln, replace=False)
+        vals[r, :ln] = rng.random(ln).astype(np.float32)
+    ids3, vals3 = hash_segments(ids, vals, s_n)
+    qids = np.full((5, 4), -1, np.int32)
+    qvals = np.zeros((5, 4), np.float32)
+    for i in range(5):
+        qids[i, : 2 + i % 3] = rng.choice(vocab_ids, size=2 + i % 3,
+                                          replace=False)
+        qvals[i, : 2 + i % 3] = rng.random(2 + i % 3).astype(np.float32)
+    dense = np.asarray(
+        sparse_scores_ref(
+            jnp.asarray(ids), jnp.asarray(vals),
+            jnp.asarray(qids), jnp.asarray(qvals),
+        )
+    )
+    got_s, got_i = sparse_topk_union_hashed_pallas(
+        jnp.asarray(ids3), jnp.asarray(vals3),
+        jnp.asarray(qids), jnp.asarray(qvals),
+        k=6, tile_n=128, u_chunk=16, interpret=True,
+    )
+    order = np.argsort(-dense, axis=1, kind="stable")[:, :6]
+    np.testing.assert_array_equal(np.asarray(got_i), order)
+
+    # all-pad batch
+    qids0 = np.full((3, 4), -1, np.int32)
+    qvals0 = np.zeros((3, 4), np.float32)
+    s0, i0 = sparse_topk_union_hashed_pallas(
+        jnp.asarray(ids3), jnp.asarray(vals3),
+        jnp.asarray(qids0), jnp.asarray(qvals0), 4,
+        tile_n=128, u_chunk=16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(s0), 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(i0), np.tile(np.arange(4), (3, 1))
+    )
