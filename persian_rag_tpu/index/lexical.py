@@ -44,6 +44,7 @@ from persian_rag_tpu.ops.sparse_scores import (
     sparse_topk,
     sparse_topk_hashed,
     sparse_topk_union,
+    sparse_topk_union_hashed,
 )
 
 _TOKEN_RE = re.compile(r"(?u)\b\w\w+\b")
@@ -74,7 +75,8 @@ class _Bucket:
     """One doc-length bucket: ELL arrays plus the row -> global-doc map."""
 
     __slots__ = (
-        "ids", "vals", "gids", "dev_ids", "dev_vals", "dev_gids", "n_actual"
+        "ids", "vals", "gids", "dev_ids", "dev_vals", "dev_gids",
+        "dev_ids3", "dev_vals3", "n_actual"
     )
 
     def __init__(self, ids: np.ndarray, vals: np.ndarray, gids: np.ndarray):
@@ -84,7 +86,33 @@ class _Bucket:
         self.dev_ids = None
         self.dev_vals = None
         self.dev_gids = None
+        # hashed-segment copy consumed by the union kernel only (None
+        # when the union-hash gate rejects the bucket)
+        self.dev_ids3 = None
+        self.dev_vals3 = None
         self.n_actual = ids.shape[0]
+
+
+def _topk_one_layout(
+    ids, vals, ids3, vals3, qids, qvals, kb, use_pallas, use_union
+):
+    """Kernel choice for one ELL: union batches prefer the hashed-union
+    copy (segment-grouped chunks scan Ls slots instead of L — measured
+    1.45x at 200k over the flat union kernel); flat-kernel batches keep
+    the layout the build gates picked for them."""
+    if use_union and ids3 is not None:
+        return sparse_topk_union_hashed(
+            ids3, vals3, qids, qvals, kb, use_pallas=use_pallas
+        )
+    if ids.ndim == 3:  # hashed-segment device layout
+        return sparse_topk_hashed(
+            ids, vals, qids, qvals, kb, use_pallas=use_pallas
+        )
+    if use_union:
+        return sparse_topk_union(
+            ids, vals, qids, qvals, kb, use_pallas=use_pallas
+        )
+    return sparse_topk(ids, vals, qids, qvals, kb, use_pallas=use_pallas)
 
 
 def _fused_bucket_topk_impl(
@@ -97,6 +125,8 @@ def _fused_bucket_topk_impl(
     k: int,
     use_pallas,
     use_union: bool = False,
+    bucket_ids3=None,
+    bucket_vals3=None,
 ):
     """All buckets' top-k plus the global merge in ONE device dispatch.
 
@@ -106,21 +136,20 @@ def _fused_bucket_topk_impl(
     sparse_topk runs inside a single jit, candidate ids map to global doc
     ids on device, and the merge reproduces the host np.lexsort tie order
     (score desc, then lower global id) via a two-key lax.sort.
+
+    bucket_ids3/bucket_vals3 optionally carry per-bucket hashed-segment
+    copies for the union kernel (None entries fall back per bucket).
     """
+    if bucket_ids3 is None:
+        bucket_ids3 = (None,) * len(bucket_ids)
+        bucket_vals3 = (None,) * len(bucket_vals)
     parts_s, parts_i = [], []
-    for ids, vals, gids, kb in zip(bucket_ids, bucket_vals, bucket_gids, kbs):
-        if ids.ndim == 3:  # hashed-segment device layout
-            s, i = sparse_topk_hashed(
-                ids, vals, qids, qvals, kb, use_pallas=use_pallas
-            )
-        elif use_union:
-            s, i = sparse_topk_union(
-                ids, vals, qids, qvals, kb, use_pallas=use_pallas
-            )
-        else:
-            s, i = sparse_topk(
-                ids, vals, qids, qvals, kb, use_pallas=use_pallas
-            )
+    for ids, vals, gids, kb, ids3, vals3 in zip(
+        bucket_ids, bucket_vals, bucket_gids, kbs, bucket_ids3, bucket_vals3
+    ):
+        s, i = _topk_one_layout(
+            ids, vals, ids3, vals3, qids, qvals, kb, use_pallas, use_union
+        )
         parts_s.append(s)
         parts_i.append(gids[i])
     cat_s = jnp.concatenate(parts_s, axis=1)
@@ -164,12 +193,15 @@ def _packed_bucket_topk(
     k: int,
     use_pallas,
     use_union: bool = False,
+    bucket_ids3=None,
+    bucket_vals3=None,
 ):
     qids = packed_q[:, :t]
     qvals = jax.lax.bitcast_convert_type(packed_q[:, t:], jnp.float32)
     s, i = _fused_bucket_topk_impl(
         bucket_ids, bucket_vals, bucket_gids, qids, qvals,
         kbs=kbs, k=k, use_pallas=use_pallas, use_union=use_union,
+        bucket_ids3=bucket_ids3, bucket_vals3=bucket_vals3,
     )
     return jnp.concatenate(
         [jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1
@@ -187,21 +219,15 @@ def _packed_flat_topk(
     k: int,
     use_pallas,
     use_union: bool = False,
+    dev_ids3=None,
+    dev_vals3=None,
 ):
     qids = packed_q[:, :t]
     qvals = jax.lax.bitcast_convert_type(packed_q[:, t:], jnp.float32)
-    if dev_ids.ndim == 3:  # hashed-segment device layout
-        s, i = sparse_topk_hashed(
-            dev_ids, dev_vals, qids, qvals, k, use_pallas=use_pallas
-        )
-    elif use_union:
-        s, i = sparse_topk_union(
-            dev_ids, dev_vals, qids, qvals, k, use_pallas=use_pallas
-        )
-    else:
-        s, i = sparse_topk(
-            dev_ids, dev_vals, qids, qvals, k, use_pallas=use_pallas
-        )
+    s, i = _topk_one_layout(
+        dev_ids, dev_vals, dev_ids3, dev_vals3, qids, qvals, k,
+        use_pallas, use_union,
+    )
     return jnp.concatenate(
         [jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1
     )
@@ -253,6 +279,20 @@ _HASH_MAX_STORE = 2.5  # require S * Ls <= 2.5 * L_pad (HBM stream cap)
 _UNION_MIN_SLOTS = 1024   # b*t below this, flat is always fine
 _UNION_MAX_FRAC = 0.4     # unique terms <= 40% of b*t slots
 
+# Hashed-UNION copy: the union kernel's match work is U * L * TN per
+# corpus tile; segment-grouped union chunks over a hashed (N, S, Ls)
+# copy scan only ~L/S slots per chunk (measured on chip: 200k zipf
+# L=47 35.3 -> 24.4 ms/512q, 1.45x; see scripts/
+# bench_lexical_hashed_union.py and DESIGN.md). The copy is built
+# ALONGSIDE the flat layout — the flat kernel keeps its own
+# measured-optimal layout (hashed-flat LOSES 2x at 1M short docs) —
+# so it costs ~2.7x the ELL bytes; the gate reserves it for corpora
+# where batch-throughput lexical serving is the regime that matters.
+_UNION_HASH_MIN_N = 65_536
+_UNION_HASH_MIN_L = 24      # Ls ~ L/S + padding needs room to win
+_UNION_HASH_SEGMENTS = 8    # measured sweet spot at L~47 (Ls=16)
+_UNION_HASH_MAX_STORE = 4.0  # give up past 4x bytes (hash imbalance)
+
 # Hashed-UB prefilter (ops.lexical_prefilter) storage gate: a bucketed
 # corpus must densify into a unified (N, Lmax) gather ELL within this
 # factor of its bucketed entry count (one pathological long doc must
@@ -303,6 +343,8 @@ class _EllIndex:
         self.doc_vals: Optional[np.ndarray] = None  # (N, L) float32
         self._dev_ids: Optional[jnp.ndarray] = None
         self._dev_vals: Optional[jnp.ndarray] = None
+        self._dev_ids3: Optional[jnp.ndarray] = None  # union-hash copy
+        self._dev_vals3: Optional[jnp.ndarray] = None
         self._buckets: Optional[List[_Bucket]] = None
         self._n = 0
         self._mesh_fused_cache: Dict = {}
@@ -336,6 +378,8 @@ class _EllIndex:
         self.doc_ids, self.doc_vals = ids, vals
         self._buckets = None
         self._n = ids.shape[0]
+        self._dev_ids3 = None
+        self._dev_vals3 = None
         if self.mesh is not None:
             from persian_rag_tpu.parallel.sharded_lexical import shard_ell
 
@@ -343,18 +387,26 @@ class _EllIndex:
                 jnp.asarray(ids), jnp.asarray(vals), self.mesh
             )
         else:
-            self._dev_ids, self._dev_vals = self._device_ell(ids, vals)
+            (self._dev_ids, self._dev_vals,
+             self._dev_ids3, self._dev_vals3) = self._device_ell(ids, vals)
 
     @staticmethod
-    def _device_ell(
-        ids: np.ndarray, vals: np.ndarray
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Single-chip device form of an ELL: hashed-segment (N, S, Ls)
-        when the ACTUAL repacked height clears the work/stream gates,
-        flat (N, L) otherwise. Candidate segment counts are tried
-        largest-first; the first plan passing both gates wins (larger S
-        means less match work at more stream, bounded by the store
-        gate)."""
+    def _device_ell(ids: np.ndarray, vals: np.ndarray) -> Tuple[
+        jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray],
+        Optional[jnp.ndarray],
+    ]:
+        """Single-chip device form of an ELL.
+
+        Returns (primary_ids, primary_vals, union_ids3, union_vals3):
+        the PRIMARY layout serves the flat/hashed per-term kernels —
+        hashed-segment (N, S, Ls) when the ACTUAL repacked height
+        clears the work/stream gates, flat (N, L) otherwise (candidate
+        segment counts tried largest-first; larger S means less match
+        work at more stream, bounded by the store gate). The UNION
+        copy is the hashed layout the union kernel consumes: the
+        primary itself when it is already 3-D, an extra hashed copy
+        under the _UNION_HASH_* gates, or None (the union kernel then
+        runs on the flat layout)."""
         el = ids.shape[1]
         el_pad = ((el + 7) // 8) * 8
         if el >= _HASH_MIN_L:
@@ -365,8 +417,21 @@ class _EllIndex:
                     ls * _HASH_MAX_WORK <= el_pad
                     and s * ls <= _HASH_MAX_STORE * el_pad
                 ):
-                    return jnp.asarray(ids3), jnp.asarray(vals3)
-        return jnp.asarray(ids), jnp.asarray(vals)
+                    d_ids3 = jnp.asarray(ids3)
+                    d_vals3 = jnp.asarray(vals3)
+                    return d_ids3, d_vals3, d_ids3, d_vals3
+        d_ids = jnp.asarray(ids)
+        d_vals = jnp.asarray(vals)
+        if (
+            ids.shape[0] >= _UNION_HASH_MIN_N
+            and el >= _UNION_HASH_MIN_L
+        ):
+            s = _UNION_HASH_SEGMENTS
+            ids3, vals3 = hash_segments(ids, vals, s)
+            ls = ids3.shape[2]
+            if s * ls <= _UNION_HASH_MAX_STORE * el_pad and 2 * ls <= el_pad:
+                return d_ids, d_vals, jnp.asarray(ids3), jnp.asarray(vals3)
+        return d_ids, d_vals, None, None
 
     @staticmethod
     def _fill_ell(
@@ -389,6 +454,8 @@ class _EllIndex:
         self.doc_vals = None
         self._dev_ids = None
         self._dev_vals = None
+        self._dev_ids3 = None
+        self._dev_vals3 = None
         self._buckets = buckets
         self._n = n
         for b in buckets:
@@ -399,7 +466,8 @@ class _EllIndex:
                     jnp.asarray(b.ids), jnp.asarray(b.vals), self.mesh
                 )
             else:
-                b.dev_ids, b.dev_vals = self._device_ell(b.ids, b.vals)
+                (b.dev_ids, b.dev_vals,
+                 b.dev_ids3, b.dev_vals3) = self._device_ell(b.ids, b.vals)
             b.dev_gids = jnp.asarray(b.gids)
 
     def _set_ell_auto(self, ids: np.ndarray, vals: np.ndarray) -> None:
@@ -630,6 +698,7 @@ class _EllIndex:
                 out = _packed_flat_topk(
                     dev_q, self._dev_ids, self._dev_vals, t=t, k=k,
                     use_pallas=use_pallas, use_union=use_union,
+                    dev_ids3=self._dev_ids3, dev_vals3=self._dev_vals3,
                 )
                 return _unpack_topk(np.asarray(out), k)
             kbs = tuple(min(k, b.n_actual) for b in self._buckets)
@@ -640,6 +709,8 @@ class _EllIndex:
                 tuple(b.dev_gids for b in self._buckets),
                 t=t, kbs=kbs, k=k,
                 use_pallas=use_pallas, use_union=use_union,
+                bucket_ids3=tuple(b.dev_ids3 for b in self._buckets),
+                bucket_vals3=tuple(b.dev_vals3 for b in self._buckets),
             )
             return _unpack_topk(np.asarray(out), min(k, sum(kbs)))
         # mesh paths: per-shard kernels + collective merges (transfer

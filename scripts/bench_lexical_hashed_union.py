@@ -111,31 +111,37 @@ def main() -> None:
           flush=True)
 
     def run(kernel_name):
+        # big arrays must be ARGUMENTS: jit constants over ~300MB hit
+        # the relay's remote-compile HTTP body limit (413)
         @jax.jit
-        def timed(seed):
+        def timed(di, dv, pool, seed):
             def body(i, acc):
                 key = jax.random.fold_in(jax.random.PRNGKey(0), seed + i)
                 rows = jax.random.randint(
                     key, (args.batch,), 0, args.pool, jnp.int32
                 )
-                qi = dev_pool[rows]
+                qi = pool[rows]
                 qv = jnp.ones((args.batch, t_slots), jnp.float32)
                 if kernel_name == "union":
                     s, idx = sparse_topk_union_pallas(
-                        dev_ids, dev_vals, qi, qv, k, interpret=interp)
+                        di, dv, qi, qv, k, interpret=interp)
                 else:
                     s, idx = sparse_topk_union_hashed_pallas(
-                        dev_ids3, dev_vals3, qi, qv, k,
+                        di, dv, qi, qv, k,
                         u_chunk=args.u_chunk, interpret=interp)
                 return acc + jnp.sum(s) + jnp.sum(idx).astype(jnp.float32)
             return jax.lax.fori_loop(0, args.reps, body, 0.0)
 
+        di, dv = (
+            (dev_ids, dev_vals) if kernel_name == "union"
+            else (dev_ids3, dev_vals3)
+        )
         try:
             t0 = time.time()
-            np.asarray(timed(0))
+            np.asarray(timed(di, dv, dev_pool, 0))
             compile_s = time.time() - t0
             t0 = time.time()
-            np.asarray(timed(40_000))
+            np.asarray(timed(di, dv, dev_pool, 40_000))
             dt = (time.time() - t0) / args.reps
             print(
                 f"{kernel_name:12s}: {dt*1e3:8.1f} ms / {args.batch} q  "

@@ -132,6 +132,38 @@ def main():
                 f"zero_norm_ids_0..k={zero_ok} -> {status}",
                 flush=True,
             )
+    # SERVING path: the same plants through DenseIndex.search (packed
+    # single-transfer flow — scores ride an int32 bitcast container and
+    # the proof verdict a packed column; this validates the transport
+    # is bit-exact end to end, not just the kernel)
+    from persian_rag_tpu.index.dense import DenseIndex
+
+    for metric in ("ip", "l2"):
+        index = DenseIndex(D, metric=metric)
+        index.add(corpus)
+        index.commit()
+        q = rng.standard_normal((512, D)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        q[0] = corpus[DUP_IDS[0]]
+        q1 = corpus[FAN_BASE] + 0.1 * W
+        q[1] = q1 / np.linalg.norm(q1)
+        q3 = corpus[FAN_BASE] - 0.07 * W
+        q[3] = q3 / np.linalg.norm(q3)
+        want_s, want_i = reference(q, corpus, "dot" if metric == "ip"
+                                   else "l2")
+        s, i = index.search(q, K)
+        ok_ids = np.array_equal(i, want_i)
+        ok_scores = np.allclose(s, want_s, rtol=1e-6, atol=1e-6)
+        status = "OK" if (ok_ids and ok_scores) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(
+            f"serving DenseIndex.search metric={metric} "
+            f"(stage1={index._stage1_mode}): ids_equal={ok_ids} "
+            f"scores_close={ok_scores} -> {status}",
+            flush=True,
+        )
+
     print("ALL OK" if failures == 0 else f"{failures} FAILURES")
     sys.exit(1 if failures else 0)
 

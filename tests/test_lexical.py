@@ -254,3 +254,44 @@ def test_packed_serving_container_is_int32():
     assert out.dtype == jnp.int32
     s2, i2 = _unpack_topk(np.asarray(out), 5)
     assert s2.dtype == np.float32 and i2.dtype == np.int32
+
+
+def test_union_hash_copy_search_parity(monkeypatch):
+    """With the union-hash gate forced open, search() routes union
+    batches through the hashed-union kernel and must return the same
+    ids as the dense argsort and the forced flat kernel (scores within
+    reduction-order tolerance)."""
+    import persian_rag_tpu.index.lexical as lex
+
+    monkeypatch.setattr(lex, "_UNION_HASH_MIN_N", 50)
+    monkeypatch.setattr(lex, "_UNION_HASH_MIN_L", 4)
+    rng = np.random.default_rng(17)
+    docs = _zipf_corpus(rng, 300, lo=10, hi=14)
+    index = lex.BM25Index().build(docs)
+    assert index._buckets is None
+    assert index._dev_ids3 is not None, "union-hash copy must build"
+    assert index._dev_ids3.ndim == 3
+    queries = [
+        " ".join(map(str, rng.zipf(1.4, size=6) % 400)) for _ in range(64)
+    ]
+    index.batch_kernel = "union"
+    s_u, i_u = index.search(queries, 10)
+    index.batch_kernel = "flat"
+    s_f, i_f = index.search(queries, 10)
+    dense = np.stack([index.get_scores(q) for q in queries])
+    want = np.argsort(-dense, axis=1, kind="stable")[:, :10]
+    np.testing.assert_array_equal(i_u, want)
+    np.testing.assert_array_equal(i_f, want)
+    np.testing.assert_allclose(s_u, s_f, rtol=1e-5, atol=1e-5)
+
+    # bucketed corpus: per-bucket union-hash copies
+    docs2 = _zipf_corpus(rng, 260, lo=5, hi=12)
+    docs2[1] = " ".join(map(str, rng.zipf(1.4, size=600) % 400))
+    idx2 = lex.BM25Index().build(docs2)
+    assert idx2._buckets is not None
+    assert any(b.dev_ids3 is not None for b in idx2._buckets)
+    idx2.batch_kernel = "union"
+    s2, i2 = idx2.search(queries, 10)
+    dense2 = np.stack([idx2.get_scores(q) for q in queries])
+    want2 = np.argsort(-dense2, axis=1, kind="stable")[:, :10]
+    np.testing.assert_array_equal(i2, want2)
