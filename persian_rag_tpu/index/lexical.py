@@ -775,20 +775,27 @@ class _EllIndex:
         ]
         return fn(qids, qvals, *arrays)
 
-    def device_arrays(self) -> Tuple[jnp.ndarray, ...]:
+    def device_arrays(self) -> Tuple:
         """Device arrays for jittable single-chip search, to be passed
         into an outer jit as traced ARGUMENTS (closures over large
         device constants break remote compile paths). Flat layout:
-        (dev_ids, dev_vals); bucketed: (ids, vals, gids) per bucket.
-        Pair with `bucket_kbs(k)` for the matching static metadata."""
+        (dev_ids, dev_vals, dev_ids3, dev_vals3); bucketed: (ids, vals,
+        gids, ids3, vals3) per bucket — the ids3/vals3 slots carry the
+        hashed-union copies (None when ungated; None is a valid jit
+        argument as an empty pytree). Pair with `bucket_kbs(k)` for the
+        matching static metadata."""
         if self.mesh is not None:
             raise ValueError("device_arrays is single-chip; use search()")
         if self._buckets is None:
-            return (self._dev_ids, self._dev_vals)
+            return (
+                self._dev_ids, self._dev_vals,
+                self._dev_ids3, self._dev_vals3,
+            )
         return tuple(
             x
             for b in self._buckets
-            for x in (b.dev_ids, b.dev_vals, b.dev_gids)
+            for x in (b.dev_ids, b.dev_vals, b.dev_gids,
+                      b.dev_ids3, b.dev_vals3)
         )
 
     def bucket_kbs(self, k: int) -> Tuple[int, ...]:

@@ -356,26 +356,33 @@ class RetrievalSystem:
         rerank: bool,
         dense_weight: float,
         bm25_weight: float,
+        use_union: bool = False,
     ):
         """Jitted (tokenized queries, lexical query terms) -> hybrid
         top-k step: encoder forward + fused dense search + fused lexical
         search + channel fusion (+ stored-vector cosine rerank) in ONE
         device dispatch. The host path pays a per-query Python dict loop
         plus separate dense/bm25/rerank dispatches (reference semantics:
-        src/retrieval.py:174-216; measured 4.17 ms/q at 20k docs)."""
-        from persian_rag_tpu.index.lexical import _fused_bucket_topk
+        src/retrieval.py:174-216; measured 4.17 ms/q at 20k docs).
+        use_union routes the lexical share through the union/hashed-
+        union batch-dedup kernels (per-batch host gate, like
+        BM25Index.search's)."""
+        from persian_rag_tpu.index.lexical import (
+            _fused_bucket_topk_impl,
+            _topk_one_layout,
+        )
         from persian_rag_tpu.ops.hybrid_fusion import (
             fuse_hybrid,
             gather_rows_device,
             rerank_cosine,
         )
-        from persian_rag_tpu.ops.sparse_scores import (
-            sparse_topk,
-            sparse_topk_hashed,
-        )
 
+        # the union kernels' merge unrolls k extraction steps; stay on
+        # the per-term kernels for wide over-retrieves
+        use_union = use_union and m_b <= 32
         kbs = self.bm25_index.bucket_kbs(m_b)
-        key = ("hybrid", k, m_d, m_b, rerank, dense_weight, bm25_weight, kbs)
+        key = ("hybrid", k, m_d, m_b, rerank, dense_weight, bm25_weight,
+               kbs, use_union)
         if key not in self._fused_cache:
             import jax
 
@@ -417,20 +424,20 @@ class RetrievalSystem:
                     stage1_lo=stage1_lo,
                 )
                 if n_buckets == 0:
-                    lex_fn = (
-                        sparse_topk_hashed
-                        if lex_arrays[0].ndim == 3
-                        else sparse_topk
-                    )
-                    l_s, l_i = lex_fn(
-                        lex_arrays[0], lex_arrays[1], qids, qvals, m_b
+                    l_s, l_i = _topk_one_layout(
+                        lex_arrays[0], lex_arrays[1],
+                        lex_arrays[2], lex_arrays[3],
+                        qids, qvals, m_b, None, use_union,
                     )
                 else:
-                    l_s, l_i = _fused_bucket_topk(
-                        tuple(lex_arrays[0::3]),
-                        tuple(lex_arrays[1::3]),
-                        tuple(lex_arrays[2::3]),
+                    l_s, l_i = _fused_bucket_topk_impl(
+                        tuple(lex_arrays[0::5]),
+                        tuple(lex_arrays[1::5]),
+                        tuple(lex_arrays[2::5]),
                         qids, qvals, kbs=kbs, k=m_b, use_pallas=None,
+                        use_union=use_union,
+                        bucket_ids3=tuple(lex_arrays[3::5]),
+                        bucket_vals3=tuple(lex_arrays[4::5]),
                     )
                 f_s, f_i = fuse_hybrid(
                     d_s, d_i, l_s, l_i, k,
@@ -485,7 +492,8 @@ class RetrievalSystem:
         (corpus, scales, refine, sqnorms, stage1, center,
          s1_center, c_sqmax, s1_lo) = self.dense_index.fused_args()
         fn = self._fused_hybrid_fn(
-            k, m_d, m_b, rerank, dense_weight, bm25_weight
+            k, m_d, m_b, rerank, dense_weight, bm25_weight,
+            use_union=bm._union_gate(qids),
         )
         packed_q = np.concatenate(
             [

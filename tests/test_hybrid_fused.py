@@ -170,3 +170,42 @@ def test_hybrid_on_mesh_matches_single_chip(hybrid_rs):
         np.testing.assert_allclose(
             [s for _, s in h], [s for _, s in d], rtol=1e-4, atol=1e-5
         )
+
+
+def test_fused_hybrid_union_kernel_matches_host(hybrid_rs, monkeypatch):
+    """With the union gate forced open (and the union-hash copy built),
+    the hybrid fused dispatch routes its lexical share through the
+    batch-dedup kernels and must stay score-identical to the host
+    fusion loop."""
+    import persian_rag_tpu.index.lexical as lex
+
+    rs = hybrid_rs
+    monkeypatch.setattr(lex, "_UNION_MIN_SLOTS", 1)
+    monkeypatch.setattr(lex, "_UNION_MAX_FRAC", 1.0)
+    qids, _ = rs.bm25_index._encode_queries(
+        [rs.bm25_index._query_terms(q) for q in QUERIES]
+    )
+    assert rs.bm25_index._union_gate(qids)  # gate now opens
+    host = rs.retrieve_hybrid_batch(QUERIES, top_k=4, fused=False)
+    dev = rs.retrieve_hybrid_batch(QUERIES, top_k=4, fused=True)
+    for h, d in zip(host, dev):
+        assert [c["id"] for c, _ in h] == [c["id"] for c, _ in d]
+        np.testing.assert_allclose(
+            [s for _, s in h], [s for _, s in d], rtol=1e-5, atol=1e-6
+        )
+    # and with per-bucket hashed-union copies forced to build
+    monkeypatch.setattr(lex, "_UNION_HASH_MIN_N", 1)
+    monkeypatch.setattr(lex, "_UNION_HASH_MIN_L", 1)
+    rs2 = RetrievalSystem(method="hybrid", encoder=make_encoder())
+    assert rs2.load_chunks_and_index(CHUNKS)
+    bm = rs2.bm25_index
+    has3 = (
+        bm._dev_ids3 is not None
+        if bm._buckets is None
+        else any(b.dev_ids3 is not None for b in bm._buckets)
+    )
+    assert has3, "union-hash copy must build under the forced gate"
+    host2 = rs2.retrieve_hybrid_batch(QUERIES, top_k=4, fused=False)
+    dev2 = rs2.retrieve_hybrid_batch(QUERIES, top_k=4, fused=True)
+    for h, d in zip(host2, dev2):
+        assert [c["id"] for c, _ in h] == [c["id"] for c, _ in d]
