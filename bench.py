@@ -256,9 +256,12 @@ def bench_hybrid(jax, jnp, extras: dict) -> None:
 
     rng = np.random.default_rng(11)
     n_docs = int(os.environ.get("BENCH_HYBRID_N", 100_000))
+    # zipf token draws: natural-language corpora and queries share
+    # vocabulary heavily, which is what gates the union lexical kernels
+    # (uniform draws would be an adversarial no-sharing workload)
     chunks = [
         {"id": i,
-         "text": " ".join(str(x) for x in rng.integers(0, 30_000, 12))}
+         "text": " ".join(str(x) for x in rng.zipf(1.3, 12) % 30_000)}
         for i in range(n_docs)
     ]
     emb = rng.standard_normal((n_docs, 384)).astype(np.float32)
@@ -280,16 +283,21 @@ def bench_hybrid(jax, jnp, extras: dict) -> None:
 
     def queries(seed):
         r = np.random.default_rng(seed)
-        return [" ".join(str(x) for x in r.integers(0, 30_000, 8))
+        return [" ".join(str(x) for x in r.zipf(1.3, 8) % 30_000)
                 for _ in range(hb)]
 
     assert rs._hybrid_fused_supported(), "expected the one-dispatch path"
     t0 = time.time()
     rs.retrieve_hybrid_batch(queries(0), 10, rerank=True)
+    rs.retrieve_hybrid_batch(queries(1), 10, rerank=True)
     warm = time.time() - t0
-    t0 = time.time()
-    out = rs.retrieve_hybrid_batch(queries(1), 10, rerank=True)
-    dt = time.time() - t0
+    times = []
+    for rep in range(5):
+        qb = queries(100 + rep)
+        t0 = time.time()
+        out = rs.retrieve_hybrid_batch(qb, 10, rerank=True)
+        times.append(time.time() - t0)
+    dt = sorted(times)[len(times) // 2]  # median of 5 fresh batches
     assert len(out) == hb and len(out[0]) == 10
     log(
         f"hybrid+rerank serving N={n_docs} (one-dispatch device fusion): "
