@@ -638,7 +638,7 @@ class _EllIndex:
 
             s, i = sharded_sparse_topk(
                 dev_ids, dev_vals, qids, qvals, k, n_actual, self.mesh,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, use_union=use_union,
             )
         elif dev_ids.ndim == 3:  # hashed-segment layout
             s, i = sparse_topk_hashed(
@@ -667,7 +667,7 @@ class _EllIndex:
         keep the deterministic lower-id-first order in both kernels."""
         if self.batch_kernel == "union":
             return True
-        if self.batch_kernel is not None or self.mesh is not None:
+        if self.batch_kernel is not None:
             return False
         b, t = qids_np.shape
         if b * t < _UNION_MIN_SLOTS:
@@ -726,10 +726,13 @@ class _EllIndex:
         # the flat scan — ALL buckets and the merge in one jitted
         # dispatch (a host-side per-bucket loop pays a dispatch +
         # readback round trip per bucket).
-        s, i = self._sharded_bucket_topk(qids, qvals, k, use_pallas)
+        s, i = self._sharded_bucket_topk(
+            qids, qvals, k, use_pallas, use_union
+        )
         return np.asarray(s), np.asarray(i)
 
-    def _sharded_bucket_topk(self, qids, qvals, k, use_pallas):
+    def _sharded_bucket_topk(self, qids, qvals, k, use_pallas,
+                             use_union=False):
         """All buckets' mesh-sharded top-k plus the global merge in one
         jitted dispatch (cached per (k, query shape)). Degenerate short
         results carry id -1 at NEG_INF score (the old host merge mapped
@@ -738,7 +741,7 @@ class _EllIndex:
             sharded_sparse_topk,
         )
 
-        key = (k, qids.shape, use_pallas)
+        key = (k, qids.shape, use_pallas, use_union)
         fn = self._mesh_fused_cache.get(key)
         if fn is None:
             buckets, mesh = self._buckets, self.mesh
@@ -751,7 +754,7 @@ class _EllIndex:
                     ids_s, vals_s, gids_d = arrays[3 * bi: 3 * bi + 3]
                     s, i = sharded_sparse_topk(
                         ids_s, vals_s, qi, qv, kbs[bi], n_actuals[bi],
-                        mesh, use_pallas=use_pallas,
+                        mesh, use_pallas=use_pallas, use_union=use_union,
                     )
                     gid = jnp.where(
                         i >= 0, gids_d[jnp.maximum(i, 0)], -1

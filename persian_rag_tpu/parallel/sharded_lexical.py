@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from persian_rag_tpu.core.mesh import CORPUS_AXIS
 from persian_rag_tpu.ops._merge import NEG_INF
-from persian_rag_tpu.ops.sparse_scores import sparse_topk
+from persian_rag_tpu.ops.sparse_scores import sparse_topk, sparse_topk_union
 
 
 def _round_up(n: int, m: int) -> int:
@@ -52,8 +52,13 @@ def sharded_sparse_topk(
     n_actual: int,
     mesh: Mesh,
     use_pallas: Optional[bool] = None,
+    use_union: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns ((B, k) scores desc, (B, k) global ids), replicated."""
+    """Returns ((B, k) scores desc, (B, k) global ids), replicated.
+
+    use_union routes each shard's scan through the batch-dedup union
+    kernel (the dedup prep replicates per shard — queries are already
+    replicated, so the union is identical on every device)."""
     n_shards = mesh.shape[CORPUS_AXIS]
     k = min(k, n_actual)
     if use_pallas is None:
@@ -67,11 +72,15 @@ def sharded_sparse_topk(
     local_n_static = doc_ids_sharded.shape[0] // n_shards
     pad_total = local_n_static * n_shards - n_actual
     k_local = min(k + pad_total, local_n_static)
+    # the union kernel's merge unrolls k extraction steps; wide local
+    # over-retrieves stay on the per-term kernel
+    use_union = use_union and k_local <= 32
 
     def local(qi, qv, ids_local, vals_local):
         shard = jax.lax.axis_index(CORPUS_AXIS)
         local_n = ids_local.shape[0]
-        s, i = sparse_topk(
+        topk_fn = sparse_topk_union if use_union else sparse_topk
+        s, i = topk_fn(
             ids_local, vals_local, qi, qv, k_local, use_pallas=use_pallas
         )
         kl = s.shape[1]

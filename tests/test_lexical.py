@@ -165,8 +165,12 @@ def test_union_gate_logic():
     index.batch_kernel = "flat"
     assert not index._union_gate(shared)
     index.batch_kernel = None
-    index.mesh = object()  # mesh path has its own sharded kernel
-    assert not index._union_gate(shared)
+    # mesh indexes use the same auto gate: each shard's scan routes
+    # through the union kernel per batch (parity covered in
+    # tests/test_sharded_lexical.py)
+    index.mesh = object()
+    assert index._union_gate(shared)
+    assert not index._union_gate(distinct)
 
 
 @pytest.mark.parametrize("bucketed", [False, True])

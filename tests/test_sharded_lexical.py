@@ -107,3 +107,30 @@ def test_sharded_bucketed_k_exceeds_corpus():
     assert s1.shape == s2.shape == (2, len(docs))
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("bucketed", [False, True])
+def test_sharded_union_kernel_matches_single_chip(bucketed):
+    """batch_kernel='union' on a mesh routes each shard's scan through
+    the batch-dedup union kernel; ids must match the single-chip flat
+    result (per-shard dedup replicates — queries are replicated)."""
+    mesh = build_mesh(corpus_axis=8, data_axis=1)
+    rng = np.random.default_rng(23)
+    docs = [
+        " ".join(map(str, rng.zipf(1.4, size=rng.integers(5, 12)) % 300))
+        for _ in range(137)
+    ]
+    if bucketed:
+        docs[2] = " ".join(map(str, rng.zipf(1.4, size=500) % 300))
+    plain = BM25Index().build(docs)
+    sharded = BM25Index(mesh=mesh).build(docs)
+    assert (sharded._buckets is not None) == bucketed
+    queries = [
+        " ".join(map(str, rng.zipf(1.4, size=5) % 300)) for _ in range(16)
+    ]
+    plain.batch_kernel = "flat"
+    s1, i1 = plain.search(queries, k=7)
+    sharded.batch_kernel = "union"
+    s2, i2 = sharded.search(queries, k=7)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
