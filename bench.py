@@ -966,6 +966,29 @@ def main() -> None:
             )
             extras["dense_serving_p50_ms"] = round(p50, 1)
             extras["dense_serving_qps"] = round(BATCH / p50 * 1e3, 1)
+            if os.environ.get("BENCH_SWEEP", "1") != "0":
+                # peak-throughput serving config: batch 2048 amortizes
+                # the fixed per-call transfer cost over 4x the queries
+                def fresh_q4(seed):
+                    r = np.random.default_rng(seed)
+                    q = r.standard_normal((2048, DIM)).astype(np.float32)
+                    return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+                sidx.search(fresh_q4(0), K)
+                times = []
+                for rep in range(5):
+                    qb = fresh_q4(200 + rep)
+                    t0 = time.time()
+                    sidx.search(qb, K)
+                    times.append(time.time() - t0)
+                p50b = sorted(times)[len(times) // 2] * 1e3
+                log(
+                    f"dense SERVING e2e batch-2048: p50 {p50b:.1f} ms"
+                    f" = {2048/p50b*1e3:.0f} QPS"
+                )
+                extras["dense_serving_qps_b2048"] = round(
+                    2048 / p50b * 1e3, 1
+                )
             del sidx
         except Exception as e:
             log(f"dense serving bench skipped: {e}")
