@@ -94,13 +94,17 @@ class _Bucket:
 
 
 def _topk_one_layout(
-    ids, vals, ids3, vals3, qids, qvals, kb, use_pallas, use_union
+    ids, vals, ids3, vals3, qids, qvals, kb, use_pallas, use_union,
+    hash_ok: bool = True,
 ):
     """Kernel choice for one ELL: union batches prefer the hashed-union
     copy (segment-grouped chunks scan Ls slots instead of L — measured
     1.45x at 200k over the flat union kernel); flat-kernel batches keep
-    the layout the build gates picked for them."""
-    if use_union and ids3 is not None:
+    the layout the build gates picked for them. hash_ok carries the
+    per-batch work-model verdict (small unions pay more in per-segment
+    chunk padding than the Ls cut saves — measured 1M batch-64 zipf:
+    hashed 55.0 ms vs flat union 35.7)."""
+    if use_union and hash_ok and ids3 is not None:
         return sparse_topk_union_hashed(
             ids3, vals3, qids, qvals, kb, use_pallas=use_pallas
         )
@@ -127,6 +131,7 @@ def _fused_bucket_topk_impl(
     use_union: bool = False,
     bucket_ids3=None,
     bucket_vals3=None,
+    hash_ok: Tuple[bool, ...] = (),
 ):
     """All buckets' top-k plus the global merge in ONE device dispatch.
 
@@ -138,17 +143,22 @@ def _fused_bucket_topk_impl(
     (score desc, then lower global id) via a two-key lax.sort.
 
     bucket_ids3/bucket_vals3 optionally carry per-bucket hashed-segment
-    copies for the union kernel (None entries fall back per bucket).
+    copies for the union kernel (None entries fall back per bucket);
+    hash_ok is the per-bucket per-batch work-model verdict (static).
     """
     if bucket_ids3 is None:
         bucket_ids3 = (None,) * len(bucket_ids)
         bucket_vals3 = (None,) * len(bucket_vals)
+    if not hash_ok:
+        hash_ok = (True,) * len(bucket_ids)
     parts_s, parts_i = [], []
-    for ids, vals, gids, kb, ids3, vals3 in zip(
-        bucket_ids, bucket_vals, bucket_gids, kbs, bucket_ids3, bucket_vals3
+    for ids, vals, gids, kb, ids3, vals3, h_ok in zip(
+        bucket_ids, bucket_vals, bucket_gids, kbs, bucket_ids3,
+        bucket_vals3, hash_ok
     ):
         s, i = _topk_one_layout(
-            ids, vals, ids3, vals3, qids, qvals, kb, use_pallas, use_union
+            ids, vals, ids3, vals3, qids, qvals, kb, use_pallas,
+            use_union, h_ok,
         )
         parts_s.append(s)
         parts_i.append(gids[i])
@@ -162,7 +172,8 @@ def _fused_bucket_topk_impl(
 
 
 _fused_bucket_topk = functools.partial(
-    jax.jit, static_argnames=("kbs", "k", "use_pallas", "use_union")
+    jax.jit,
+    static_argnames=("kbs", "k", "use_pallas", "use_union", "hash_ok"),
 )(_fused_bucket_topk_impl)
 
 
@@ -181,7 +192,10 @@ _fused_bucket_topk = functools.partial(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t", "kbs", "k", "use_pallas", "use_union")
+    jax.jit,
+    static_argnames=(
+        "t", "kbs", "k", "use_pallas", "use_union", "hash_ok"
+    ),
 )
 def _packed_bucket_topk(
     packed_q,
@@ -195,6 +209,7 @@ def _packed_bucket_topk(
     use_union: bool = False,
     bucket_ids3=None,
     bucket_vals3=None,
+    hash_ok: Tuple[bool, ...] = (),
 ):
     qids = packed_q[:, :t]
     qvals = jax.lax.bitcast_convert_type(packed_q[:, t:], jnp.float32)
@@ -202,6 +217,7 @@ def _packed_bucket_topk(
         bucket_ids, bucket_vals, bucket_gids, qids, qvals,
         kbs=kbs, k=k, use_pallas=use_pallas, use_union=use_union,
         bucket_ids3=bucket_ids3, bucket_vals3=bucket_vals3,
+        hash_ok=hash_ok,
     )
     return jnp.concatenate(
         [jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1
@@ -209,7 +225,8 @@ def _packed_bucket_topk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t", "k", "use_pallas", "use_union")
+    jax.jit,
+    static_argnames=("t", "k", "use_pallas", "use_union", "hash_ok"),
 )
 def _packed_flat_topk(
     packed_q,
@@ -221,12 +238,13 @@ def _packed_flat_topk(
     use_union: bool = False,
     dev_ids3=None,
     dev_vals3=None,
+    hash_ok: bool = True,
 ):
     qids = packed_q[:, :t]
     qvals = jax.lax.bitcast_convert_type(packed_q[:, t:], jnp.float32)
     s, i = _topk_one_layout(
         dev_ids, dev_vals, dev_ids3, dev_vals3, qids, qvals, k,
-        use_pallas, use_union,
+        use_pallas, use_union, hash_ok,
     )
     return jnp.concatenate(
         [jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1
@@ -654,6 +672,50 @@ class _EllIndex:
             )
         return np.asarray(s), np.asarray(i)
 
+    @staticmethod
+    def _hash_work_ok(
+        uids: np.ndarray, l_pad: int, ids3
+    ) -> bool:
+        """Per-batch flat-union vs hashed-union work model (host-side,
+        microseconds). The hashed kernel pays per-SEGMENT chunk padding:
+        a small union (e.g. 167 terms over 8 segments) still occupies
+        8 x UC=128 slots, so its UC*Ls match work exceeds the flat
+        kernel's ceil(U/256)*256 x L — measured 1M batch-64 zipf:
+        hashed 55.0 ms vs flat union 35.7. Pick hashed only when
+        padded_hashed_slots * Ls <= padded_flat_slots * L_pad."""
+        if ids3 is None:
+            return False
+        s_n, ls = ids3.shape[1], ids3.shape[2]
+        u = max(len(uids), 1)
+        flat_slots = max(-(-u // 256) * 256, 256)
+        seg_counts = np.bincount(uids % s_n, minlength=s_n)
+        hashed_slots = int((-(-seg_counts // 128) * 128).sum())
+        return hashed_slots * ls <= flat_slots * l_pad
+
+    def _hash_ok_flags(self, qids_np: np.ndarray):
+        """(flat_flag, per-bucket tuple) of hashed-union verdicts for
+        this batch."""
+        uids = np.unique(qids_np[qids_np >= 0]).astype(np.int64)
+
+        def l_pad(ids):
+            return ((ids.shape[1] + 7) // 8) * 8
+
+        if self._buckets is None:
+            flat = (
+                self._hash_work_ok(
+                    uids, l_pad(self.doc_ids), self._dev_ids3
+                )
+                if self._dev_ids3 is not None and self.doc_ids is not None
+                else self._dev_ids3 is not None
+            )
+            return flat, ()
+        return True, tuple(
+            self._hash_work_ok(uids, l_pad(b.ids), b.dev_ids3)
+            if b.dev_ids3 is not None
+            else False
+            for b in self._buckets
+        )
+
     def _union_gate(self, qids_np: np.ndarray) -> bool:
         """Host-side per-dispatch kernel choice: the union-slot kernel
         wins when the batch shares vocabulary (see _UNION_MAX_FRAC).
@@ -694,11 +756,15 @@ class _EllIndex:
             # (each relay transfer costs a fixed ~15-35 ms round trip)
             t = qids_np.shape[1]
             dev_q = jnp.asarray(_pack_queries(qids_np, qvals_np))
+            flat_hash_ok, bucket_hash_ok = (
+                self._hash_ok_flags(qids_np) if use_union else (True, ())
+            )
             if self._buckets is None:
                 out = _packed_flat_topk(
                     dev_q, self._dev_ids, self._dev_vals, t=t, k=k,
                     use_pallas=use_pallas, use_union=use_union,
                     dev_ids3=self._dev_ids3, dev_vals3=self._dev_vals3,
+                    hash_ok=flat_hash_ok,
                 )
                 return _unpack_topk(np.asarray(out), k)
             kbs = tuple(min(k, b.n_actual) for b in self._buckets)
@@ -711,6 +777,7 @@ class _EllIndex:
                 use_pallas=use_pallas, use_union=use_union,
                 bucket_ids3=tuple(b.dev_ids3 for b in self._buckets),
                 bucket_vals3=tuple(b.dev_vals3 for b in self._buckets),
+                hash_ok=bucket_hash_ok,
             )
             return _unpack_topk(np.asarray(out), min(k, sum(kbs)))
         # mesh paths: per-shard kernels + collective merges (transfer

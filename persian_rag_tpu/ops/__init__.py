@@ -7,6 +7,9 @@ from persian_rag_tpu.ops.sparse_scores import (
     sparse_scores,
     sparse_scores_ref,
     sparse_topk,
+    sparse_topk_hashed,
+    sparse_topk_union,
+    sparse_topk_union_hashed,
 )
 
 __all__ = [
@@ -16,4 +19,7 @@ __all__ = [
     "sparse_scores",
     "sparse_scores_ref",
     "sparse_topk",
+    "sparse_topk_hashed",
+    "sparse_topk_union",
+    "sparse_topk_union_hashed",
 ]

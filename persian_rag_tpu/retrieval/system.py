@@ -357,6 +357,7 @@ class RetrievalSystem:
         dense_weight: float,
         bm25_weight: float,
         use_union: bool = False,
+        hash_ok=(True, ()),
     ):
         """Jitted (tokenized queries, lexical query terms) -> hybrid
         top-k step: encoder forward + fused dense search + fused lexical
@@ -380,9 +381,10 @@ class RetrievalSystem:
         # the union kernels' merge unrolls k extraction steps; stay on
         # the per-term kernels for wide over-retrieves
         use_union = use_union and m_b <= 32
+        flat_hash_ok, bucket_hash_ok = hash_ok
         kbs = self.bm25_index.bucket_kbs(m_b)
         key = ("hybrid", k, m_d, m_b, rerank, dense_weight, bm25_weight,
-               kbs, use_union)
+               kbs, use_union, flat_hash_ok, bucket_hash_ok)
         if key not in self._fused_cache:
             import jax
 
@@ -428,6 +430,7 @@ class RetrievalSystem:
                         lex_arrays[0], lex_arrays[1],
                         lex_arrays[2], lex_arrays[3],
                         qids, qvals, m_b, None, use_union,
+                        flat_hash_ok,
                     )
                 else:
                     l_s, l_i = _fused_bucket_topk_impl(
@@ -438,6 +441,7 @@ class RetrievalSystem:
                         use_union=use_union,
                         bucket_ids3=tuple(lex_arrays[3::5]),
                         bucket_vals3=tuple(lex_arrays[4::5]),
+                        hash_ok=bucket_hash_ok,
                     )
                 f_s, f_i = fuse_hybrid(
                     d_s, d_i, l_s, l_i, k,
@@ -491,9 +495,11 @@ class RetrievalSystem:
         k = min(top_k, n)
         (corpus, scales, refine, sqnorms, stage1, center,
          s1_center, c_sqmax, s1_lo) = self.dense_index.fused_args()
+        use_union = bm._union_gate(qids)
         fn = self._fused_hybrid_fn(
             k, m_d, m_b, rerank, dense_weight, bm25_weight,
-            use_union=bm._union_gate(qids),
+            use_union=use_union,
+            hash_ok=bm._hash_ok_flags(qids) if use_union else (True, ()),
         )
         packed_q = np.concatenate(
             [

@@ -269,6 +269,13 @@ def test_union_hash_copy_search_parity(monkeypatch):
 
     monkeypatch.setattr(lex, "_UNION_HASH_MIN_N", 50)
     monkeypatch.setattr(lex, "_UNION_HASH_MIN_L", 4)
+    # tiny forced corpora fail the per-batch work model (per-segment
+    # chunk padding dominates at small unions); force the hashed route
+    # so this test exercises it end to end
+    monkeypatch.setattr(
+        lex._EllIndex, "_hash_work_ok",
+        staticmethod(lambda uids, l_pad, ids3: ids3 is not None),
+    )
     rng = np.random.default_rng(17)
     docs = _zipf_corpus(rng, 300, lo=10, hi=14)
     index = lex.BM25Index().build(docs)
@@ -299,3 +306,22 @@ def test_union_hash_copy_search_parity(monkeypatch):
     dense2 = np.stack([idx2.get_scores(q) for q in queries])
     want2 = np.argsort(-dense2, axis=1, kind="stable")[:, :10]
     np.testing.assert_array_equal(i2, want2)
+
+
+def test_hash_work_model_crossover():
+    """The flat-vs-hashed union work model reproduces the measured 1M
+    crossover: a small union (167 terms, batch-64 regime — measured
+    hashed 55.0 ms vs flat 35.7) picks flat; a large one (797 terms,
+    batch-512 — measured hashed 124.3 vs flat 180.3) picks hashed."""
+    import persian_rag_tpu.index.lexical as lex
+
+    class Ids3:
+        shape = (1, 8, 16)  # (N, S, Ls) as measured at 1M zipf
+
+    rng = np.random.default_rng(0)
+    small = np.sort(rng.choice(50_000, size=167, replace=False))
+    large = np.sort(rng.choice(50_000, size=797, replace=False))
+    l_pad = 56  # L=49 padded to 8
+    assert not lex._EllIndex._hash_work_ok(small, l_pad, Ids3())
+    assert lex._EllIndex._hash_work_ok(large, l_pad, Ids3())
+    assert not lex._EllIndex._hash_work_ok(large, l_pad, None)
