@@ -758,6 +758,74 @@ class TextGenerator:
             results.append(tokens)
         return results
 
+    def _embed_fn(self, bucket: int, batch: int):
+        """Jitted hidden-state embedding forward: (B, S) ids + mask ->
+        L2-normalized mean-pooled final-norm hidden states (B, H).
+        Compiled once per (length bucket, padded batch)."""
+        cache_key = ("embed", bucket, batch)
+        if cache_key in self._prefill_cache:
+            return self._prefill_cache[cache_key]
+        model = self.model
+
+        @jax.jit
+        def run(params, ids, mask):
+            hidden = model.apply(
+                {"params": params},
+                ids,
+                attention_mask=mask,
+                return_hidden=True,
+            ).astype(jnp.float32)
+            m = mask.astype(jnp.float32)[:, :, None]
+            pooled = (hidden * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
+            norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+            return pooled / jnp.maximum(norm, 1e-12)
+
+        self._prefill_cache[cache_key] = run
+        return run
+
+    def embed_batch(
+        self,
+        prompts_ids: Sequence[Sequence[int]],
+        length_bucket: int = 32,
+    ) -> np.ndarray:
+        """Decoder-hidden-state embeddings for ragged token prompts.
+
+        llama.cpp ``--embedding`` serving parity (the /embedding and
+        /v1/embeddings endpoints): mean pooling over the prompt tokens
+        of the final-norm hidden states, L2-normalized (llama.cpp's
+        default --embd-normalize 2). Same compile-bounding conventions
+        as generate_batch_device: power-of-two batch pad + 32-wide
+        length buckets."""
+        batch = len(prompts_ids)
+        if batch == 0:
+            return np.zeros((0, self.config.hidden_size), np.float32)
+        bpad = 1
+        while bpad < batch:
+            bpad *= 2
+        clipped = [list(p)[: self.max_len] or [0] for p in prompts_ids]
+        clipped += [clipped[0]] * (bpad - batch)
+        longest = max(len(p) for p in clipped)
+        bucket = min(
+            -(-longest // length_bucket) * length_bucket, self.max_len
+        )
+        pad_id = getattr(self.tokenizer, "pad_id", 0)
+        ids = np.full((bpad, bucket), pad_id, np.int32)
+        mask = np.zeros((bpad, bucket), np.int32)
+        for i, p in enumerate(clipped):
+            ids[i, : len(p)] = p
+            mask[i, : len(p)] = 1
+        run = self._embed_fn(bucket, bpad)
+        out = np.asarray(
+            run(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        )
+        return out[:batch]
+
+    def embed_text(self, texts: Sequence[str]) -> np.ndarray:
+        """Tokenize + embed_batch (llama.cpp /embedding contract)."""
+        return self.embed_batch(
+            [self.tokenizer.encode(t) for t in texts]
+        )
+
     def generate_ids_device(
         self,
         prompt_ids: Sequence[int],

@@ -4,7 +4,11 @@ A first-party replacement for the reference's external llama.cpp process
 (reference: src/llama_client.py:10, endpoints :108-175): serves /health,
 /v1/models, /completion, /v1/chat/completions and /chat from a
 persian_rag_tpu TextGenerator, so LlamaClient (and everything above it)
-runs against an in-process TPU-backed model with zero changes.
+runs against an in-process TPU-backed model with zero changes. The rest
+of the llama.cpp server surface is covered too: /tokenize, /detokenize,
+/embedding (+ OpenAI /v1/embeddings) from the decoder's mean-pooled
+hidden states, /props, and /slots (live in continuous mode — the
+batcher rows are the slots).
 """
 from __future__ import annotations
 
@@ -141,6 +145,10 @@ class LocalGenerationServer:
                 target=self._batch_loop, daemon=True
             )
         self._worker.start()
+        # static-mode slot observability: requests currently being
+        # decoded by the batch worker (single-writer: the worker thread;
+        # handler threads only read it for GET /slots)
+        self._active = 0
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -164,8 +172,59 @@ class LocalGenerationServer:
                     self._json(
                         200, {"data": [{"id": "persian-rag-tpu-decoder"}]}
                     )
+                elif self.path == "/props":
+                    # llama.cpp server properties endpoint: defaults +
+                    # slot count, so monitoring/autoscaling tooling
+                    # written for llama.cpp reads the same shape
+                    cfg = outer.generator.config
+                    self._json(
+                        200,
+                        {
+                            "total_slots": outer.max_batch,
+                            "model_path": "persian-rag-tpu-decoder",
+                            "default_generation_settings": {
+                                "n_ctx": outer.generator.max_len,
+                                "n_predict": 128,
+                                "temperature": 0.0,
+                                "top_k": 40,
+                                "top_p": 0.9,
+                                "repeat_penalty": 1.0,
+                                "stream": False,
+                            },
+                            "n_vocab": cfg.vocab_size,
+                            "continuous_batching": (
+                                outer._batcher is not None
+                            ),
+                        },
+                    )
+                elif self.path == "/slots":
+                    # llama.cpp slot states: 0 idle, 1 processing. In
+                    # continuous mode the batcher rows ARE the slots;
+                    # static micro-batching reports the in-flight group.
+                    if outer._batcher is not None:
+                        slots = [
+                            {
+                                "id": i,
+                                "state": 0 if req is None else 1,
+                                **(
+                                    {"req_id": req.req_id}
+                                    if req is not None
+                                    else {}
+                                ),
+                            }
+                            for i, req in enumerate(outer._batcher._rows)
+                        ]
+                    else:
+                        busy = min(outer._active, outer.max_batch)
+                        slots = [
+                            {"id": i, "state": 1 if i < busy else 0}
+                            for i in range(outer.max_batch)
+                        ]
+                    self._json(200, slots)
                 elif self.path in (
                     "/completion", "/chat", "/v1/chat/completions",
+                    "/tokenize", "/detokenize", "/embedding",
+                    "/v1/embeddings",
                 ):
                     # POST-only endpoints answer GET probes with 405, the
                     # llama.cpp behavior get_server_info relies on
@@ -177,6 +236,58 @@ class LocalGenerationServer:
             def do_POST(self):
                 length = int(self.headers.get("Content-Length", 0))
                 data = json.loads(self.rfile.read(length) or b"{}")
+                tokenizer = outer.generator.tokenizer
+                if self.path == "/tokenize":
+                    # llama.cpp contract: add_special defaults to false
+                    # (no BOS) — our tokenizers default add_bos=True,
+                    # so thread the flag through where supported
+                    text = data.get("content", "")
+                    add_special = bool(data.get("add_special", False))
+                    try:
+                        tokens = tokenizer.encode(
+                            text, add_bos=add_special
+                        )
+                    except TypeError:  # tokenizer without a BOS concept
+                        tokens = tokenizer.encode(text)
+                    self._json(200, {"tokens": [int(t) for t in tokens]})
+                    return
+                if self.path == "/detokenize":
+                    tokens = [int(t) for t in data.get("tokens", [])]
+                    self._json(200, {"content": tokenizer.decode(tokens)})
+                    return
+                if self.path == "/embedding":
+                    # llama.cpp --embedding serving: mean-pooled
+                    # final-norm hidden states, L2-normalized
+                    emb = outer.generator.embed_text(
+                        [data.get("content", "")]
+                    )
+                    self._json(
+                        200, {"embedding": [float(v) for v in emb[0]]}
+                    )
+                    return
+                if self.path == "/v1/embeddings":
+                    inputs = data.get("input", "")
+                    if isinstance(inputs, str):
+                        inputs = [inputs]
+                    emb = outer.generator.embed_text(inputs)
+                    self._json(
+                        200,
+                        {
+                            "object": "list",
+                            "model": data.get(
+                                "model", "persian-rag-tpu-decoder"
+                            ),
+                            "data": [
+                                {
+                                    "object": "embedding",
+                                    "index": i,
+                                    "embedding": [float(v) for v in row],
+                                }
+                                for i, row in enumerate(emb)
+                            ],
+                        },
+                    )
+                    return
                 if self.path == "/completion":
                     prompt = data.get("prompt", "")
                 elif self.path in ("/v1/chat/completions", "/chat"):
@@ -300,7 +411,9 @@ class LocalGenerationServer:
                     )
                 except queue.Empty:
                     break
+            self._active = len(group)
             self._serve_group(group)
+            self._active = 0
 
     def _continuous_loop(self) -> None:
         """Worker for continuous mode: feed arrivals into the resident

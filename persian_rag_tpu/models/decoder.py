@@ -424,6 +424,7 @@ class LlamaDecoder(nn.Module):
         cache: Optional[Dict] = None,
         cache_pos: Optional[jnp.ndarray] = None,
         kv_valid: Optional[jnp.ndarray] = None,
+        return_hidden: bool = False,
     ):
         c = self.config
         b, s = input_ids.shape
@@ -510,6 +511,15 @@ class LlamaDecoder(nn.Module):
                     new_cache["k_scale"].append(updated[2])
                     new_cache["v_scale"].append(updated[3])
         x = RMSNorm(c.rms_norm_eps, name="final_norm")(x)
+        if return_hidden:
+            # embedding extraction (llama.cpp --embedding serving): the
+            # final-norm hidden states are the embedding source; skip
+            # the (H, V) logits matmul entirely — at 128k vocab it is
+            # the most expensive matmul in the step and the /embedding
+            # contract never reads logits.
+            if cache is not None:
+                return x, new_cache
+            return x
         if c.tie_word_embeddings:
             if c.quantized_weights:
                 logits = embed.attend(x)

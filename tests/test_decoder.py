@@ -182,6 +182,101 @@ def test_local_server_speaks_llamacpp_contract():
         assert "content" in r.json()["choices"][0]["message"]
 
 
+def test_local_server_extended_llamacpp_surface():
+    """/tokenize, /detokenize, /embedding, /v1/embeddings, /props and
+    /slots — the rest of the llama.cpp server contract beyond what the
+    reference's client touches."""
+    import requests
+
+    from persian_rag_tpu.gen.generator import ByteTokenizer, TextGenerator
+    from persian_rag_tpu.gen.local_server import LocalGenerationServer
+
+    gen = TextGenerator(
+        DecoderConfig.tiny(vocab_size=ByteTokenizer.vocab_size),
+        tokenizer=ByteTokenizer(),
+        max_len=96,
+    )
+    with LocalGenerationServer(gen, max_batch=3) as url:
+        # tokenize: llama.cpp's add_special defaults to false (no BOS)
+        r = requests.post(
+            url + "/tokenize", json={"content": "دارو"}, timeout=30
+        )
+        toks = r.json()["tokens"]
+        assert r.status_code == 200
+        assert toks == gen.tokenizer.encode("دارو", add_bos=False)
+        r2 = requests.post(
+            url + "/tokenize",
+            json={"content": "دارو", "add_special": True},
+            timeout=30,
+        )
+        assert r2.json()["tokens"] == gen.tokenizer.encode("دارو")
+
+        # detokenize roundtrip
+        r = requests.post(
+            url + "/detokenize", json={"tokens": toks}, timeout=30
+        )
+        assert r.json()["content"] == "دارو"
+
+        # embedding: hidden-size vector, L2-normalized
+        r = requests.post(
+            url + "/embedding", json={"content": "دارو چیست؟"}, timeout=60
+        )
+        emb = np.asarray(r.json()["embedding"])
+        assert emb.shape == (gen.config.hidden_size,)
+        assert abs(np.linalg.norm(emb) - 1.0) < 1e-4
+
+        # OpenAI-style batch embeddings
+        r = requests.post(
+            url + "/v1/embeddings",
+            json={"input": ["دارو چیست؟", "هوا آفتابی است"]},
+            timeout=60,
+        )
+        data = r.json()["data"]
+        assert [d["index"] for d in data] == [0, 1]
+        # same text through both endpoints -> same vector (and batch
+        # padding does not perturb row 0)
+        np.testing.assert_allclose(
+            np.asarray(data[0]["embedding"]), emb, atol=1e-5
+        )
+        assert not np.allclose(
+            np.asarray(data[1]["embedding"]), emb, atol=1e-3
+        )
+
+        # props + slots observability
+        props = requests.get(url + "/props", timeout=30).json()
+        assert props["total_slots"] == 3
+        assert props["default_generation_settings"]["n_ctx"] == 96
+        slots = requests.get(url + "/slots", timeout=30).json()
+        assert len(slots) == 3
+        assert all(s["state"] == 0 for s in slots)
+
+        # POST-only endpoints 405 GET probes (llama.cpp behavior)
+        assert requests.get(url + "/tokenize").status_code == 405
+        assert requests.get(url + "/embedding").status_code == 405
+
+
+def test_embed_batch_mask_and_bucket_invariance():
+    """Mean-pool masking: a text's embedding is identical alone vs
+    padded into a batch with a longer text (and across length buckets)."""
+    from persian_rag_tpu.gen.generator import ByteTokenizer, TextGenerator
+
+    gen = TextGenerator(
+        DecoderConfig.tiny(vocab_size=ByteTokenizer.vocab_size),
+        tokenizer=ByteTokenizer(),
+        max_len=96,
+    )
+    short = gen.tokenizer.encode("دارو")
+    long = gen.tokenizer.encode(
+        "a deliberately much longer prompt that lands in a wider bucket"
+    )
+    alone = gen.embed_batch([short])
+    together = gen.embed_batch([short, long])
+    np.testing.assert_allclose(together[0], alone[0], atol=1e-5)
+    assert together.shape == (2, gen.config.hidden_size)
+    # empty input edge
+    assert gen.embed_batch([]).shape == (0, gen.config.hidden_size)
+
+
 def test_device_loop_matches_host_loop_greedy():
     from persian_rag_tpu.gen.generator import ByteTokenizer, TextGenerator
 
