@@ -45,6 +45,7 @@ from persian_rag_tpu.ops.sparse_scores import (
     sparse_topk_hashed,
     sparse_topk_union,
     sparse_topk_union_hashed,
+    sparse_topk_union_twopass,
 )
 
 _TOKEN_RE = re.compile(r"(?u)\b\w\w+\b")
@@ -96,6 +97,7 @@ class _Bucket:
 def _topk_one_layout(
     ids, vals, ids3, vals3, qids, qvals, kb, use_pallas, use_union,
     hash_ok: bool = True,
+    two_pass: bool = False,
 ):
     """Kernel choice for one ELL: union batches prefer the hashed-union
     copy (segment-grouped chunks scan Ls slots instead of L — measured
@@ -103,7 +105,17 @@ def _topk_one_layout(
     the layout the build gates picked for them. hash_ok carries the
     per-batch work-model verdict (small unions pay more in per-segment
     chunk padding than the Ls cut saves — measured 1M batch-64 zipf:
-    hashed 55.0 ms vs flat union 35.7)."""
+    hashed 55.0 ms vs flat union 35.7). two_pass (caller-gated: nonneg
+    weights, N >= _TWOPASS_MIN_N, k <= _TWOPASS_MAX_K) routes union
+    batches through the bf16-candidate + exact-rescore + proof path."""
+    if use_union and two_pass:
+        return sparse_topk_union_twopass(
+            ids, vals,
+            ids3 if hash_ok else None,
+            vals3 if hash_ok else None,
+            qids, qvals, kb,
+            k_scan=_TWOPASS_K_SCAN, use_pallas=use_pallas,
+        )
     if use_union and hash_ok and ids3 is not None:
         return sparse_topk_union_hashed(
             ids3, vals3, qids, qvals, kb, use_pallas=use_pallas
@@ -132,6 +144,7 @@ def _fused_bucket_topk_impl(
     bucket_ids3=None,
     bucket_vals3=None,
     hash_ok: Tuple[bool, ...] = (),
+    two_pass: Tuple[bool, ...] = (),
 ):
     """All buckets' top-k plus the global merge in ONE device dispatch.
 
@@ -144,21 +157,23 @@ def _fused_bucket_topk_impl(
 
     bucket_ids3/bucket_vals3 optionally carry per-bucket hashed-segment
     copies for the union kernel (None entries fall back per bucket);
-    hash_ok is the per-bucket per-batch work-model verdict (static).
+    hash_ok and two_pass are per-bucket per-batch static verdicts.
     """
     if bucket_ids3 is None:
         bucket_ids3 = (None,) * len(bucket_ids)
         bucket_vals3 = (None,) * len(bucket_vals)
     if not hash_ok:
         hash_ok = (True,) * len(bucket_ids)
+    if not two_pass:
+        two_pass = (False,) * len(bucket_ids)
     parts_s, parts_i = [], []
-    for ids, vals, gids, kb, ids3, vals3, h_ok in zip(
+    for ids, vals, gids, kb, ids3, vals3, h_ok, tp in zip(
         bucket_ids, bucket_vals, bucket_gids, kbs, bucket_ids3,
-        bucket_vals3, hash_ok
+        bucket_vals3, hash_ok, two_pass
     ):
         s, i = _topk_one_layout(
             ids, vals, ids3, vals3, qids, qvals, kb, use_pallas,
-            use_union, h_ok,
+            use_union, h_ok, tp,
         )
         parts_s.append(s)
         parts_i.append(gids[i])
@@ -173,7 +188,9 @@ def _fused_bucket_topk_impl(
 
 _fused_bucket_topk = functools.partial(
     jax.jit,
-    static_argnames=("kbs", "k", "use_pallas", "use_union", "hash_ok"),
+    static_argnames=(
+        "kbs", "k", "use_pallas", "use_union", "hash_ok", "two_pass"
+    ),
 )(_fused_bucket_topk_impl)
 
 
@@ -194,7 +211,8 @@ _fused_bucket_topk = functools.partial(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "t", "kbs", "k", "use_pallas", "use_union", "hash_ok"
+        "t", "kbs", "k", "use_pallas", "use_union", "hash_ok",
+        "two_pass",
     ),
 )
 def _packed_bucket_topk(
@@ -210,6 +228,7 @@ def _packed_bucket_topk(
     bucket_ids3=None,
     bucket_vals3=None,
     hash_ok: Tuple[bool, ...] = (),
+    two_pass: Tuple[bool, ...] = (),
 ):
     qids = packed_q[:, :t]
     qvals = jax.lax.bitcast_convert_type(packed_q[:, t:], jnp.float32)
@@ -217,7 +236,7 @@ def _packed_bucket_topk(
         bucket_ids, bucket_vals, bucket_gids, qids, qvals,
         kbs=kbs, k=k, use_pallas=use_pallas, use_union=use_union,
         bucket_ids3=bucket_ids3, bucket_vals3=bucket_vals3,
-        hash_ok=hash_ok,
+        hash_ok=hash_ok, two_pass=two_pass,
     )
     return jnp.concatenate(
         [jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1
@@ -226,7 +245,9 @@ def _packed_bucket_topk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t", "k", "use_pallas", "use_union", "hash_ok"),
+    static_argnames=(
+        "t", "k", "use_pallas", "use_union", "hash_ok", "two_pass"
+    ),
 )
 def _packed_flat_topk(
     packed_q,
@@ -239,12 +260,13 @@ def _packed_flat_topk(
     dev_ids3=None,
     dev_vals3=None,
     hash_ok: bool = True,
+    two_pass: bool = False,
 ):
     qids = packed_q[:, :t]
     qvals = jax.lax.bitcast_convert_type(packed_q[:, t:], jnp.float32)
     s, i = _topk_one_layout(
         dev_ids, dev_vals, dev_ids3, dev_vals3, qids, qvals, k,
-        use_pallas, use_union, hash_ok,
+        use_pallas, use_union, hash_ok, two_pass,
     )
     return jnp.concatenate(
         [jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1
@@ -310,6 +332,17 @@ _UNION_HASH_MIN_N = 65_536
 _UNION_HASH_MIN_L = 24      # Ls ~ L/S + padding needs room to win
 _UNION_HASH_SEGMENTS = 8    # measured sweet spot at L~47 (Ls=16)
 _UNION_HASH_MAX_STORE = 4.0  # give up past 4x bytes (hash imbalance)
+
+# Two-pass union serving (ops.sparse_scores.sparse_topk_union_twopass):
+# bf16 candidate pass (one MXU pass vs HIGHEST's ~6) + exact f32
+# rescore + residual proof + exact-kernel fallback. Engages only where
+# the union kernel is MXU-bound (large N), on nonnegative-weight
+# corpora (build-time check — the proof bound is a relative envelope),
+# and small k (the stage-1 merge stays on the unrolled k<=32 path with
+# over-retrieve headroom above k).
+_TWOPASS_MIN_N = 65_536
+_TWOPASS_MAX_K = 16
+_TWOPASS_K_SCAN = 32
 
 # Hashed-UB prefilter (ops.lexical_prefilter) storage gate: a bucketed
 # corpus must densify into a unified (N, Lmax) gather ELL within this
@@ -381,6 +414,11 @@ class _EllIndex:
         # None = auto (union-slot kernel when the batch's unique-term
         # count clears _UNION_MAX_FRAC); "flat"/"union" force a kernel.
         self.batch_kernel: Optional[str] = None
+        # "auto" = two-pass union serving (bf16 candidates + exact
+        # rescore + proof + exact fallback) where the _TWOPASS_* gates
+        # hold; "off" = always the exact HIGHEST-precision kernels.
+        self.two_pass: str = "auto"
+        self._nonneg = False  # all stored contributions >= 0 (build)
 
     @property
     def ntotal(self) -> int:
@@ -398,6 +436,7 @@ class _EllIndex:
         self._n = ids.shape[0]
         self._dev_ids3 = None
         self._dev_vals3 = None
+        self._nonneg = bool(vals.size == 0 or float(vals.min()) >= 0.0)
         if self.mesh is not None:
             from persian_rag_tpu.parallel.sharded_lexical import shard_ell
 
@@ -476,6 +515,10 @@ class _EllIndex:
         self._dev_vals3 = None
         self._buckets = buckets
         self._n = n
+        self._nonneg = all(
+            b.vals.size == 0 or float(b.vals.min()) >= 0.0
+            for b in buckets
+        )
         for b in buckets:
             if self.mesh is not None:
                 from persian_rag_tpu.parallel.sharded_lexical import shard_ell
@@ -751,6 +794,17 @@ class _EllIndex:
             if pf is not None and k <= pf.k_scan:
                 return self._prefilter_search(qids_np, qvals_np, k, use_pallas)
         use_union = self._union_gate(qids_np)
+        # Two-pass union serving gate (see _TWOPASS_* and
+        # ops.sparse_scores.sparse_topk_union_twopass): the proof's
+        # relative envelope requires every contribution — stored AND
+        # query-side — to be nonnegative.
+        two_pass_ok = (
+            use_union
+            and self.two_pass == "auto"
+            and self._nonneg
+            and k <= _TWOPASS_MAX_K
+            and bool(qvals_np.min(initial=0.0) >= 0.0)
+        )
         if self.mesh is None:
             # single-chip serving: one packed upload, one packed readback
             # (each relay transfer costs a fixed ~15-35 ms round trip)
@@ -765,6 +819,7 @@ class _EllIndex:
                     use_pallas=use_pallas, use_union=use_union,
                     dev_ids3=self._dev_ids3, dev_vals3=self._dev_vals3,
                     hash_ok=flat_hash_ok,
+                    two_pass=two_pass_ok and self._n >= _TWOPASS_MIN_N,
                 )
                 return _unpack_topk(np.asarray(out), k)
             kbs = tuple(min(k, b.n_actual) for b in self._buckets)
@@ -778,6 +833,10 @@ class _EllIndex:
                 bucket_ids3=tuple(b.dev_ids3 for b in self._buckets),
                 bucket_vals3=tuple(b.dev_vals3 for b in self._buckets),
                 hash_ok=bucket_hash_ok,
+                two_pass=tuple(
+                    two_pass_ok and b.n_actual >= _TWOPASS_MIN_N
+                    for b in self._buckets
+                ),
             )
             return _unpack_topk(np.asarray(out), min(k, sum(kbs)))
         # mesh paths: per-shard kernels + collective merges (transfer

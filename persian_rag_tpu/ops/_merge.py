@@ -15,17 +15,22 @@ NEG_INF = -3.0e38  # plain float: jnp scalars become captured consts in Pallas
 
 
 def merge_topk(
-    cand_s: jnp.ndarray, cand_i: jnp.ndarray, k: int
+    cand_s: jnp.ndarray, cand_i: jnp.ndarray, k: int,
+    force_loop: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Extract the k best (score, index) pairs from each row of candidates.
 
     cand_s, cand_i: (rows, width). Returns ((rows, k), (rows, k)).
     k-step iterative max-extraction: k is small (<=128), so this stays on
-    the VPU with no sort network.
+    the VPU with no sort network. force_loop picks the fori-based merge
+    below the k=32 unroll threshold — the unroll's ~k live (rows, width)
+    copies VMEM-OOM on real hardware at wide rows*width even for k in
+    the 17..32 range (measured: k=32 over (512, 928) f32 needs 27.5MB
+    of the 16MB scoped budget; invisible to CPU interpret tests).
     """
     rows, width = cand_s.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
-    if k <= 32:
+    if k <= 32 and not force_loop:
         # unrolled extraction: fastest on the VPU for the common small-k
         # serving path
         new_s = []

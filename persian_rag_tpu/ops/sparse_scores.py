@@ -598,6 +598,7 @@ def _sparse_topk_union_kernel(
     k: int,
     n_actual: int,
     tile_n: int,
+    stage1: bool = False,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -632,6 +633,17 @@ def _sparse_topk_union_kernel(
             0, el, l_body, jnp.zeros((uc, tn), jnp.float32)
         )
         copy.wait()
+        if stage1:
+            # bf16 candidate pass (ONE MXU pass vs HIGHEST's ~6): with
+            # nonnegative weights the rounding is a two-sided relative
+            # bound the two-pass proof consumes (sparse_topk_union_
+            # twopass) — never a serving result by itself.
+            return scores + jax.lax.dot_general(
+                qw_vmem[:].astype(jnp.bfloat16),
+                d.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         # HIGHEST: the MXU's default bf16 multiply loses ~4e-3 relative
         # on BM25-scale scores (measured max |ds| 0.11 vs the flat
         # kernel's f32 VPU accumulation -> 20% of top-10 ids flip on
@@ -655,7 +667,9 @@ def _sparse_topk_union_kernel(
     # fits scoped VMEM at B=512.)
     cand_s = jnp.concatenate([out_s_ref[:], scores], axis=1)
     cand_i = jnp.concatenate([out_i_ref[:], col], axis=1)
-    out_s_ref[:], out_i_ref[:] = merge_topk(cand_s, cand_i, k)
+    out_s_ref[:], out_i_ref[:] = merge_topk(
+        cand_s, cand_i, k, force_loop=k > 16
+    )
 
 
 def sparse_topk_union_pallas(
@@ -667,10 +681,13 @@ def sparse_topk_union_pallas(
     tile_n: int = 896,
     u_chunk: int = 256,
     interpret: bool = False,
+    stage1: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused lexical top-k via batch term dedup + MXU accumulation.
     Returns ((B, k) scores, (B, k) ids) — same semantics and tie order
-    (score desc, lower doc id first) as sparse_topk_pallas."""
+    (score desc, lower doc id first) as sparse_topk_pallas.
+    stage1=True swaps the HIGHEST MXU pass for a single bf16 pass —
+    candidate generation only (see sparse_topk_union_twopass)."""
     from jax.experimental.pallas import tpu as pltpu
 
     n, el = doc_ids.shape
@@ -702,7 +719,8 @@ def sparse_topk_union_pallas(
     ).T[:, None, :]
 
     kernel = functools.partial(
-        _sparse_topk_union_kernel, k=k, n_actual=n, tile_n=tile_n
+        _sparse_topk_union_kernel, k=k, n_actual=n, tile_n=tile_n,
+        stage1=stage1,
     )
     out_s, out_i = pl.pallas_call(
         kernel,
@@ -903,6 +921,7 @@ def _sparse_topk_union_hashed_kernel(
     n_actual: int,
     tile_n: int,
     ls: int,
+    stage1: bool = False,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -933,6 +952,14 @@ def _sparse_topk_union_hashed_kernel(
             0, ls, l_body, jnp.zeros((uc, tn), jnp.float32)
         )
         copy.wait()
+        if stage1:
+            # bf16 candidate pass — see _sparse_topk_union_kernel
+            return scores + jax.lax.dot_general(
+                qw_vmem[:].astype(jnp.bfloat16),
+                d.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         return scores + jax.lax.dot_general(
             qw_vmem[:], d, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -947,7 +974,9 @@ def _sparse_topk_union_hashed_kernel(
 
     cand_s = jnp.concatenate([out_s_ref[:], scores], axis=1)
     cand_i = jnp.concatenate([out_i_ref[:], col], axis=1)
-    out_s_ref[:], out_i_ref[:] = merge_topk(cand_s, cand_i, k)
+    out_s_ref[:], out_i_ref[:] = merge_topk(
+        cand_s, cand_i, k, force_loop=k > 16
+    )
 
 
 def sparse_topk_union_hashed_pallas(
@@ -959,10 +988,12 @@ def sparse_topk_union_hashed_pallas(
     tile_n: int = 896,
     u_chunk: int = 128,
     interpret: bool = False,
+    stage1: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused lexical top-k: hashed-segment corpus x segment-grouped
     union chunks. Returns ((B, k) scores, (B, k) ids), same semantics
-    and tie order as sparse_topk_pallas."""
+    and tie order as sparse_topk_pallas. stage1=True = bf16 candidate
+    pass (see sparse_topk_union_twopass)."""
     from jax.experimental.pallas import tpu as pltpu
 
     n, s_n, ls = doc_ids3.shape
@@ -990,7 +1021,7 @@ def sparse_topk_union_hashed_pallas(
 
     kernel = functools.partial(
         _sparse_topk_union_hashed_kernel,
-        k=k, n_actual=n, tile_n=tile_n, ls=ls,
+        k=k, n_actual=n, tile_n=tile_n, ls=ls, stage1=stage1,
     )
     out_s, out_i = pl.pallas_call(
         kernel,
@@ -1070,3 +1101,191 @@ def sparse_topk_union_hashed(
     )
     top_s, top_i = jax.lax.top_k(scores, k)
     return top_s, top_i.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Two-pass union serving: bf16 candidate pass + exact rescore + proof.
+#
+# At 1M x 512q the adopted hashed-union kernel is MXU-bound and the MXU
+# pass runs at HIGHEST precision (~6 bf16 passes) because bf16 scores
+# flip ~20% of top-10 ids on near-ties. The dense path's answer to the
+# same tension (ops.flat_topk two-stage + residual proof) applies
+# directly here, and the lexical case has a luxury the dense one lacks:
+# every BM25/TF-IDF contribution is NONNEGATIVE (rank_bm25 floors
+# negative idf — reference behavior replaced: src/retrieval.py:117-143;
+# sklearn tf-idf weights are nonnegative by construction), so the bf16
+# stage-1 score brackets the exact score by a pure RELATIVE bound:
+#
+#   stage1(d) in [exact(d) * (1 - delta), exact(d) * (1 + delta)]
+#   delta = 2*2^-9                 (bf16 rounding of qw and of D)
+#         + (U + L + T) * 2^-24    (nonneg f32 accumulation)
+#
+# Stage 1 extracts the top-k_scan docs by bf16 score (the union kernel's
+# own merge, k_scan <= 32 keeps the unrolled extraction). Every
+# non-candidate's exact score is then <= cut * (1 + delta') where cut is
+# the k_scan-th bf16 score. Candidates are rescored with the exact f32
+# per-term accumulation (identical formula/slot values as the full
+# scan); if the k-th rescored score strictly clears the bound the top-k
+# is proven complete, else ONE lax.cond falls back to the exact
+# HIGHEST-precision union kernel inside the same dispatch.
+# ---------------------------------------------------------------------------
+
+
+def rescore_ell(
+    ell_ids: jnp.ndarray,
+    ell_vals: jnp.ndarray,
+    q_ids: jnp.ndarray,
+    q_vals: jnp.ndarray,
+    cand: jnp.ndarray,
+) -> jnp.ndarray:
+    """Exact f32 rescore of candidate doc rows.
+
+    cand: (B, C) doc ids (negative = padding -> NEG_INF). Returns (B, C)
+    scores via the same per-term match-accumulate the full ELL scan
+    performs (padding slots carry id -1 / val 0, so a padded query term
+    contributes exactly 0).
+    """
+    safe = jnp.maximum(cand, 0)
+    rows_i = jnp.take(ell_ids, safe, axis=0)   # (B, C, L)
+    rows_v = jnp.take(ell_vals, safe, axis=0)
+
+    def per_term(carry, qt):
+        qid, qval = qt  # (B,)
+        m = rows_i == qid[:, None, None]
+        contrib = jnp.sum(jnp.where(m, rows_v, 0.0), axis=-1)  # (B, C)
+        return carry + qval[:, None] * contrib, None
+
+    init = jnp.zeros(cand.shape, jnp.float32)
+    scores, _ = jax.lax.scan(per_term, init, (q_ids.T, q_vals.T))
+    return jnp.where(cand >= 0, scores, NEG_INF)
+
+
+def _twopass_rel_bound(b: int, t: int, l_slots: int) -> float:
+    """Static relative clearance factor (see module comment above).
+
+    U is bounded by the query batch's total term slots (b*t); the f32
+    accumulation terms use that worst case plus the ELL width and the
+    query slot count. An extra 2^-16 covers the f32 reduction-order
+    difference between the rescore and the fallback kernel's own
+    accumulation (the same slack the hashed-UB prefilter proof uses).
+    """
+    delta = 2.0 * 2.0 ** -9 + (b * t + l_slots + t) * 2.0 ** -24
+    # exact <= stage1 / (1 - delta): fold into a multiply with margin
+    return delta / (1.0 - delta) + 2.0 ** -16
+
+
+def _union_twopass_impl(
+    doc_ids, doc_vals, doc_ids3, doc_vals3, q_ids, q_vals,
+    k: int, k_scan: int, use_pallas: bool, interpret: bool,
+    return_ok: bool,
+):
+    n = doc_ids.shape[0]
+    b, t = q_ids.shape
+    k_scan = max(min(k_scan, n), k)
+    ids2d = doc_ids if doc_ids.ndim == 2 else doc_ids.reshape(n, -1)
+    vals2d = doc_vals if doc_vals.ndim == 2 else doc_vals.reshape(n, -1)
+
+    if use_pallas:
+        if doc_ids3 is not None:
+            s1, i1 = sparse_topk_union_hashed_pallas(
+                doc_ids3, doc_vals3, q_ids, q_vals, k_scan,
+                interpret=interpret, stage1=True,
+            )
+        else:
+            s1, i1 = sparse_topk_union_pallas(
+                ids2d, vals2d, q_ids, q_vals, k_scan,
+                interpret=interpret, stage1=True,
+            )
+    else:
+        # XLA emulation (CPU tests / non-Pallas): round each weight to
+        # bf16 before the exact accumulation — per-factor rounding of
+        # nonneg values sums to the same <= 2^-9 relative envelope the
+        # kernel's (qw, D) casts produce.
+        r16 = lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)
+        scores = sparse_scores_ref(
+            ids2d, r16(vals2d), q_ids, r16(q_vals)
+        )
+        s1, i1 = jax.lax.top_k(scores, k_scan)
+        i1 = i1.astype(jnp.int32)
+
+    rel = _twopass_rel_bound(b, t, ids2d.shape[1])
+    bound = s1[:, k_scan - 1] * (1.0 + rel)
+
+    # candidates sorted ascending (-1 pads first) so lax.top_k's
+    # stability reproduces the scan's lower-id-first tie order
+    cand = jnp.sort(i1, axis=1)
+    scores_ex = rescore_ell(ids2d, vals2d, q_ids, q_vals, cand)
+    top_s, pos2 = jax.lax.top_k(scores_ex, k)
+    top_i = jnp.take_along_axis(cand, pos2, axis=1).astype(jnp.int32)
+    ok = top_s[:, k - 1] > bound
+
+    def _keep(_):
+        return top_s, top_i
+
+    def _full(_):
+        if not use_pallas:
+            scores = sparse_scores_ref(ids2d, vals2d, q_ids, q_vals)
+            fs, fi = jax.lax.top_k(scores, k)
+            return fs, fi.astype(jnp.int32)
+        if doc_ids3 is not None:
+            return sparse_topk_union_hashed_pallas(
+                doc_ids3, doc_vals3, q_ids, q_vals, k,
+                interpret=interpret,
+            )
+        return sparse_topk_union_pallas(
+            ids2d, vals2d, q_ids, q_vals, k, interpret=interpret
+        )
+
+    s_out, i_out = jax.lax.cond(jnp.all(ok), _keep, _full, None)
+    if return_ok:
+        return s_out, i_out, ok
+    return s_out, i_out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "k_scan", "use_pallas", "interpret", "return_ok"
+    ),
+)
+def _sparse_topk_union_twopass_jit(
+    doc_ids, doc_vals, doc_ids3, doc_vals3, q_ids, q_vals,
+    k, k_scan, use_pallas, interpret, return_ok,
+):
+    return _union_twopass_impl(
+        doc_ids, doc_vals, doc_ids3, doc_vals3, q_ids, q_vals,
+        k, k_scan, use_pallas, interpret, return_ok,
+    )
+
+
+def sparse_topk_union_twopass(
+    doc_ids: jnp.ndarray,
+    doc_vals: jnp.ndarray,
+    doc_ids3,
+    doc_vals3,
+    q_ids: jnp.ndarray,
+    q_vals: jnp.ndarray,
+    k: int,
+    k_scan: int = 32,
+    use_pallas: Optional[bool] = None,
+    return_ok: bool = False,
+):
+    """Two-pass exact lexical top-k (bf16 candidates + rescore + proof).
+
+    doc_ids/doc_vals: the primary ELL ((N, L) flat or (N, S, Ls)
+    hashed-segment — the rescore flattens either). doc_ids3/doc_vals3:
+    optional hashed-union copy for stage 1 (None -> flat union kernel).
+    REQUIRES nonnegative weights (caller-gated; the proof bound is a
+    relative envelope that only holds for nonneg contributions).
+    Returns (scores, ids[, ok]) with the same semantics as sparse_topk;
+    a failed proof for ANY query falls the whole batch back to the
+    exact HIGHEST-precision union kernel inside the same dispatch.
+    """
+    k = min(k, doc_ids.shape[0])
+    backend = jax.default_backend()
+    if use_pallas is None:
+        use_pallas = backend == "tpu"
+    return _sparse_topk_union_twopass_jit(
+        doc_ids, doc_vals, doc_ids3, doc_vals3, q_ids, q_vals,
+        k, k_scan, use_pallas, backend != "tpu", return_ok,
+    )
