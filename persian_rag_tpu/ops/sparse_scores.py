@@ -1160,16 +1160,23 @@ def rescore_ell(
     return jnp.where(cand >= 0, scores, NEG_INF)
 
 
-def _twopass_rel_bound(b: int, t: int, l_slots: int) -> float:
-    """Static relative clearance factor (see module comment above).
+def _twopass_rel_bound(u, t: int, l_slots: int):
+    """Relative clearance factor (see module comment above).
 
-    U is bounded by the query batch's total term slots (b*t); the f32
-    accumulation terms use that worst case plus the ELL width and the
-    query slot count. An extra 2^-16 covers the f32 reduction-order
+    ``u`` bounds the batch's unique union terms: the serving path
+    passes the runtime ``np.unique`` count (it already computes it for
+    the union-kernel gate) as a traced scalar; callers without one use
+    the static worst case b*t. The distinction matters at scale — the
+    b*t worst case adds ~2.4e-4 of slack at batch 512 x 8 slots, so
+    marginal queries that pass at small batches would fail (and pay the
+    full-kernel fallback) purely because the batch grew, even though
+    each score accumulates only matched-union-term many additions.
+    The f32 accumulation terms use u plus the ELL width and the query
+    slot count. An extra 2^-16 covers the f32 reduction-order
     difference between the rescore and the fallback kernel's own
     accumulation (the same slack the hashed-UB prefilter proof uses).
     """
-    delta = 2.0 * 2.0 ** -9 + (b * t + l_slots + t) * 2.0 ** -24
+    delta = 2.0 * 2.0 ** -9 + (u + l_slots + t) * 2.0 ** -24
     # exact <= stage1 / (1 - delta): fold into a multiply with margin
     return delta / (1.0 - delta) + 2.0 ** -16
 
@@ -1177,7 +1184,7 @@ def _twopass_rel_bound(b: int, t: int, l_slots: int) -> float:
 def _union_twopass_impl(
     doc_ids, doc_vals, doc_ids3, doc_vals3, q_ids, q_vals,
     k: int, k_scan: int, use_pallas: bool, interpret: bool,
-    return_ok: bool,
+    return_ok: bool, n_union=None,
 ):
     n = doc_ids.shape[0]
     b, t = q_ids.shape
@@ -1208,7 +1215,12 @@ def _union_twopass_impl(
         s1, i1 = jax.lax.top_k(scores, k_scan)
         i1 = i1.astype(jnp.int32)
 
-    rel = _twopass_rel_bound(b, t, ids2d.shape[1])
+    if n_union is None:
+        u = float(b * t)
+    else:
+        # traced runtime unique-term count (never looser than b*t)
+        u = jnp.minimum(jnp.asarray(n_union, jnp.float32), float(b * t))
+    rel = _twopass_rel_bound(u, t, ids2d.shape[1])
     bound = s1[:, k_scan - 1] * (1.0 + rel)
 
     # candidates sorted ascending (-1 pads first) so lax.top_k's
@@ -1217,7 +1229,18 @@ def _union_twopass_impl(
     scores_ex = rescore_ell(ids2d, vals2d, q_ids, q_vals, cand)
     top_s, pos2 = jax.lax.top_k(scores_ex, k)
     top_i = jnp.take_along_axis(cand, pos2, axis=1).astype(jnp.int32)
-    ok = top_s[:, k - 1] > bound
+    # A zero stage-1 cut is TRIVIALLY proven, not a failure: weights
+    # are nonnegative, so stage1 == 0 implies exact == 0 for every
+    # non-candidate (a positive exact score would have a positive bf16
+    # image), and the stage-1 merge already orders zero-score ties
+    # lowest-id-first like the full scan. Without this, an all-OOV /
+    # empty query (every doc scores 0, so "0 > 0" fails) would drag
+    # its whole batch through the exact-kernel fallback on every
+    # dispatch — pure overhead, indefinitely.
+    cut = s1[:, k_scan - 1]
+    ok = (top_s[:, k - 1] > bound) | (
+        (cut <= 0.0) & (top_s[:, k - 1] <= 0.0)
+    )
 
     def _keep(_):
         return top_s, top_i
@@ -1250,11 +1273,12 @@ def _union_twopass_impl(
 )
 def _sparse_topk_union_twopass_jit(
     doc_ids, doc_vals, doc_ids3, doc_vals3, q_ids, q_vals,
+    n_union,
     k, k_scan, use_pallas, interpret, return_ok,
 ):
     return _union_twopass_impl(
         doc_ids, doc_vals, doc_ids3, doc_vals3, q_ids, q_vals,
-        k, k_scan, use_pallas, interpret, return_ok,
+        k, k_scan, use_pallas, interpret, return_ok, n_union=n_union,
     )
 
 
@@ -1269,6 +1293,7 @@ def sparse_topk_union_twopass(
     k_scan: int = 32,
     use_pallas: Optional[bool] = None,
     return_ok: bool = False,
+    n_union=None,
 ):
     """Two-pass exact lexical top-k (bf16 candidates + rescore + proof).
 
@@ -1277,9 +1302,13 @@ def sparse_topk_union_twopass(
     optional hashed-union copy for stage 1 (None -> flat union kernel).
     REQUIRES nonnegative weights (caller-gated; the proof bound is a
     relative envelope that only holds for nonneg contributions).
-    Returns (scores, ids[, ok]) with the same semantics as sparse_topk;
-    a failed proof for ANY query falls the whole batch back to the
-    exact HIGHEST-precision union kernel inside the same dispatch.
+    n_union: optional traced scalar with the batch's unique-term count;
+    tightens the proof bound vs the static b*t worst case (the serving
+    path passes its union-gate np.unique count through the packed query
+    upload). Returns (scores, ids[, ok]) with the same semantics as
+    sparse_topk; a failed proof for ANY query falls the whole batch
+    back to the exact HIGHEST-precision union kernel inside the same
+    dispatch.
     """
     k = min(k, doc_ids.shape[0])
     backend = jax.default_backend()
@@ -1287,5 +1316,6 @@ def sparse_topk_union_twopass(
         use_pallas = backend == "tpu"
     return _sparse_topk_union_twopass_jit(
         doc_ids, doc_vals, doc_ids3, doc_vals3, q_ids, q_vals,
+        n_union,
         k, k_scan, use_pallas, backend != "tpu", return_ok,
     )

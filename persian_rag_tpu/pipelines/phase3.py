@@ -113,12 +113,19 @@ def main(
         }
 
         # Step 6b: cosine collection (the reference also builds ChromaDB
-        # collections — scripts/phase3_pdf_chunking.py:73-130; here the
-        # Collection facade over the same device index).
-        from persian_rag_tpu.index.collections import Collection
+        # collections — scripts/phase3_pdf_chunking.py:73-130; here a
+        # persistent CollectionStore over the same device index, rooted
+        # like the reference's chromadb.PersistentClient("./chroma_db")).
+        from persian_rag_tpu.index.collections import CollectionStore
 
         t0 = time.time()
-        collection = Collection(f"drugs_{chunk_type}", metric="cosine")
+        store = CollectionStore(
+            path=os.path.join(config.paths.index_dir, "collections")
+        )
+        store.delete_collection(f"drugs_{chunk_type}")  # rebuild fresh
+        collection = store.get_or_create_collection(
+            f"drugs_{chunk_type}", metric="cosine"
+        )
         collection.add(
             ids=[c["id"] for c in chunks],
             documents=texts,
@@ -128,6 +135,7 @@ def main(
         )
         results["steps"][f"{chunk_type}_collection"] = {
             "count": collection.count(),
+            "persist_dir": collection.persist_dir,
             "time": time.time() - t0,
         }
 

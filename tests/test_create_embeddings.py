@@ -72,3 +72,64 @@ def test_collection_store():
     assert store.list_collections() == ["a"]
     store.delete_collection("a")
     assert store.list_collections() == []
+
+
+def test_collection_save_load_roundtrip(rng, tmp_path):
+    col = Collection("rt", metric="cosine")
+    emb = rng.standard_normal((12, 8)).astype(np.float32)
+    col.add(
+        ids=[f"id{i}" for i in range(12)],
+        documents=[f"سند {i}" for i in range(12)],
+        embeddings=emb,
+        metadatas=[{"i": i} for i in range(12)],
+    )
+    d = str(tmp_path / "rt")
+    col.save(d)
+    back = Collection.load(d)
+    assert back.count() == 12
+    assert back.metric == "cosine"
+    out = back.query(query_embeddings=emb[[5]], n_results=3)
+    ref = col.query(query_embeddings=emb[[5]], n_results=3)
+    assert out["ids"] == ref["ids"]
+    assert out["documents"][0][0] == "سند 5"
+    assert out["metadatas"] == ref["metadatas"]
+    np.testing.assert_allclose(
+        out["distances"], ref["distances"], atol=1e-6
+    )
+
+
+def test_persistent_store_survives_restart(rng, tmp_path):
+    """The reference's chromadb.PersistentClient('./chroma_db') store
+    survives process restart (scripts/phase3_pdf_chunking.py:80); a
+    fresh CollectionStore over the same path must reopen collections
+    with identical query results."""
+    root = str(tmp_path / "chroma_db")
+    emb = rng.standard_normal((15, 8)).astype(np.float32)
+    store = CollectionStore(path=root)
+    col = store.get_or_create_collection("drugs", metric="cosine")
+    col.add(
+        ids=[f"c{i}" for i in range(15)],
+        documents=[f"doc {i}" for i in range(15)],
+        embeddings=emb,
+        metadatas=[{"n": i} for i in range(15)],
+    )
+    ref = col.query(query_embeddings=emb[[2]], n_results=4)
+
+    # "restart": a brand-new store over the same path
+    store2 = CollectionStore(path=root)
+    assert store2.list_collections() == ["drugs"]
+    col2 = store2.get_or_create_collection("drugs")
+    assert col2.count() == 15
+    out = col2.query(query_embeddings=emb[[2]], n_results=4)
+    assert out["ids"] == ref["ids"]
+    assert out["metadatas"] == ref["metadatas"]
+
+    # incremental adds through the reopened handle persist too
+    col2.add(ids=["extra"], documents=["doc x"],
+             embeddings=rng.standard_normal((1, 8)).astype(np.float32))
+    store3 = CollectionStore(path=root)
+    assert store3.get_or_create_collection("drugs").count() == 16
+
+    # delete removes the on-disk copy
+    store3.delete_collection("drugs")
+    assert CollectionStore(path=root).list_collections() == []

@@ -57,7 +57,7 @@ def test_int8_no_refine_copy(rng):
     """refine_dtype=None stores the int8 tier alone; refine_k is a no-op."""
     vectors = rng.standard_normal((500, 16)).astype(np.float32)
     index = DenseIndex(16, metric="cosine", storage_dtype="int8",
-                       refine_dtype=None)
+                       refine_dtype=None, quality_floor=None)
     index.add(vectors)
     index.commit()
     assert index._refine_corpus is None

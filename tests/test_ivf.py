@@ -133,3 +133,116 @@ def test_auto_cap_cost_optimal_on_imbalanced_cells(rng):
     _, ids_ivf = index.search(q, 5)
     _, ids_flat = flat.search(q, 5)
     np.testing.assert_array_equal(ids_ivf, ids_flat)
+
+
+def test_auto_nprobe_calibration(rng):
+    """IVFIndex(target_recall=...) calibrates the smallest nprobe whose
+    sampled Recall@10 clears the target (VERDICT r3 #6: nprobe was a
+    raw knob). On clustered data nprobe=1 is lossy, so calibration must
+    land above 1 and record the curve."""
+    data = clustered_data(rng, n_clusters=24, per_cluster=60)
+    ivf = IVFIndex(
+        32, n_cells=24, nprobe=1, metric="l2", target_recall=0.95
+    ).build(data)
+    cal = ivf.calibration
+    assert cal is not None
+    assert cal["achieved"] >= 0.95 or cal["nprobe"] == ivf.n_cells
+    assert ivf.nprobe == cal["nprobe"]
+    assert cal["curve"][0][0] == 1
+    # the curve is what was actually measured: re-searching at the
+    # calibrated nprobe reproduces the achieved recall
+    q = data[rng.choice(len(data), 64)] + 0.01
+    flat = DenseIndex(32, metric="l2")
+    flat.add(data)
+    _, want = flat.search(q, 10)
+    _, got = ivf.search(q, 10)
+    recall = np.mean(
+        [len(set(got[i]) & set(want[i])) / 10 for i in range(len(q))]
+    )
+    assert recall >= 0.9, recall
+
+
+def test_auto_nprobe_easy_geometry_stays_cheap(rng):
+    """Well-separated clusters: the calibrated nprobe should stay small
+    (no pointless full probing)."""
+    centers = rng.standard_normal((16, 32)) * 100  # far-apart clusters
+    rows = np.concatenate([
+        c + 0.01 * rng.standard_normal((40, 32)) for c in centers
+    ]).astype(np.float32)
+    ivf = IVFIndex(
+        32, n_cells=16, metric="l2", target_recall=0.95
+    ).build(rows)
+    assert ivf.calibration["nprobe"] <= 4, ivf.calibration
+
+
+def test_sharded_ivf_matches_single_on_1_device_mesh(rng):
+    from persian_rag_tpu.core.mesh import build_mesh
+
+    data = clustered_data(rng, n_clusters=12, per_cluster=40)
+    queries = data[rng.choice(len(data), 9)] + 0.01
+    single = IVFIndex(32, n_cells=12, nprobe=4, metric="l2").build(data)
+    mesh1 = build_mesh(corpus_axis=1, data_axis=1)
+    sharded = IVFIndex(
+        32, n_cells=12, nprobe=4, metric="l2", mesh=mesh1
+    ).build(data)
+    s1, i1 = single.search(queries, 5)
+    s2, i2 = sharded.search(queries, 5)
+    # same cells probed (1-device mesh == single chip probe set); the
+    # merge tie order is deterministic in both
+    assert all(set(i1[q]) == set(i2[q]) for q in range(len(queries)))
+    np.testing.assert_allclose(
+        np.sort(s1, 1), np.sort(s2, 1), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_sharded_ivf_recall_superset_on_8_device_mesh(rng):
+    """Each shard probes its local top-nprobe cells — a superset of the
+    global probe set — so sharded recall >= single-chip at equal
+    nprobe; full-probe remains exact; returned scores are true scores
+    for the ids they name."""
+    from persian_rag_tpu.core.mesh import build_mesh
+
+    data = clustered_data(rng, n_clusters=24, per_cluster=40)
+    queries = data[rng.choice(len(data), 16)] + 0.01
+    flat = DenseIndex(32, metric="l2")
+    flat.add(data)
+    _, want = flat.search(queries, 5)
+
+    single = IVFIndex(32, n_cells=24, nprobe=3, metric="l2").build(data)
+    mesh = build_mesh(corpus_axis=8, data_axis=1)
+    sharded = IVFIndex(
+        32, n_cells=24, nprobe=3, metric="l2", mesh=mesh
+    ).build(data)
+
+    def recall(got):
+        return np.mean([
+            len(set(got[q]) & set(want[q])) / 5
+            for q in range(len(queries))
+        ])
+
+    _, got1 = single.search(queries, 5)
+    s8, got8 = sharded.search(queries, 5)
+    assert recall(got8) >= recall(got1) - 1e-9
+    # scores are exact squared distances for the rows they name
+    true = ((queries[:, None, :] - data[got8]) ** 2).sum(-1)
+    np.testing.assert_allclose(s8, true, rtol=1e-3, atol=1e-3)
+
+    # full probe on the mesh == exact flat search
+    sf, gotf = sharded.search(queries, 5, nprobe=24)
+    assert all(set(gotf[q]) == set(want[q]) for q in range(len(queries)))
+
+
+def test_sharded_ivf_overflow_rows_never_lost(rng):
+    from persian_rag_tpu.core.mesh import build_mesh
+
+    data = rng.standard_normal((120, 16)).astype(np.float32)
+    mesh = build_mesh(corpus_axis=8, data_axis=1)
+    ivf = IVFIndex(
+        16, n_cells=6, nprobe=6, cell_cap=2, mesh=mesh
+    ).build(data)
+    flat = DenseIndex(16, metric="l2")
+    flat.add(data)
+    queries = data[:6] + 0.001
+    _, want = flat.search(queries, 3)
+    _, got = ivf.search(queries, 3, nprobe=6)
+    assert all(set(got[q]) == set(want[q]) for q in range(6))

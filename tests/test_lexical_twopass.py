@@ -109,7 +109,7 @@ def test_twopass_proof_falls_back_on_ties(use_pallas):
     serve the exact kernel's answer (lowest-id-first duplicate order)."""
     rng = np.random.default_rng(2)
     n, l, vocab, b, t, k = 400, 6, 50, 8, 4, 5
-    ids, vals = _random_ell(rng, rng.integers(1, 2) * n, l, vocab)
+    ids, vals = _random_ell(rng, n, l, vocab)
     # plant 80 byte-identical rows on term ids OUTSIDE the random vocab
     # (so ONLY plants match the query) — far more than k_scan=32
     row_i = np.array([60, 61, 62, -1, -1, -1], np.int32)
@@ -159,6 +159,97 @@ def test_index_gate_routes_and_matches(monkeypatch):
     s_off, i_off = run("off")
     np.testing.assert_array_equal(i_tp, i_off)
     np.testing.assert_allclose(s_tp, s_off, rtol=2e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("use_pallas", [True, False])
+def test_twopass_zero_cut_trivially_proven(use_pallas):
+    """All-OOV / empty queries score every doc 0: the old '0 > 0' proof
+    failed them (forcing the exact-kernel fallback on every dispatch);
+    a zero stage-1 cut must now be trivially proven, with the full
+    scan's lowest-id-first zero-tie order."""
+    rng = np.random.default_rng(5)
+    n, l, vocab, b, t, k = 500, 8, 300, 8, 6, 5
+    ids, vals = _random_ell(rng, n, l, vocab)
+    # half the batch all-OOV (ids outside the corpus vocab), half empty
+    qids = np.full((b, t), -1, np.int32)
+    qvals = np.zeros((b, t), np.float32)
+    qids[: b // 2, :2] = [[vocab + 7, vocab + 9]] * (b // 2)
+    qvals[: b // 2, :2] = 1.0
+    s, i, ok = sparse_topk_union_twopass(
+        jnp.asarray(ids), jnp.asarray(vals), None, None,
+        jnp.asarray(qids), jnp.asarray(qvals), k,
+        use_pallas=use_pallas, return_ok=True,
+    )
+    assert bool(np.asarray(ok).all())
+    rs, ri = _ref_topk(ids, vals, qids, qvals, k)
+    np.testing.assert_array_equal(np.asarray(i), ri)
+    np.testing.assert_allclose(np.asarray(s), rs, rtol=2e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("use_pallas", [True, False])
+def test_twopass_n_union_bound_still_exact(use_pallas):
+    """The runtime-tightened bound (traced unique-term count instead of
+    the static b*t worst case) must stay result-exact and never pass
+    FEWER queries than the loose bound."""
+    rng = np.random.default_rng(6)
+    n, l, vocab, b, t, k = 700, 12, 400, 24, 8, 5
+    ids, vals = _random_ell(rng, n, l, vocab)
+    qids, qvals = _queries(rng, b, t, vocab)
+    n_u = len(np.unique(qids[qids >= 0]))
+    s, i, ok = sparse_topk_union_twopass(
+        jnp.asarray(ids), jnp.asarray(vals), None, None,
+        jnp.asarray(qids), jnp.asarray(qvals), k,
+        use_pallas=use_pallas, return_ok=True,
+        n_union=jnp.float32(n_u),
+    )
+    _, _, ok_loose = sparse_topk_union_twopass(
+        jnp.asarray(ids), jnp.asarray(vals), None, None,
+        jnp.asarray(qids), jnp.asarray(qvals), k,
+        use_pallas=use_pallas, return_ok=True,
+    )
+    assert np.asarray(ok).sum() >= np.asarray(ok_loose).sum()
+    rs, ri = _ref_topk(ids, vals, qids, qvals, k)
+    np.testing.assert_array_equal(np.asarray(i), ri)
+    np.testing.assert_allclose(np.asarray(s), rs, rtol=2e-6, atol=1e-6)
+
+
+def test_twopass_sticky_demotion(monkeypatch):
+    """A corpus whose live batches majority-fail the proof must flip
+    off the two-pass path after TWOPASS_DEMOTE_STREAK dispatches
+    (every such dispatch pays candidates + rescore + the full exact
+    fallback), with results exact throughout."""
+    monkeypatch.setattr(lexical_mod, "_TWOPASS_MIN_N", 1)
+    rng = np.random.default_rng(7)
+    vocab = [f"w{j}" for j in range(40)]
+    # > k_scan byte-identical docs matching the query: every candidate
+    # cut is a tie, the proof can never clear it
+    docs = ["w0 w1 w2"] * 80 + [
+        " ".join(rng.choice(vocab[3:], 5, replace=False))
+        for _ in range(240)
+    ]
+    idx = BM25Index()
+    idx.build(docs)
+    idx.batch_kernel = "union"
+    ref_s, ref_i = None, None
+    for _ in range(idx.TWOPASS_DEMOTE_STREAK):
+        assert not idx._twopass_demoted
+        s, i = idx.search(["w0 w1 w2"] * 16, k=5)
+        if ref_s is None:
+            off = BM25Index()
+            off.build(docs)
+            off.batch_kernel = "union"
+            off.two_pass = "off"
+            ref_s, ref_i = off.search(["w0 w1 w2"] * 16, k=5)
+        np.testing.assert_array_equal(i, ref_i)
+        np.testing.assert_allclose(s, ref_s, rtol=2e-6, atol=1e-6)
+    assert idx._twopass_demoted
+    # demoted serving stays exact (and no longer routes two-pass)
+    s, i = idx.search(["w0 w1 w2"] * 16, k=5)
+    np.testing.assert_array_equal(i, ref_i)
+    # a rebuild resets the verdict
+    idx.build(docs)
+    assert not idx._twopass_demoted
+    assert idx._twopass_fail_streak == 0
 
 
 def test_negative_weights_disable_two_pass():

@@ -96,7 +96,8 @@ def test_bf16_tier_recall_on_real_geometry(rng, name):
     _, want = exact.search(queries, k)
 
     bf16 = DenseIndex(
-        vectors.shape[1], metric="l2", storage_dtype=jnp.bfloat16
+        vectors.shape[1], metric="l2", storage_dtype=jnp.bfloat16,
+        quality_floor=None,  # this test studies the RAW tier
     )
     bf16.add(vectors)
     bf16.commit()
@@ -152,7 +153,7 @@ def _tier_recalls(corpus, queries, k=10):
     _, want = exact.search(queries, k)
 
     bf16 = DenseIndex(corpus.shape[1], metric="l2",
-                      storage_dtype=jnp.bfloat16)
+                      storage_dtype=jnp.bfloat16, quality_floor=None)
     bf16.add(corpus)
     bf16.commit()
     _, got16 = bf16.search(queries, k)
@@ -239,7 +240,7 @@ def test_centered_bf16_cosine_tier_on_real_geometry(rng):
     s_exact, want = exact.search(queries, 10)
 
     bf16 = DenseIndex(corpus.shape[1], metric="cosine",
-                      storage_dtype=jnp.bfloat16)
+                      storage_dtype=jnp.bfloat16, quality_floor=None)
     bf16.add(corpus)
     bf16.commit()
     assert bf16._center is not None
@@ -261,7 +262,109 @@ def test_centered_bf16_l2_unchanged(rng):
     vectors = _load(FAMILIES[0])
     corpus = _blended_bootstrap(vectors, 5_000, rng)
     bf16 = DenseIndex(corpus.shape[1], metric="l2",
-                      storage_dtype=jnp.bfloat16)
+                      storage_dtype=jnp.bfloat16, quality_floor=None)
     bf16.add(corpus)
     bf16.commit()
     assert bf16._center is None
+
+
+def test_quality_gate_demotes_bf16_on_clone_geometry(rng):
+    """VERDICT r3 #1: the approximate bf16 tier must not silently serve
+    ~0.46-0.91 recall on clone-heavy real geometry where the
+    reference's FAISS is always exact (src/retrieval.py:102). With the
+    default quality_floor=0.95, commit() must probe, demote to exact
+    storage, and then serve f32-exact results."""
+    vectors = _load(FAMILIES[0])
+    n_target = 4_000
+    pick = rng.integers(0, vectors.shape[0], n_target)
+    corpus = (
+        vectors[pick]
+        + 0.05 * vectors.std(axis=0) * rng.standard_normal(
+            (n_target, vectors.shape[1])
+        ).astype(np.float32)
+    ).astype(np.float32)
+    queries = _queries_for(vectors, rng)[:32]
+
+    idx = DenseIndex(corpus.shape[1], metric="l2",
+                     storage_dtype=jnp.bfloat16)
+    idx.add(corpus)
+    idx.commit()
+    assert idx.tier_probe is not None
+    assert idx.tier_probe["tier"] == "bfloat16"
+    assert idx.tier_probe["estimated_recall"] < 0.95
+    assert idx.tier_probe["demoted_to"] == "exact"
+    assert idx.storage_dtype == jnp.float32
+
+    exact = DenseIndex(corpus.shape[1], metric="l2")
+    exact.add(corpus)
+    exact.commit()
+    s_want, i_want = exact.search(queries, 10)
+    s_got, i_got = idx.search(queries, 10)
+    np.testing.assert_array_equal(i_got, i_want)
+    np.testing.assert_allclose(s_got, s_want, rtol=1e-6, atol=1e-6)
+
+
+def test_quality_gate_int8_refine_fallback(rng):
+    """quality_fallback='int8_refine' on a cosine corpus keeps a
+    compact tier (int8 candidates + exact refine, ~0.99 on real
+    geometry) instead of full f32."""
+    vectors = _load(FAMILIES[0])
+    n_target = 4_000
+    pick = rng.integers(0, vectors.shape[0], n_target)
+    corpus = (
+        vectors[pick]
+        + 0.05 * vectors.std(axis=0) * rng.standard_normal(
+            (n_target, vectors.shape[1])
+        ).astype(np.float32)
+    ).astype(np.float32)
+    idx = DenseIndex(corpus.shape[1], metric="cosine",
+                     storage_dtype=jnp.bfloat16,
+                     quality_fallback="int8_refine")
+    idx.add(corpus)
+    idx.commit()
+    assert idx.tier_probe["demoted_to"] == "int8_refine"
+    assert idx.storage_dtype == jnp.int8
+    assert idx._refine_corpus is not None
+    # serves the refined tier: scores are exact cosines of returned ids
+    queries = _queries_for(vectors, rng)[:16]
+    s, i = idx.search(queries, 10)
+    cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    true = np.einsum("qd,qkd->qk", qn, cn[np.maximum(i, 0)])
+    np.testing.assert_allclose(s, true, rtol=1e-4, atol=1e-5)
+
+
+def test_quality_gate_keeps_good_tier(rng):
+    """Isotropic geometry clears the floor: the probe must record its
+    estimate and keep the requested bf16 tier."""
+    corpus = rng.standard_normal((3_000, 64)).astype(np.float32)
+    idx = DenseIndex(64, metric="ip", storage_dtype=jnp.bfloat16)
+    idx.add(corpus)
+    idx.commit()
+    assert idx.tier_probe is not None
+    assert idx.tier_probe["estimated_recall"] >= 0.95
+    assert idx.tier_probe["demoted_to"] is None
+    assert idx.storage_dtype == jnp.bfloat16
+
+
+def test_quality_gate_keep_mode_warns_only(rng, caplog):
+    """quality_fallback='keep' records + warns but serves the tier."""
+    import logging
+
+    vectors = _load(FAMILIES[0])
+    pick = rng.integers(0, vectors.shape[0], 2_000)
+    corpus = (
+        vectors[pick]
+        + 0.05 * vectors.std(axis=0) * rng.standard_normal(
+            (2_000, vectors.shape[1])
+        ).astype(np.float32)
+    ).astype(np.float32)
+    idx = DenseIndex(corpus.shape[1], metric="l2",
+                     storage_dtype=jnp.bfloat16, quality_fallback="keep")
+    idx.add(corpus)
+    with caplog.at_level(logging.WARNING,
+                         logger="persian_rag_tpu.index.dense"):
+        idx.commit()
+    assert idx.storage_dtype == jnp.bfloat16
+    assert idx.tier_probe["demoted_to"] is None
+    assert any("keep" in r.message for r in caplog.records)
