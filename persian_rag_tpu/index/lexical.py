@@ -103,6 +103,7 @@ def _topk_one_layout(
     two_pass: bool = False,
     n_union=None,
     want_ok: bool = False,
+    qw_exact: bool = False,
 ):
     """Kernel choice for one ELL: union batches prefer the hashed-union
     copy (segment-grouped chunks scan Ls slots instead of L — measured
@@ -128,12 +129,13 @@ def _topk_one_layout(
     if want_ok:
         s, i = _topk_one_layout(
             ids, vals, ids3, vals3, qids, qvals, kb, use_pallas,
-            use_union, hash_ok, False,
+            use_union, hash_ok, False, qw_exact=qw_exact,
         )
         return s, i, None
     if use_union and hash_ok and ids3 is not None:
         return sparse_topk_union_hashed(
-            ids3, vals3, qids, qvals, kb, use_pallas=use_pallas
+            ids3, vals3, qids, qvals, kb, use_pallas=use_pallas,
+            qw_exact=qw_exact,
         )
     if ids.ndim == 3:  # hashed-segment device layout
         return sparse_topk_hashed(
@@ -141,7 +143,8 @@ def _topk_one_layout(
         )
     if use_union:
         return sparse_topk_union(
-            ids, vals, qids, qvals, kb, use_pallas=use_pallas
+            ids, vals, qids, qvals, kb, use_pallas=use_pallas,
+            qw_exact=qw_exact,
         )
     return sparse_topk(ids, vals, qids, qvals, kb, use_pallas=use_pallas)
 
@@ -162,6 +165,7 @@ def _fused_bucket_topk_impl(
     two_pass: Tuple[bool, ...] = (),
     n_union=None,
     want_ok: bool = False,
+    qw_exact: bool = False,
 ):
     """All buckets' top-k plus the global merge in ONE device dispatch.
 
@@ -193,7 +197,7 @@ def _fused_bucket_topk_impl(
     ):
         out = _topk_one_layout(
             ids, vals, ids3, vals3, qids, qvals, kb, use_pallas,
-            use_union, h_ok, tp, n_union, want_ok,
+            use_union, h_ok, tp, n_union, want_ok, qw_exact,
         )
         if want_ok:
             s, i, ok = out
@@ -242,7 +246,7 @@ _fused_bucket_topk = functools.partial(
     jax.jit,
     static_argnames=(
         "t", "kbs", "k", "use_pallas", "use_union", "hash_ok",
-        "two_pass", "want_ok",
+        "two_pass", "want_ok", "qw_exact",
     ),
 )
 def _packed_bucket_topk(
@@ -260,6 +264,7 @@ def _packed_bucket_topk(
     hash_ok: Tuple[bool, ...] = (),
     two_pass: Tuple[bool, ...] = (),
     want_ok: bool = False,
+    qw_exact: bool = False,
 ):
     qids = packed_q[:, :t]
     qvals = jax.lax.bitcast_convert_type(
@@ -275,7 +280,7 @@ def _packed_bucket_topk(
         kbs=kbs, k=k, use_pallas=use_pallas, use_union=use_union,
         bucket_ids3=bucket_ids3, bucket_vals3=bucket_vals3,
         hash_ok=hash_ok, two_pass=two_pass, n_union=n_union,
-        want_ok=want_ok,
+        want_ok=want_ok, qw_exact=qw_exact,
     )
     ok = None
     if want_ok:
@@ -292,7 +297,7 @@ def _packed_bucket_topk(
     jax.jit,
     static_argnames=(
         "t", "k", "use_pallas", "use_union", "hash_ok", "two_pass",
-        "want_ok",
+        "want_ok", "qw_exact",
     ),
 )
 def _packed_flat_topk(
@@ -308,6 +313,7 @@ def _packed_flat_topk(
     hash_ok: bool = True,
     two_pass: bool = False,
     want_ok: bool = False,
+    qw_exact: bool = False,
 ):
     qids = packed_q[:, :t]
     qvals = jax.lax.bitcast_convert_type(
@@ -321,6 +327,7 @@ def _packed_flat_topk(
     out = _topk_one_layout(
         dev_ids, dev_vals, dev_ids3, dev_vals3, qids, qvals, k,
         use_pallas, use_union, hash_ok, two_pass, n_union, want_ok,
+        qw_exact,
     )
     ok = None
     if want_ok:
@@ -487,7 +494,15 @@ class _EllIndex:
         # "auto" = two-pass union serving (bf16 candidates + exact
         # rescore + proof + exact fallback) where the _TWOPASS_* gates
         # hold; "off" = always the exact HIGHEST-precision kernels.
-        self.two_pass: str = "auto"
+        # DEFAULT OFF — chip-measured round 4 (scripts/
+        # bench_lexical_twopass.py): the k_scan=32 candidate pass ALONE
+        # costs 1.7x the full exact kernel (1M: 212 vs 122 ms/512q;
+        # 200k: 44 vs 26) because the running merge's per-rank VPU
+        # passes dominate, not MXU precision — so two-pass is 0.37-0.38x
+        # wherever it engages, and its 98.2% per-query proof pass rate
+        # still fails the whole-batch quantifier on ~every batch-512.
+        # The machinery stays for the merge-free candidate redesign.
+        self.two_pass: str = "off"
         self._nonneg = False  # all stored contributions >= 0 (build)
         # runtime two-pass demotion (mirrors DenseIndex._stage1_mode):
         # each two-pass dispatch reads its per-query proof verdicts back
@@ -923,6 +938,19 @@ class _EllIndex:
             and k <= _TWOPASS_MAX_K
             and bool(qvals_np.min(initial=0.0) >= 0.0)
         )
+        # Integer query weights (BM25 term multiplicities) are
+        # bf16-EXACT, so the union kernels can run the 3-pass
+        # exact-split contraction instead of HIGHEST's 6 MXU passes —
+        # same arithmetic class (exact products, f32 accumulation).
+        # TF-IDF queries carry l2-normalized float weights and keep
+        # HIGHEST.
+        qw_exact = bool(
+            qvals_np.size == 0
+            or (
+                float(np.max(np.abs(qvals_np - np.rint(qvals_np)))) == 0.0
+                and float(qvals_np.max(initial=0.0)) <= 128.0
+            )
+        )
         if self.mesh is None:
             # single-chip serving: one packed upload, one packed readback
             # (each relay transfer costs a fixed ~15-35 ms round trip);
@@ -944,6 +972,7 @@ class _EllIndex:
                     hash_ok=flat_hash_ok,
                     two_pass=tp,
                     want_ok=tp,
+                    qw_exact=qw_exact,
                 )
                 arr = np.asarray(out)
                 if arr.shape[1] > 2 * k:
@@ -966,6 +995,7 @@ class _EllIndex:
                 hash_ok=bucket_hash_ok,
                 two_pass=tps,
                 want_ok=any(tps),
+                qw_exact=qw_exact,
             )
             arr = np.asarray(out)
             kk = min(k, sum(kbs))

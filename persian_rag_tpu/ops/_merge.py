@@ -1,8 +1,10 @@
 """Shared running-top-k merge used inside Pallas kernels.
 
 Candidates must be ordered [previous best (rank order), new candidates in
-ascending index order]; `jnp.argmax` takes the first occurrence, which gives
-lower-index-first tie-breaking (FAISS flat-search semantics).
+ascending index order]; extraction picks the LOWEST position among tied
+maxima (`_first_max_pos` — an explicit reduction: Mosaic's argmax is NOT
+tie-deterministic on hardware), giving lower-index-first tie-breaking
+(FAISS flat-search semantics).
 """
 from __future__ import annotations
 
@@ -12,6 +14,22 @@ import jax
 import jax.numpy as jnp
 
 NEG_INF = -3.0e38  # plain float: jnp scalars become captured consts in Pallas
+
+
+def _first_max_pos(x: jnp.ndarray, best: jnp.ndarray,
+                   pos: jnp.ndarray) -> jnp.ndarray:
+    """Lowest position attaining the row max, (rows, 1).
+
+    jnp.argmax is NOT tie-safe inside Pallas on TPU: Mosaic's lowering
+    returns an arbitrary occurrence on ties (chip micro-probe: col 700
+    of maxima {5, 700}, col 127 on an all-equal row — DESIGN.md round-4
+    notes), silently breaking the documented lowest-id-first tie order
+    at exactly-equal scores (duplicate documents, quantized weights,
+    shared single-term matches). CPU interpret follows the jnp
+    first-occurrence spec, so tests never saw it. An explicit
+    min-over-tied-positions reduction is deterministic on every
+    backend at the same VPU pass cost."""
+    return jnp.min(jnp.where(x == best, pos, 2 ** 30), axis=1)[:, None]
 
 
 def merge_topk(
@@ -37,7 +55,7 @@ def merge_topk(
         new_i = []
         for _ in range(k):
             best = jnp.max(cand_s, axis=1, keepdims=True)
-            am = jnp.argmax(cand_s, axis=1)[:, None]
+            am = _first_max_pos(cand_s, best, pos)
             onehot = pos == am
             chosen = jnp.sum(
                 jnp.where(onehot, cand_i, 0), axis=1, keepdims=True
@@ -57,7 +75,7 @@ def merge_topk(
     def body(t, carry):
         cs, out_s, out_i = carry
         best = jnp.max(cs, axis=1, keepdims=True)
-        am = jnp.argmax(cs, axis=1)[:, None]
+        am = _first_max_pos(cs, best, pos)
         onehot = pos == am
         chosen = jnp.sum(jnp.where(onehot, cand_i, 0), axis=1, keepdims=True)
         write = kpos == t
@@ -76,3 +94,60 @@ def merge_topk(
         ),
     )
     return out_s, out_i
+
+
+def tile_topk_iota(
+    scores: jnp.ndarray, k: int, id_offset, force_loop: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-tile top-k where candidate ids ARE the column iota + offset.
+
+    Running-merge kernels used to concatenate the (rows, k) carry onto
+    the fresh (rows, tile_n) scores and merge_topk the lot: 5 VPU
+    passes per rank (max, argmax, onehot, id-gather sum, mask) over a
+    lane-MISALIGNED (rows, k + tile_n) array — measured ~4-6 ms per
+    rank at 1M x 512 in the union kernels, dominating their runtime.
+    When candidate ids are just column + offset, the id-gather pass is
+    pure arithmetic on the argmax (no onehot+sum), and extraction runs
+    on the aligned (rows, tile_n) scores; the cross-tile merge then
+    only touches (rows, 2k). _first_max_pos picks the lowest tied
+    position, preserving lowest-col-first tie order. id_offset may be
+    traced.
+    """
+    rows, width = scores.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+    if k <= 32 and not force_loop:
+        out_s = []
+        out_i = []
+        for _ in range(k):
+            best = jnp.max(scores, axis=1, keepdims=True)
+            am = _first_max_pos(scores, best, pos)
+            out_s.append(best)
+            out_i.append(am + id_offset)
+            scores = jnp.where(pos == am, NEG_INF, scores)
+        return (
+            jnp.concatenate(out_s, axis=1),
+            jnp.concatenate(out_i, axis=1).astype(jnp.int32),
+        )
+
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1)
+
+    def body(t, carry):
+        cs, o_s, o_i = carry
+        best = jnp.max(cs, axis=1, keepdims=True)
+        am = _first_max_pos(cs, best, pos)
+        write = kpos == t
+        o_s = jnp.where(write, best, o_s)
+        o_i = jnp.where(write, am + id_offset, o_i)
+        return jnp.where(pos == am, NEG_INF, cs), o_s, o_i
+
+    _, out_s, out_i = jax.lax.fori_loop(
+        0,
+        k,
+        body,
+        (
+            scores,
+            jnp.full((rows, k), NEG_INF, scores.dtype),
+            jnp.full((rows, k), -1, jnp.int32),
+        ),
+    )
+    return out_s, out_i.astype(jnp.int32)

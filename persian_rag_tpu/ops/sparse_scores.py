@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from persian_rag_tpu.ops._merge import NEG_INF, merge_topk
+from persian_rag_tpu.ops._merge import NEG_INF, merge_topk, tile_topk_iota
 
 
 def _round_up(n: int, m: int) -> int:
@@ -599,6 +599,8 @@ def _sparse_topk_union_kernel(
     n_actual: int,
     tile_n: int,
     stage1: bool = False,
+    tile_merge: bool = False,
+    qw_exact: bool = False,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -644,6 +646,34 @@ def _sparse_topk_union_kernel(
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+        if qw_exact:
+            # BM25 query weights are small-integer term multiplicities
+            # — EXACT in bf16 — so the qw-side splits of the HIGHEST
+            # algorithm contribute nothing: split only D into three
+            # bf16 terms (8+8+8 mantissa bits >= f32's 24, an exact
+            # decomposition) and run 3 MXU passes instead of 6. Every
+            # product is exact, accumulation stays f32 — the same
+            # arithmetic class as HIGHEST (which this replaces purely
+            # for speed; accumulation ORDER differs, inside the
+            # documented non-bitwise f32 envelope).
+            qw16 = qw_vmem[:].astype(jnp.bfloat16)
+            dh = d.astype(jnp.bfloat16)
+            r1 = d - dh.astype(jnp.float32)
+            dm = r1.astype(jnp.bfloat16)
+            dl = (r1 - dm.astype(jnp.float32)).astype(jnp.bfloat16)
+            dn = (((1,), (0,)), ((), ()))
+            return (
+                scores
+                + jax.lax.dot_general(
+                    qw16, dh, dn, preferred_element_type=jnp.float32
+                )
+                + jax.lax.dot_general(
+                    qw16, dm, dn, preferred_element_type=jnp.float32
+                )
+                + jax.lax.dot_general(
+                    qw16, dl, dn, preferred_element_type=jnp.float32
+                )
+            )
         # HIGHEST: the MXU's default bf16 multiply loses ~4e-3 relative
         # on BM25-scale scores (measured max |ds| 0.11 vs the flat
         # kernel's f32 VPU accumulation -> 20% of top-10 ids flip on
@@ -660,6 +690,19 @@ def _sparse_topk_union_kernel(
     )
     col = jax.lax.broadcasted_iota(jnp.int32, (b, tn), 1) + j * tile_n
     scores = jnp.where(col < n_actual, scores, NEG_INF)
+
+    if tile_merge:
+        # Tile-local extraction on the ALIGNED (B, TN) scores with
+        # iota-derived ids, then a (B, 2k) cross-tile merge — the old
+        # whole-width merge paid 5 misaligned VPU passes per rank and
+        # dominated the kernel at 1M (see tile_topk_iota).
+        tile_s, tile_i = tile_topk_iota(
+            scores, k, j * tile_n, force_loop=k > 16
+        )
+        cand_s = jnp.concatenate([out_s_ref[:], tile_s], axis=1)
+        cand_i = jnp.concatenate([out_i_ref[:], tile_i], axis=1)
+        out_s_ref[:], out_i_ref[:] = merge_topk(cand_s, cand_i, k)
+        return
 
     # Whole-batch merge. (A 128-row-group merge loop — static ref
     # slices — crashes the Mosaic compiler: "limits[i] <= dim(i)";
@@ -682,6 +725,8 @@ def sparse_topk_union_pallas(
     u_chunk: int = 256,
     interpret: bool = False,
     stage1: bool = False,
+    tile_merge: bool = False,
+    qw_exact: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused lexical top-k via batch term dedup + MXU accumulation.
     Returns ((B, k) scores, (B, k) ids) — same semantics and tie order
@@ -720,7 +765,7 @@ def sparse_topk_union_pallas(
 
     kernel = functools.partial(
         _sparse_topk_union_kernel, k=k, n_actual=n, tile_n=tile_n,
-        stage1=stage1,
+        stage1=stage1, tile_merge=tile_merge, qw_exact=qw_exact,
     )
     out_s, out_i = pl.pallas_call(
         kernel,
@@ -757,14 +802,16 @@ def sparse_topk_union_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_n", "u_chunk", "interpret")
+    jax.jit,
+    static_argnames=("k", "tile_n", "u_chunk", "interpret", "qw_exact"),
 )
 def _sparse_topk_union_jit(
-    doc_ids, doc_vals, q_ids, q_vals, k, tile_n, u_chunk, interpret
+    doc_ids, doc_vals, q_ids, q_vals, k, tile_n, u_chunk, interpret,
+    qw_exact,
 ):
     return sparse_topk_union_pallas(
         doc_ids, doc_vals, q_ids, q_vals, k, tile_n=tile_n,
-        u_chunk=u_chunk, interpret=interpret,
+        u_chunk=u_chunk, interpret=interpret, qw_exact=qw_exact,
     )
 
 
@@ -777,9 +824,12 @@ def sparse_topk_union(
     use_pallas: Optional[bool] = None,
     tile_n: int = 896,
     u_chunk: int = 256,
+    qw_exact: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dispatching entry for the union-slot kernel (non-Pallas path =
-    reference scorer + top_k, identical to sparse_topk's)."""
+    reference scorer + top_k, identical to sparse_topk's). qw_exact:
+    query weights are small integers (bf16-exact) — the kernel runs the
+    3-pass exact-split contraction instead of HIGHEST's 6 passes."""
     k = min(k, doc_ids.shape[0])
     backend = jax.default_backend()
     if use_pallas is None:
@@ -787,7 +837,7 @@ def sparse_topk_union(
     if use_pallas:
         return _sparse_topk_union_jit(
             doc_ids, doc_vals, q_ids, q_vals, k, tile_n, u_chunk,
-            backend != "tpu",
+            backend != "tpu", qw_exact=qw_exact,
         )
     scores = sparse_scores_ref(doc_ids, doc_vals, q_ids, q_vals)
     top_s, top_i = jax.lax.top_k(scores, k)
@@ -922,6 +972,8 @@ def _sparse_topk_union_hashed_kernel(
     tile_n: int,
     ls: int,
     stage1: bool = False,
+    tile_merge: bool = False,
+    qw_exact: bool = False,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -960,6 +1012,27 @@ def _sparse_topk_union_hashed_kernel(
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+        if qw_exact:
+            # 3-pass exact-split contraction (integer query weights are
+            # bf16-exact) — see _sparse_topk_union_kernel
+            qw16 = qw_vmem[:].astype(jnp.bfloat16)
+            dh = d.astype(jnp.bfloat16)
+            r1 = d - dh.astype(jnp.float32)
+            dm = r1.astype(jnp.bfloat16)
+            dl = (r1 - dm.astype(jnp.float32)).astype(jnp.bfloat16)
+            dn = (((1,), (0,)), ((), ()))
+            return (
+                scores
+                + jax.lax.dot_general(
+                    qw16, dh, dn, preferred_element_type=jnp.float32
+                )
+                + jax.lax.dot_general(
+                    qw16, dm, dn, preferred_element_type=jnp.float32
+                )
+                + jax.lax.dot_general(
+                    qw16, dl, dn, preferred_element_type=jnp.float32
+                )
+            )
         return scores + jax.lax.dot_general(
             qw_vmem[:], d, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -971,6 +1044,15 @@ def _sparse_topk_union_hashed_kernel(
     )
     col = jax.lax.broadcasted_iota(jnp.int32, (b, tn), 1) + j * tile_n
     scores = jnp.where(col < n_actual, scores, NEG_INF)
+
+    if tile_merge:
+        tile_s, tile_i = tile_topk_iota(
+            scores, k, j * tile_n, force_loop=k > 16
+        )
+        cand_s = jnp.concatenate([out_s_ref[:], tile_s], axis=1)
+        cand_i = jnp.concatenate([out_i_ref[:], tile_i], axis=1)
+        out_s_ref[:], out_i_ref[:] = merge_topk(cand_s, cand_i, k)
+        return
 
     cand_s = jnp.concatenate([out_s_ref[:], scores], axis=1)
     cand_i = jnp.concatenate([out_i_ref[:], col], axis=1)
@@ -989,6 +1071,8 @@ def sparse_topk_union_hashed_pallas(
     u_chunk: int = 128,
     interpret: bool = False,
     stage1: bool = False,
+    tile_merge: bool = False,
+    qw_exact: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused lexical top-k: hashed-segment corpus x segment-grouped
     union chunks. Returns ((B, k) scores, (B, k) ids), same semantics
@@ -1022,6 +1106,7 @@ def sparse_topk_union_hashed_pallas(
     kernel = functools.partial(
         _sparse_topk_union_hashed_kernel,
         k=k, n_actual=n, tile_n=tile_n, ls=ls, stage1=stage1,
+        tile_merge=tile_merge, qw_exact=qw_exact,
     )
     out_s, out_i = pl.pallas_call(
         kernel,
@@ -1061,14 +1146,16 @@ def sparse_topk_union_hashed_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_n", "u_chunk", "interpret")
+    jax.jit,
+    static_argnames=("k", "tile_n", "u_chunk", "interpret", "qw_exact"),
 )
 def _sparse_topk_union_hashed_jit(
-    doc_ids3, doc_vals3, q_ids, q_vals, k, tile_n, u_chunk, interpret
+    doc_ids3, doc_vals3, q_ids, q_vals, k, tile_n, u_chunk, interpret,
+    qw_exact,
 ):
     return sparse_topk_union_hashed_pallas(
         doc_ids3, doc_vals3, q_ids, q_vals, k, tile_n=tile_n,
-        u_chunk=u_chunk, interpret=interpret,
+        u_chunk=u_chunk, interpret=interpret, qw_exact=qw_exact,
     )
 
 
@@ -1081,9 +1168,12 @@ def sparse_topk_union_hashed(
     use_pallas: Optional[bool] = None,
     tile_n: int = 896,
     u_chunk: int = 128,
+    qw_exact: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dispatching entry for the hashed-union kernel (non-Pallas path
-    flattens segments back to an ELL for the reference scorer)."""
+    flattens segments back to an ELL for the reference scorer).
+    qw_exact: integer query weights -> 3-pass exact-split contraction
+    (see sparse_topk_union)."""
     k = min(k, doc_ids3.shape[0])
     backend = jax.default_backend()
     if use_pallas is None:
@@ -1091,7 +1181,7 @@ def sparse_topk_union_hashed(
     if use_pallas:
         return _sparse_topk_union_hashed_jit(
             doc_ids3, doc_vals3, q_ids, q_vals, k, tile_n, u_chunk,
-            backend != "tpu",
+            backend != "tpu", qw_exact=qw_exact,
         )
     n, s_n, ls = doc_ids3.shape
     scores = sparse_scores_ref(

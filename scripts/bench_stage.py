@@ -48,6 +48,10 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=512)
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--reps", type=int, default=20)
+    parser.add_argument("--k-scan", type=int, default=32,
+                        help="finalist count refined by the e2s path "
+                        "(the refine gathers k_scan rows/query; smaller "
+                        "trades gather bytes for a looser proof bound)")
     parser.add_argument("--configs", type=str, default=",".join(DEFAULTS))
     args = parser.parse_args()
 
@@ -141,7 +145,7 @@ def main() -> None:
                        tr=transposed, g=group):
                 e_csq, e_c16 = extra
                 return flat_topk_exact2_stream(
-                    q, c, K, metric="dot", k_scan=32, tile_n=tn,
+                    q, c, K, metric="dot", k_scan=args.k_scan, tile_n=tn,
                     tile_q=tq, n_easy=ne, corpus_sqnorm=e_csq,
                     corpus_bf16=e_c16,
                     interpret=interpret, bf16_transposed=tr, group=g,

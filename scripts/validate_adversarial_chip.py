@@ -164,6 +164,71 @@ def main():
             flush=True,
         )
 
+    # ---- lexical mass-tie order (round-4 regression: Mosaic argmax is
+    # not tie-deterministic on hardware; _merge._first_max_pos fixed it.
+    # Quantized weights force huge exactly-equal score groups, the
+    # regime that exposed the bug — CPU interpret never sees it.)
+    from persian_rag_tpu.ops.sparse_scores import (
+        hash_segments,
+        sparse_topk_union_hashed_pallas,
+        sparse_topk_union_pallas,
+    )
+
+    nl, ll, vocab, bl, tl, kl = 50_000, 12, 5000, 256, 8, 10
+    lids = np.full((nl, ll), -1, np.int32)
+    lvals = np.zeros((nl, ll), np.float32)
+    nt = rng.integers(3, ll + 1, nl)
+    for d_ in range(nl):
+        tid = np.unique(
+            (rng.zipf(1.3, 24) - 1).clip(0, vocab - 1)
+        )[: nt[d_]].astype(np.int32)
+        lids[d_, : len(tid)] = tid
+        lvals[d_, : len(tid)] = (
+            np.rint(rng.uniform(0.5, 4.0, len(tid)) * 2) / 2
+        ).astype(np.float32)
+    lq = np.full((bl, tl), -1, np.int32)
+    lqv = np.zeros((bl, tl), np.float32)
+    for i_ in range(bl):
+        tid = np.unique(
+            (rng.zipf(1.3, 16) - 1).clip(0, vocab - 1)
+        )[: rng.integers(2, tl + 1)].astype(np.int32)
+        lq[i_, : len(tid)] = tid
+        lqv[i_, : len(tid)] = 1.0
+    lscores = np.zeros((bl, nl), np.float64)
+    for bi in range(bl):
+        for ti in range(tl):
+            q_ = lq[bi, ti]
+            if q_ < 0:
+                continue
+            lscores[bi] += lqv[bi, ti] * np.where(
+                lids == q_, lvals, 0
+            ).sum(1)
+    lorder = np.lexsort(
+        (np.arange(nl)[None, :].repeat(bl, 0),
+         -lscores.astype(np.float32)),
+        axis=1,
+    )[:, :kl]
+    lids3, lvals3 = hash_segments(lids, lvals, 8)
+    for lname, fn, arrs in (
+        ("flat-union", sparse_topk_union_pallas,
+         (jnp.asarray(lids), jnp.asarray(lvals))),
+        ("hashed-union", sparse_topk_union_hashed_pallas,
+         (jnp.asarray(lids3), jnp.asarray(lvals3))),
+    ):
+        f = jax.jit(
+            lambda a, c, qi, qv, fn=fn: fn(a, c, qi, qv, kl)
+        )
+        _, li = f(*arrs, jnp.asarray(lq), jnp.asarray(lqv))
+        eq = float(np.mean(np.asarray(li) == lorder))
+        status = "OK" if eq == 1.0 else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(
+            f"lexical mass-tie order {lname}: ids==lexsort {eq:.5f} "
+            f"-> {status}",
+            flush=True,
+        )
+
     print("ALL OK" if failures == 0 else f"{failures} FAILURES")
     sys.exit(1 if failures else 0)
 

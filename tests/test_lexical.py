@@ -325,3 +325,86 @@ def test_hash_work_model_crossover():
     assert not lex._EllIndex._hash_work_ok(small, l_pad, Ids3())
     assert lex._EllIndex._hash_work_ok(large, l_pad, Ids3())
     assert not lex._EllIndex._hash_work_ok(large, l_pad, None)
+
+
+def test_union_qw_exact_three_pass_parity(rng):
+    """Integer query weights route the union kernels through the 3-pass
+    exact-split contraction (qw bf16-exact, D split into three bf16
+    terms summing exactly); scores must match the reference within the
+    same f32 envelope as HIGHEST."""
+    from persian_rag_tpu.ops.sparse_scores import (
+        hash_segments,
+        sparse_scores_ref,
+        sparse_topk_union_hashed_pallas,
+        sparse_topk_union_pallas,
+    )
+    import jax.numpy as jnp
+
+    n, l, vocab, b, t, k = 600, 10, 300, 16, 6, 5
+    ids = np.full((n, l), -1, np.int32)
+    vals = np.zeros((n, l), np.float32)
+    for d in range(n):
+        nt = rng.integers(3, l + 1)
+        tid = np.unique(rng.integers(0, vocab, nt * 2))[:nt].astype(
+            np.int32
+        )
+        ids[d, : len(tid)] = tid
+        vals[d, : len(tid)] = rng.uniform(0.5, 4.0, len(tid))
+    qids = np.full((b, t), -1, np.int32)
+    qvals = np.zeros((b, t), np.float32)
+    for i in range(b):
+        nt = rng.integers(2, t + 1)
+        tid = np.unique(rng.integers(0, vocab, nt * 2))[:nt].astype(
+            np.int32
+        )
+        qids[i, : len(tid)] = tid
+        qvals[i, : len(tid)] = float(rng.integers(1, 4))  # int weights
+
+    scores = np.asarray(sparse_scores_ref(
+        jnp.asarray(ids), jnp.asarray(vals),
+        jnp.asarray(qids), jnp.asarray(qvals),
+    ))
+    order = np.lexsort(
+        (np.arange(n)[None, :].repeat(b, 0), -scores), axis=1
+    )[:, :k]
+    ids3, vals3 = hash_segments(ids, vals, 4)
+    s1, i1 = sparse_topk_union_pallas(
+        jnp.asarray(ids), jnp.asarray(vals),
+        jnp.asarray(qids), jnp.asarray(qvals), k,
+        interpret=True, qw_exact=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i1), order)
+    np.testing.assert_allclose(
+        np.asarray(s1),
+        np.take_along_axis(scores, order, axis=1),
+        rtol=2e-6, atol=1e-6,
+    )
+    s2, i2 = sparse_topk_union_hashed_pallas(
+        jnp.asarray(ids3), jnp.asarray(vals3),
+        jnp.asarray(qids), jnp.asarray(qvals), k,
+        interpret=True, qw_exact=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i2), order)
+
+
+def test_bm25_serving_uses_qw_exact_gate(rng):
+    """BM25 query weights are term multiplicities (integers) -> the
+    serving gate enables the 3-pass path; results unchanged vs the
+    HIGHEST kernels."""
+    from persian_rag_tpu.index.lexical import BM25Index
+
+    vocab = [f"w{j}" for j in range(100)]
+    docs = [
+        " ".join(rng.choice(vocab, 8, replace=False)) for _ in range(500)
+    ]
+    idx = BM25Index().build(docs)
+    idx.batch_kernel = "union"
+    queries = [
+        " ".join(rng.choice(vocab[:30], 3)) for _ in range(16)
+    ]  # repeats allowed -> multiplicity 2 sometimes
+    s1, i1 = idx.search(queries, k=5)
+    scores = np.stack([idx.get_scores(q) for q in queries])
+    want = np.lexsort(
+        (np.arange(scores.shape[1])[None].repeat(16, 0), -scores), axis=1
+    )[:, :5]
+    np.testing.assert_array_equal(i1, want)

@@ -230,6 +230,7 @@ def test_twopass_sticky_demotion(monkeypatch):
     idx = BM25Index()
     idx.build(docs)
     idx.batch_kernel = "union"
+    idx.two_pass = "auto"  # opt-in (default off per chip measurement)
     ref_s, ref_i = None, None
     for _ in range(idx.TWOPASS_DEMOTE_STREAK):
         assert not idx._twopass_demoted
