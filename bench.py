@@ -1153,6 +1153,39 @@ def main() -> None:
         except Exception as e:
             log(f"train bench skipped: {e}")
 
+    # -- trained speculative acceptance (VERDICT r3 #5) ------------------------
+    # LoRA-SFT a small byte decoder on the synthetic Persian QA corpus
+    # until it completes seen answers, then measure prompt-lookup
+    # acceptance + throughput in the BATCHED continuous scheduler on
+    # RAG-style prompts (the realistic middle between the echo ~1.0 and
+    # random ~0 endpoints the round-3 record carried).
+    if os.environ.get("BENCH_SPEC_TRAINED", "1") != "0":
+        try:
+            import importlib.util as _ilu
+
+            _spec = _ilu.spec_from_file_location(
+                "bench_spec_trained",
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "scripts", "bench_spec_trained.py",
+                ),
+            )
+            _mod = _ilu.module_from_spec(_spec)
+            _spec.loader.exec_module(_mod)
+            st = _mod.train_and_measure(
+                steps=int(os.environ.get("BENCH_SPEC_STEPS", 400)),
+                qa_n=128,
+                sft_epochs=int(os.environ.get("BENCH_SPEC_EPOCHS", 6)),
+                n_requests=24,
+                log=log,
+            )
+            extras["gen_spec_tpf_trained"] = st["tpf"]
+            extras["gen_spec_trained_tok_s"] = st["spec_tok_s"]
+            extras["gen_spec_trained_plain_tok_s"] = st["plain_tok_s"]
+            extras["gen_spec_trained_completion"] = st["completion_rate"]
+        except Exception as e:
+            log(f"trained-spec bench skipped: {e}")
+
     # -- generation (Llama-1B-arch decode) -------------------------------------
     if os.environ.get("BENCH_GEN", "1") != "0":
         try:

@@ -358,6 +358,7 @@ class RetrievalSystem:
         bm25_weight: float,
         use_union: bool = False,
         hash_ok=(True, ()),
+        qw_exact: bool = False,
     ):
         """Jitted (tokenized queries, lexical query terms) -> hybrid
         top-k step: encoder forward + fused dense search + fused lexical
@@ -384,7 +385,7 @@ class RetrievalSystem:
         flat_hash_ok, bucket_hash_ok = hash_ok
         kbs = self.bm25_index.bucket_kbs(m_b)
         key = ("hybrid", k, m_d, m_b, rerank, dense_weight, bm25_weight,
-               kbs, use_union, flat_hash_ok, bucket_hash_ok)
+               kbs, use_union, flat_hash_ok, bucket_hash_ok, qw_exact)
         if key not in self._fused_cache:
             import jax
 
@@ -430,7 +431,7 @@ class RetrievalSystem:
                         lex_arrays[0], lex_arrays[1],
                         lex_arrays[2], lex_arrays[3],
                         qids, qvals, m_b, None, use_union,
-                        flat_hash_ok,
+                        flat_hash_ok, qw_exact=qw_exact,
                     )
                 else:
                     l_s, l_i = _fused_bucket_topk_impl(
@@ -442,6 +443,7 @@ class RetrievalSystem:
                         bucket_ids3=tuple(lex_arrays[3::5]),
                         bucket_vals3=tuple(lex_arrays[4::5]),
                         hash_ok=bucket_hash_ok,
+                        qw_exact=qw_exact,
                     )
                 f_s, f_i = fuse_hybrid(
                     d_s, d_i, l_s, l_i, k,
@@ -496,10 +498,20 @@ class RetrievalSystem:
         (corpus, scales, refine, sqnorms, stage1, center,
          s1_center, c_sqmax, s1_lo) = self.dense_index.fused_args()
         use_union = bm._union_gate(qids)
+        # BM25 integer query weights -> 3-pass exact-split contraction
+        # (same gate as BM25Index._search_encoded)
+        qw_exact = bool(
+            qvals.size == 0
+            or (
+                float(np.max(np.abs(qvals - np.rint(qvals)))) == 0.0
+                and float(qvals.max(initial=0.0)) <= 128.0
+            )
+        )
         fn = self._fused_hybrid_fn(
             k, m_d, m_b, rerank, dense_weight, bm25_weight,
             use_union=use_union,
             hash_ok=bm._hash_ok_flags(qids) if use_union else (True, ()),
+            qw_exact=qw_exact,
         )
         packed_q = np.concatenate(
             [
