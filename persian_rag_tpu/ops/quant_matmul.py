@@ -38,6 +38,7 @@ to the XLA convert-in-dot reference, which handles all shapes.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -224,6 +225,62 @@ def _flatten_leading(x):
 # streaming int8 weights faster buys nothing (prefill regime).
 _MAX_KERNEL_ROWS = 256
 
+# Split-K 2-D grid policy for K-large decode matvecs: the 1-D grid's
+# (K, bn) blocks force small bn at K=8192 (vmem budget), leaving too
+# few lanes per step — isolated-op probe measured mlp_down (8192,
+# 2048) at 424 us (1-D, bn=128) vs 342 us (2-D, bn=2048 x bk=256).
+# >0 enables the accumulating (n, k) grid for K >= the threshold.
+# Default on at 8192 after the whole-decode-step A/B (the decisive
+# measurement — isolated per-op times are dominated by a ~250 us
+# dispatch floor); set PRAG_W8A16_SPLIT_K=0 to disable.
+W8A16_SPLIT_K = int(os.environ.get("PRAG_W8A16_SPLIT_K", "8192"))
+
+
+def _w8a16_2d_kernel(x_ref, w_ref, s_ref, o_ref, *, n_k: int):
+    kk = pl.program_id(1)
+    acc = jnp.dot(
+        x_ref[...], w_ref[...].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kk == 0)
+    def _init():
+        o_ref[...] = acc
+
+    @pl.when(kk > 0)
+    def _acc():
+        o_ref[...] += acc
+
+    @pl.when(kk == n_k - 1)
+    def _scale():
+        o_ref[...] *= s_ref[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "block_k", "interpret")
+)
+def _w8a16_2d_call(
+    x, values, scale, *, block_n: int, block_k: int, interpret: bool
+):
+    b, k = x.shape
+    n = values.shape[1]
+    b_pad = max(16, _round_up(b, 16))
+    x = jnp.pad(x.astype(jnp.bfloat16), ((0, b_pad - b), (0, 0)))
+    grid = (n // block_n, k // block_k)
+    out = pl.pallas_call(
+        functools.partial(_w8a16_2d_kernel, n_k=grid[1]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b_pad, block_k), lambda i, j: (0, j)),
+            pl.BlockSpec((block_k, block_n), lambda i, j: (j, i)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((b_pad, block_n), lambda i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n), jnp.float32),
+        interpret=interpret,
+    )(x, values, scale)
+    return out[:b]
+
 
 def w8a16_matmul(
     x: jnp.ndarray,
@@ -241,6 +298,19 @@ def w8a16_matmul(
         # prefill regime / non-128-aligned output dims (arbitrary HF
         # configs): XLA convert-in-dot handles any shape
         return dequant_matmul_reference(x, values, scale, nt=False)
+    k, n = values.shape
+    if (
+        W8A16_SPLIT_K
+        and k >= W8A16_SPLIT_K
+        and n % 1024 == 0
+        and k % 256 == 0
+    ):
+        bn2 = 2048 if n % 2048 == 0 else 1024
+        out = _w8a16_2d_call(
+            x2, values, scale, block_n=bn2, block_k=256,
+            interpret=interpret,
+        )
+        return out.reshape(*lead, n)
     if block_n is None:
         block_n = pick_block_n(values.shape[1], values.shape[0])
     assert values.shape[1] % block_n == 0

@@ -34,11 +34,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def rag_prompt(item) -> str:
-    return (
-        f"متن: {item['context']}\n"
-        f"سوال: {item['question']}\nپاسخ: "
-    )
+def rag_question(item) -> str:
+    """Context-stuffed question: the SFT prompt template is
+    "سوال: {question}\nپاسخ: " (train/lora.py PROMPT_TEMPLATE), so the
+    retrieved context rides inside the question field — the SAME format
+    trains and serves (a format mismatch here measured completion 0.00
+    at SFT loss 0.011)."""
+    return f"متن: {item['context']} سوال: {item['question']}"
 
 
 def train_and_measure(
@@ -81,9 +83,14 @@ def train_and_measure(
     qa = synthetic_persian_qa(qa_n, seed=seed)
 
     # ---- 1) LM warmup (full params) on the corpus text ------------------
+    from persian_rag_tpu.train.lora import PROMPT_TEMPLATE
+
     text_ids = []
     for item in qa:
-        text_ids.extend(tok.encode(rag_prompt(item) + item["answer"]))
+        text_ids.extend(tok.encode(
+            PROMPT_TEMPLATE.format(question=rag_question(item))
+            + item["answer"]
+        ))
         text_ids.append(tok.eos_id)
     text_ids = np.asarray(text_ids, np.int32)
     seq = 192
@@ -121,10 +128,14 @@ def train_and_measure(
         f"final loss {float(loss):.3f}")
 
     # ---- 2) LoRA SFT on the QA pairs (train-on-responses-only) ----------
+    sft_items = [
+        {"question": rag_question(it), "answer": it["answer"]}
+        for it in qa
+    ]
     trainer = LoraTrainer(config, params, rank=32, tokenizer=tok)
     t0 = time.time()
     out = trainer.fit(
-        qa, epochs=sft_epochs, batch_size=batch, max_len=256,
+        sft_items, epochs=sft_epochs, batch_size=batch, max_len=256,
         learning_rate=1e-3, log_every=16,
     )
     log(f"LoRA SFT: {out['steps']} steps in {time.time()-t0:.0f}s, "
@@ -137,7 +148,8 @@ def train_and_measure(
     n_eval = 8
     for item in qa[:n_eval]:
         out_txt = gen.generate_text(
-            rag_prompt(item), max_tokens=max_tokens, temperature=0.0
+            PROMPT_TEMPLATE.format(question=rag_question(item)),
+            max_tokens=max_tokens, temperature=0.0,
         )
         if item["answer"][:20] in out_txt:
             hits += 1
@@ -150,7 +162,9 @@ def train_and_measure(
             gen, batch=batch, segment=32, speculative=speculative,
         )
         prompts = [
-            tok.encode(rag_prompt(qa[(offset + i) % len(qa)]))
+            tok.encode(PROMPT_TEMPLATE.format(
+                question=rag_question(qa[(offset + i) % len(qa)])
+            ))
             for i in range(n_requests)
         ]
         # warm the compiles with a couple requests
