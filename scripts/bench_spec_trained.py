@@ -76,7 +76,7 @@ def train_and_measure(
         num_heads=4,
         num_kv_heads=4,
         intermediate_size=1024,
-        max_position_embeddings=512,
+        max_position_embeddings=1024,
         rope_theta=10_000.0,
     )
     model = LlamaDecoder(config)
@@ -134,8 +134,12 @@ def train_and_measure(
     ]
     trainer = LoraTrainer(config, params, rank=32, tokenizer=tok)
     t0 = time.time()
+    # max_len must cover prompt + answer: the context-stuffed prompt
+    # alone runs ~430 UTF-8 bytes — a 256 cap truncated away EVERY
+    # response token (loss exactly 0.000 over zero valid labels,
+    # completion 0.00 — measured)
     out = trainer.fit(
-        sft_items, epochs=sft_epochs, batch_size=batch, max_len=256,
+        sft_items, epochs=sft_epochs, batch_size=batch, max_len=512,
         learning_rate=1e-3, log_every=16,
     )
     log(f"LoRA SFT: {out['steps']} steps in {time.time()-t0:.0f}s, "
@@ -143,7 +147,7 @@ def train_and_measure(
     merged = trainer.merged_params()
 
     # ---- completion check: does greedy complete seen answers? -----------
-    gen = TextGenerator(config, params=merged, tokenizer=tok, max_len=512)
+    gen = TextGenerator(config, params=merged, tokenizer=tok, max_len=640)
     hits = 0
     n_eval = 8
     for item in qa[:n_eval]:
