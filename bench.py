@@ -633,7 +633,10 @@ def bench_train(jax, jnp, extras: dict) -> None:
     from persian_rag_tpu.train.trainer import EmbeddingTrainer
 
     batch = int(os.environ.get("BENCH_TRAIN_B", 64))
-    steps = int(os.environ.get("BENCH_TRAIN_STEPS", 24))
+    # 40 steps: at 24 the fixed epoch costs (host tokenization, per-step
+    # loss readback) under-amortize — MiniLM measured 464 samples/s at
+    # 24 steps vs 1625 at 40 in scripts/bench_train.py
+    steps = int(os.environ.get("BENCH_TRAIN_STEPS", 40))
     seq = 64
     archs = [
         ("ft_minilm", "MiniLM-L12", EncoderConfig.minilm_l12, 108.0),
