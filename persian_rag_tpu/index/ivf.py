@@ -314,24 +314,41 @@ class IVFIndex:
         )
         want = np.asarray(want)
         kk = want.shape[1]
-        curve = []
-        nprobe = self.n_cells
-        p = 1
-        while True:
-            p_eff = min(p, self.n_cells)
+        def measure(p_eff):
             _, got = self.search(
                 q, kk, nprobe=p_eff, query_chunk=query_chunk
             )
-            r = float(np.mean([
+            return float(np.mean([
                 len(set(got[i]) & set(want[i])) / kk
                 for i in range(len(q))
             ]))
+
+        curve = []
+        p = 1
+        while True:
+            p_eff = min(p, self.n_cells)
+            r = measure(p_eff)
             curve.append((p_eff, round(r, 4)))
             if r >= target_recall or p_eff == self.n_cells:
-                nprobe = p_eff
-                achieved = r
+                nprobe, achieved = p_eff, r
                 break
             p *= 2
+        # midpoint refinement between the last failing power of two and
+        # the passing one: each doubling can overshoot by up to 2x probe
+        # cost (e.g. 8 -> 16 when 12 already clears the target). Two
+        # extra measurements bound the overshoot to ~25%. (Each distinct
+        # nprobe is a separate compiled probe shape — keep this shallow.)
+        lo = curve[-2][0] if len(curve) >= 2 else 0
+        for _ in range(2):
+            if nprobe - lo <= max(1, nprobe // 8):
+                break
+            mid = (lo + nprobe) // 2
+            r_mid = measure(mid)
+            curve.append((mid, round(r_mid, 4)))
+            if r_mid >= target_recall:
+                nprobe, achieved = mid, r_mid
+            else:
+                lo = mid
         self.nprobe = nprobe
         self.calibration = {
             "target": target_recall,

@@ -30,6 +30,8 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=512)
     parser.add_argument("--pool", type=int, default=8192)
     parser.add_argument("--k", type=int, default=10)
+    parser.add_argument("--segments", type=int, default=8)
+    parser.add_argument("--u-chunk", type=int, default=128)
     parser.add_argument("--flat-union", action="store_true",
                         help="A/B the flat union kernel too")
     parser.add_argument("--cpu", action="store_true")
@@ -67,7 +69,9 @@ def main() -> None:
         for b in index._buckets:
             ids[b.gids, : b.ids.shape[1]] = b.ids
             vals[b.gids, : b.vals.shape[1]] = b.vals
-    ids3, vals3 = hash_segments(ids, vals, 8)
+    ids3, vals3 = hash_segments(ids, vals, args.segments)
+    print(f"hashed S={args.segments} Ls={ids3.shape[2]} "
+          f"UC={args.u_chunk}", flush=True)
     dev_ids = jax.device_put(jnp.asarray(ids))
     dev_vals = jax.device_put(jnp.asarray(vals))
     dev_ids3 = jax.device_put(jnp.asarray(ids3))
@@ -88,7 +92,7 @@ def main() -> None:
         if kernel == "hashed":
             def fn(di, dv, qi, qv):
                 return sparse_topk_union_hashed_pallas(
-                    di, dv, qi, qv, args.k,
+                    di, dv, qi, qv, args.k, u_chunk=args.u_chunk,
                     interpret=interp, tile_merge=tm, qw_exact=qx,
                 )
             return fn, (dev_ids3, dev_vals3)
@@ -120,9 +124,7 @@ def main() -> None:
                   f"|ds| {ds:.2e}; qw_exact ids equal {same_q:.4f} "
                   f"|ds| {ds_q:.2e}", flush=True)
 
-        for arm, tm, qx in (("old", False, False),
-                            ("old_qw", False, True),
-                            ("new", True, False)):
+        for arm, tm, qx in (("old_qw", False, True),):
             fn, arrs = make_fn(kernel, tm, qx)
 
             @jax.jit
