@@ -120,10 +120,39 @@ class Collection:
     def save(self, directory: str) -> None:
         """Write the collection to ``directory``: DenseIndex payload
         (vectors npz + meta json) plus a JSON sidecar carrying the
-        ids/documents/metadatas lists."""
+        ids/documents/metadatas lists.
+
+        The npz is written from the index's HOST-side copy when vectors
+        are still staged (add() persists eagerly like chromadb's
+        PersistentClient): calling DenseIndex.save() here would force a
+        full device commit per add() batch — O(m * N) device uploads
+        over m incremental adds (each relay upload is seconds-to-
+        minutes). Committed indexes (queried at least once) still go
+        through DenseIndex.save()."""
         os.makedirs(directory, exist_ok=True)
         if self._index is not None:
-            self._index.save(os.path.join(directory, "index"))
+            idx = self._index
+            if idx._pending and idx._device_corpus is None:
+                # all vectors still staged host-side: snapshot without
+                # touching the device (same on-disk format as
+                # DenseIndex.save)
+                vectors = np.concatenate(idx._pending, axis=0)
+                if idx.metric == "cosine":
+                    norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+                    vectors = vectors / np.maximum(norms, 1e-12)
+                base = os.path.join(directory, "index")
+                np.savez(base + ".npz", vectors=vectors)
+                with open(base + ".meta.json", "w", encoding="utf-8") as f:
+                    json.dump(
+                        {
+                            "dim": idx.dim,
+                            "metric": idx.metric,
+                            "ntotal": vectors.shape[0],
+                        },
+                        f,
+                    )
+            else:
+                idx.save(os.path.join(directory, "index"))
         sidecar = {
             "name": self.name,
             "metric": self.metric,

@@ -398,12 +398,17 @@ class IVFIndex:
         in_cap = slot < cap
         cells[sorted_cell[in_cap], slot[in_cap]] = vectors[order[in_cap]]
         cell_ids[sorted_cell[in_cap], slot[in_cap]] = order[in_cap]
-        self._cells = jnp.asarray(cells)
-        self._cell_ids = jnp.asarray(cell_ids)
+        # On a mesh the SHARDED placements serve every search; keep the
+        # unsharded copies HOST-side numpy (rows()/save()/export read
+        # them rarely) instead of doubling the device residency — the
+        # padded cells block is the multi-GB payload at 1M rows.
+        put = (lambda a: a) if self.mesh is not None else jnp.asarray
+        self._cells = put(cells)
+        self._cell_ids = put(cell_ids)
         ovf = np.sort(order[~in_cap])  # row order, as sequential append
         if ovf.size:
-            self._overflow = jnp.asarray(vectors[ovf])
-            self._overflow_ids = jnp.asarray(ovf.astype(np.int32))
+            self._overflow = put(vectors[ovf])
+            self._overflow_ids = put(ovf.astype(np.int32))
         else:
             self._overflow = None
             self._overflow_ids = None

@@ -54,6 +54,23 @@ _TOKEN_RE = re.compile(r"(?u)\b\w\w+\b")
 logger = logging.getLogger(__name__)
 
 
+def qw_exact_gate(qvals_np: np.ndarray) -> bool:
+    """Whether a batch's query weights are bf16-EXACT small integers
+    (BM25 term multiplicities), enabling the union kernels' 3-pass
+    exact-split contraction (ops.sparse_scores._exact_split_dot)
+    instead of HIGHEST's 6 MXU passes. Bounds the ABSOLUTE value
+    (bf16 represents every integer of magnitude <= 256 exactly;
+    a large negative integral weight would pass a max()-only check
+    while rounding in bf16). TF-IDF's l2-normalized floats fail the
+    integrality test and keep HIGHEST."""
+    if qvals_np.size == 0:
+        return True
+    return bool(
+        float(np.max(np.abs(qvals_np - np.rint(qvals_np)))) == 0.0
+        and float(np.max(np.abs(qvals_np))) <= 128.0
+    )
+
+
 def whitespace_tokenize(text: str) -> List[str]:
     """The reference's BM25 tokenization (src/retrieval.py:66, :124)."""
     return text.split()
@@ -938,19 +955,7 @@ class _EllIndex:
             and k <= _TWOPASS_MAX_K
             and bool(qvals_np.min(initial=0.0) >= 0.0)
         )
-        # Integer query weights (BM25 term multiplicities) are
-        # bf16-EXACT, so the union kernels can run the 3-pass
-        # exact-split contraction instead of HIGHEST's 6 MXU passes —
-        # same arithmetic class (exact products, f32 accumulation).
-        # TF-IDF queries carry l2-normalized float weights and keep
-        # HIGHEST.
-        qw_exact = bool(
-            qvals_np.size == 0
-            or (
-                float(np.max(np.abs(qvals_np - np.rint(qvals_np)))) == 0.0
-                and float(qvals_np.max(initial=0.0)) <= 128.0
-            )
-        )
+        qw_exact = qw_exact_gate(qvals_np)
         if self.mesh is None:
             # single-chip serving: one packed upload, one packed readback
             # (each relay transfer costs a fixed ~15-35 ms round trip);

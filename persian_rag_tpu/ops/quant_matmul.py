@@ -301,6 +301,7 @@ def w8a16_matmul(
     k, n = values.shape
     if (
         W8A16_SPLIT_K
+        and block_n is None  # an explicit block_n is a schedule override
         and k >= W8A16_SPLIT_K
         and n % 1024 == 0
         and k % 256 == 0

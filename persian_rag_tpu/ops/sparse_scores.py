@@ -39,6 +39,31 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _exact_split_dot(qw, d, scores):
+    """3-pass exact-split contraction for bf16-EXACT query weights:
+    split only D into three bf16 terms (8+8+8 mantissa bits >= f32's
+    24, an exact decomposition). Every product exact, f32 accumulation
+    — the same arithmetic class as HIGHEST at half the MXU passes."""
+    qw16 = qw.astype(jnp.bfloat16)
+    dh = d.astype(jnp.bfloat16)
+    r1 = d - dh.astype(jnp.float32)
+    dm = r1.astype(jnp.bfloat16)
+    dl = (r1 - dm.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    return (
+        scores
+        + jax.lax.dot_general(
+            qw16, dh, dn, preferred_element_type=jnp.float32
+        )
+        + jax.lax.dot_general(
+            qw16, dm, dn, preferred_element_type=jnp.float32
+        )
+        + jax.lax.dot_general(
+            qw16, dl, dn, preferred_element_type=jnp.float32
+        )
+    )
+
+
 def _pad_axis(x: jnp.ndarray, size: int, axis: int, value) -> jnp.ndarray:
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -649,31 +674,8 @@ def _sparse_topk_union_kernel(
         if qw_exact:
             # BM25 query weights are small-integer term multiplicities
             # — EXACT in bf16 — so the qw-side splits of the HIGHEST
-            # algorithm contribute nothing: split only D into three
-            # bf16 terms (8+8+8 mantissa bits >= f32's 24, an exact
-            # decomposition) and run 3 MXU passes instead of 6. Every
-            # product is exact, accumulation stays f32 — the same
-            # arithmetic class as HIGHEST (which this replaces purely
-            # for speed; accumulation ORDER differs, inside the
-            # documented non-bitwise f32 envelope).
-            qw16 = qw_vmem[:].astype(jnp.bfloat16)
-            dh = d.astype(jnp.bfloat16)
-            r1 = d - dh.astype(jnp.float32)
-            dm = r1.astype(jnp.bfloat16)
-            dl = (r1 - dm.astype(jnp.float32)).astype(jnp.bfloat16)
-            dn = (((1,), (0,)), ((), ()))
-            return (
-                scores
-                + jax.lax.dot_general(
-                    qw16, dh, dn, preferred_element_type=jnp.float32
-                )
-                + jax.lax.dot_general(
-                    qw16, dm, dn, preferred_element_type=jnp.float32
-                )
-                + jax.lax.dot_general(
-                    qw16, dl, dn, preferred_element_type=jnp.float32
-                )
-            )
+            # algorithm contribute nothing (see _exact_split_dot).
+            return _exact_split_dot(qw_vmem[:], d, scores)
         # HIGHEST: the MXU's default bf16 multiply loses ~4e-3 relative
         # on BM25-scale scores (measured max |ds| 0.11 vs the flat
         # kernel's f32 VPU accumulation -> 20% of top-10 ids flip on
@@ -1013,26 +1015,8 @@ def _sparse_topk_union_hashed_kernel(
                 preferred_element_type=jnp.float32,
             )
         if qw_exact:
-            # 3-pass exact-split contraction (integer query weights are
-            # bf16-exact) — see _sparse_topk_union_kernel
-            qw16 = qw_vmem[:].astype(jnp.bfloat16)
-            dh = d.astype(jnp.bfloat16)
-            r1 = d - dh.astype(jnp.float32)
-            dm = r1.astype(jnp.bfloat16)
-            dl = (r1 - dm.astype(jnp.float32)).astype(jnp.bfloat16)
-            dn = (((1,), (0,)), ((), ()))
-            return (
-                scores
-                + jax.lax.dot_general(
-                    qw16, dh, dn, preferred_element_type=jnp.float32
-                )
-                + jax.lax.dot_general(
-                    qw16, dm, dn, preferred_element_type=jnp.float32
-                )
-                + jax.lax.dot_general(
-                    qw16, dl, dn, preferred_element_type=jnp.float32
-                )
-            )
+            # 3-pass exact-split contraction — see _exact_split_dot
+            return _exact_split_dot(qw_vmem[:], d, scores)
         return scores + jax.lax.dot_general(
             qw_vmem[:], d, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

@@ -23,6 +23,7 @@ joins the mesh layer like the flat tiers (parallel/sharded_search.py):
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -117,6 +118,22 @@ def sharded_ivf_topk(
     c_local = centroids_sh.shape[0] // n_shards
     nprobe_local = min(nprobe, c_local)
     descending = metric != "l2"
+    s, i = _sharded_ivf_jit(mesh, k, nprobe_local, metric)(
+        queries, centroids_sh, cells_sh, cell_ids_sh, overflow_sh,
+        overflow_ids_sh,
+    )
+    if not descending:
+        s = -s  # _ivf_search_step maximizes; back to distances ascending
+    return s, i
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_ivf_jit(mesh: Mesh, k: int, nprobe_local: int, metric: str):
+    """One jitted shard_map per (mesh, k, nprobe, metric) — building a
+    fresh closure per call would re-trace and remote-recompile every
+    dispatch (30s-5min each on the relay; calibrate_nprobe alone makes
+    ~5-10 calls). Shape variation re-traces under the SAME jit's own
+    cache."""
 
     def local_search(q, cent, cells, cids, ovf, ovf_ids):
         s, i = _ivf_search_step(
@@ -136,7 +153,7 @@ def sharded_ivf_topk(
         )
         return s_sorted[:, :k], gid_sorted[:, :k]
 
-    fn = shard_map(
+    return jax.jit(shard_map(
         local_search,
         mesh=mesh,
         in_specs=(
@@ -149,11 +166,4 @@ def sharded_ivf_topk(
         ),
         out_specs=(P(), P()),
         check_vma=False,
-    )
-    s, i = jax.jit(fn)(
-        queries, centroids_sh, cells_sh, cell_ids_sh, overflow_sh,
-        overflow_ids_sh,
-    )
-    if not descending:
-        s = -s  # _ivf_search_step maximizes; back to distances ascending
-    return s, i
+    ))

@@ -498,15 +498,9 @@ class RetrievalSystem:
         (corpus, scales, refine, sqnorms, stage1, center,
          s1_center, c_sqmax, s1_lo) = self.dense_index.fused_args()
         use_union = bm._union_gate(qids)
-        # BM25 integer query weights -> 3-pass exact-split contraction
-        # (same gate as BM25Index._search_encoded)
-        qw_exact = bool(
-            qvals.size == 0
-            or (
-                float(np.max(np.abs(qvals - np.rint(qvals)))) == 0.0
-                and float(qvals.max(initial=0.0)) <= 128.0
-            )
-        )
+        from persian_rag_tpu.index.lexical import qw_exact_gate
+
+        qw_exact = qw_exact_gate(qvals)
         fn = self._fused_hybrid_fn(
             k, m_d, m_b, rerank, dense_weight, bm25_weight,
             use_union=use_union,

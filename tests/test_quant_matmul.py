@@ -154,3 +154,48 @@ def test_batch_one_and_odd_batches(wx):
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=0, atol=1e-5
         )
+
+
+def test_w8a16_split_k_decode_shape(rng):
+    """The split-K (n, k) accumulating grid serves every K>=8192 decode
+    matvec by default (mlp_down of the 1B arch) — pin its parity at the
+    production threshold shape, and that an explicit block_n overrides
+    the schedule."""
+    import jax.numpy as jnp
+
+    from persian_rag_tpu.ops.quant_matmul import (
+        _w8a16_2d_call,
+        dequant_matmul_reference,
+        quantize_weight,
+        w8a16_matmul,
+    )
+
+    k, n = 8192, 2048
+    w = (rng.standard_normal((k, n)) * 0.05).astype(np.float32)
+    x = rng.standard_normal((2, k)).astype(np.float32)
+    values, scale = quantize_weight(jnp.asarray(w))
+    want = np.asarray(
+        dequant_matmul_reference(
+            jnp.asarray(x).astype(jnp.bfloat16), values, scale, nt=False
+        )
+    )
+    got = np.asarray(
+        _w8a16_2d_call(
+            jnp.asarray(x), values, scale, block_n=1024, block_k=256,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-2)
+    # dispatcher routes this shape through split-K (bn2=2048)
+    got2 = np.asarray(
+        w8a16_matmul(jnp.asarray(x), values, scale, interpret=True)
+    )
+    np.testing.assert_allclose(got2, want, rtol=2e-2, atol=1e-2)
+    # explicit block_n is a schedule override: identical values via the
+    # 1-D kernel
+    got3 = np.asarray(
+        w8a16_matmul(
+            jnp.asarray(x), values, scale, block_n=256, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got3, want, rtol=2e-2, atol=1e-2)

@@ -449,3 +449,57 @@ def test_union_hashed_skewed_segments_and_all_pad(rng):
     np.testing.assert_array_equal(
         np.asarray(i0), np.tile(np.arange(4), (3, 1))
     )
+
+
+def test_tile_merge_duplicate_tie_order(rng):
+    """tile_merge=True (the documented negative-result flag) must keep
+    the lowest-id-first tie order across planted duplicate rows
+    spanning corpus tiles — the carry-first (B, 2k) merge plus in-tile
+    iota extraction."""
+    import jax.numpy as jnp
+
+    from persian_rag_tpu.ops.sparse_scores import (
+        hash_segments,
+        sparse_scores_ref,
+        sparse_topk_union_hashed_pallas,
+        sparse_topk_union_pallas,
+    )
+
+    n, l, vocab, b, t, k = 3000, 8, 200, 16, 6, 8
+    ids = np.full((n, l), -1, np.int32)
+    vals = np.zeros((n, l), np.float32)
+    for d in range(n):
+        nt = rng.integers(3, l + 1)
+        tid = np.unique(rng.integers(0, vocab, nt * 2))[:nt].astype(
+            np.int32
+        )
+        ids[d, : len(tid)] = tid
+        vals[d, : len(tid)] = rng.uniform(0.5, 4.0, len(tid))
+    # duplicate one row across several tiles (tile_n=896)
+    for dst in (40, 950, 1800, 2700):
+        ids[dst] = ids[7]
+        vals[dst] = vals[7]
+    qids = np.full((b, t), -1, np.int32)
+    qvals = np.zeros((b, t), np.float32)
+    qids[:, :3] = ids[7, :3]
+    qvals[:, :3] = 1.0
+    scores = np.asarray(sparse_scores_ref(
+        jnp.asarray(ids), jnp.asarray(vals),
+        jnp.asarray(qids), jnp.asarray(qvals),
+    ))
+    order = np.lexsort(
+        (np.arange(n)[None, :].repeat(b, 0), -scores), axis=1
+    )[:, :k]
+    ids3, vals3 = hash_segments(ids, vals, 4)
+    s1, i1 = sparse_topk_union_pallas(
+        jnp.asarray(ids), jnp.asarray(vals),
+        jnp.asarray(qids), jnp.asarray(qvals), k,
+        interpret=True, tile_merge=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i1), order)
+    s2, i2 = sparse_topk_union_hashed_pallas(
+        jnp.asarray(ids3), jnp.asarray(vals3),
+        jnp.asarray(qids), jnp.asarray(qvals), k,
+        interpret=True, tile_merge=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i2), order)
