@@ -73,6 +73,7 @@ class RetrievalSystem:
         dense_index_type: str = "flat",
         ivf_cells: int = 100,
         ivf_nprobe: int = 8,
+        ivf_target_recall: Optional[float] = None,
     ):
         """
         Args:
@@ -92,6 +93,9 @@ class RetrievalSystem:
         self.dense_index_type = dense_index_type
         self.ivf_cells = ivf_cells
         self.ivf_nprobe = ivf_nprobe
+        # calibrate nprobe to a measured Recall@10 target at build time
+        # (IVFIndex.calibrate_nprobe) instead of serving a raw knob
+        self.ivf_target_recall = ivf_target_recall
         self.embedding_model = encoder
         if encoder is None and model_path and method in ("dense", "hybrid"):
             from persian_rag_tpu.models.sentence_encoder import SentenceEncoder
@@ -208,6 +212,8 @@ class RetrievalSystem:
                 n_cells=min(self.ivf_cells, max(1, vectors.shape[0] // 4)),
                 nprobe=self.ivf_nprobe,
                 metric=self.dense_metric,
+                target_recall=self.ivf_target_recall,
+                mesh=self.mesh,
             ).build(vectors)
         else:
             self.dense_index = DenseIndex(

@@ -154,3 +154,32 @@ def test_dense_ivf_index_type():
     results = rs.retrieve(CHUNKS[1]["text"], top_k=2)
     assert results[0][0]["id"] == "chunk_1"
     assert 0.0 < results[0][1] <= 1.0 + 1e-6  # 1/(1+L2) mapping applies
+
+
+def test_ivf_backend_with_target_recall(rng):
+    """dense_index_type='ivf' + ivf_target_recall calibrates nprobe at
+    build instead of serving the raw knob."""
+    from persian_rag_tpu.retrieval.system import RetrievalSystem
+
+    centers = rng.standard_normal((12, 32)) * 10
+    vectors = np.concatenate([
+        c + rng.standard_normal((40, 32)) for c in centers
+    ]).astype(np.float32)
+    chunks = [{"id": i, "text": f"chunk {i}"} for i in range(len(vectors))]
+    rs = RetrievalSystem(
+        method="dense",
+        dense_index_type="ivf",
+        ivf_cells=12,
+        ivf_nprobe=1,
+        ivf_target_recall=0.95,
+        dense_metric="l2",
+    )
+    assert rs.load_chunks_and_index(chunks, embeddings=vectors)
+    cal = rs.dense_index.calibration
+    assert cal is not None and (
+        cal["achieved"] >= 0.95 or cal["nprobe"] == rs.dense_index.n_cells
+    )
+    # serving returns valid neighbors for an in-corpus query
+    s, i = rs.dense_index.search(vectors[:3] + 0.01, 5)
+    assert (i >= 0).all()
+    assert i[0, 0] == 0 or 0 in set(i[0])
