@@ -53,6 +53,10 @@ def main() -> None:
                         "(the refine gathers k_scan rows/query; smaller "
                         "trades gather bytes for a looser proof bound)")
     parser.add_argument("--configs", type=str, default=",".join(DEFAULTS))
+    parser.add_argument("--passes", type=int, default=1,
+                        help="timed passes per config (median + spread "
+                        "reported; VERDICT r4 #4 wants median-of-3 "
+                        "same-session floor triples)")
     args = parser.parse_args()
 
     import jax
@@ -217,9 +221,14 @@ def main() -> None:
         t_c = time.time()
         np.asarray(timed(cdev, extra, 0))  # compile + warm
         compile_s = max(compile_s, time.time() - t_c)
-        t0 = time.time()
-        np.asarray(timed(cdev, extra, 50_000))
-        dt = (time.time() - t0) / args.reps
+        dts = []
+        for p in range(args.passes):
+            t0 = time.time()
+            np.asarray(timed(cdev, extra, 50_000 + 777 * p))
+            dts.append((time.time() - t0) / args.reps)
+        dts.sort()
+        dt = dts[len(dts) // 2]
+        spread = (dts[-1] - dts[0]) / max(dt, 1e-12)
         flops = 2.0 * BATCH * N * D
         q_tiles = -(-BATCH // tile_q) if tile_q else 1
         stream = N * D * 2 * q_tiles
@@ -227,7 +236,7 @@ def main() -> None:
             f"{name:12s} {dt*1e3:7.2f} ms  {BATCH/dt:9.0f} QPS  "
             f"{flops/dt/1e12:6.2f} TF/s  {stream/dt/1e9:6.1f} GB/s "
             f"(corpus x{q_tiles})  R@10={recall:.4f}  "
-            f"compile={compile_s:.0f}s",
+            f"spread={spread:.3f}/{args.passes}  compile={compile_s:.0f}s",
             flush=True,
         )
 
