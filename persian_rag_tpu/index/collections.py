@@ -77,7 +77,17 @@ class Collection:
         self._documents.extend(documents or [""] * n)
         self._metadatas.extend(metadatas or [{}] * n)
         if self.persist_dir is not None:
-            self.save(self.persist_dir)
+            # Eager durability like chromadb's PersistentClient, but
+            # APPEND-ONLY: each add writes one shard file instead of
+            # rewriting the whole npz + full-document sidecar (that was
+            # O(m^2) serialization across m incremental adds). Shards
+            # consolidate into the base files on save()/load().
+            self._save_shard(
+                self.persist_dir, list(ids),
+                list(documents or [""] * n),
+                list(metadatas or [{}] * n),
+                embeddings,
+            )
 
     def query(
         self,
@@ -117,6 +127,59 @@ class Collection:
     # -- persistence (the reference's chromadb store survives process
     # restart: scripts/phase3_pdf_chunking.py:80) ------------------------
 
+    def _save_shard(
+        self,
+        directory: str,
+        ids: List[str],
+        documents: List[str],
+        metadatas: List[Dict],
+        embeddings: np.ndarray,
+    ) -> None:
+        """Append one add() batch as a numbered shard pair
+        (shard-NNNNNN.npz + .json). The base sidecar is written once
+        (empty) so a reopening store can identify the collection even
+        if the process dies before the first consolidation."""
+        os.makedirs(directory, exist_ok=True)
+        if not os.path.exists(os.path.join(directory, _SIDECAR)):
+            self._write_sidecar(directory, ids=[], documents=[],
+                                metadatas=[])
+        existing = [
+            f for f in os.listdir(directory)
+            if f.startswith("shard-") and f.endswith(".json")
+        ]
+        stem = os.path.join(directory, f"shard-{len(existing):06d}")
+        np.savez(stem + ".npz", vectors=np.asarray(embeddings, np.float32))
+        tmp = stem + ".json.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(
+                {"ids": ids, "documents": documents,
+                 "metadatas": metadatas},
+                f, ensure_ascii=False,
+            )
+        os.replace(tmp, stem + ".json")
+
+    def _write_sidecar(self, directory, ids, documents, metadatas) -> None:
+        sidecar = {
+            "name": self.name,
+            "metric": self.metric,
+            "dim": self._dim,
+            "ids": ids,
+            "documents": documents,
+            "metadatas": metadatas,
+        }
+        tmp = os.path.join(directory, _SIDECAR + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(sidecar, f, ensure_ascii=False)
+        os.replace(tmp, os.path.join(directory, _SIDECAR))
+
+    @staticmethod
+    def _shard_stems(directory: str) -> List[str]:
+        return sorted(
+            os.path.join(directory, f[:-5])
+            for f in os.listdir(directory)
+            if f.startswith("shard-") and f.endswith(".json")
+        )
+
     def save(self, directory: str) -> None:
         """Write the collection to ``directory``: DenseIndex payload
         (vectors npz + meta json) plus a JSON sidecar carrying the
@@ -153,18 +216,16 @@ class Collection:
                     )
             else:
                 idx.save(os.path.join(directory, "index"))
-        sidecar = {
-            "name": self.name,
-            "metric": self.metric,
-            "dim": self._dim,
-            "ids": self._ids,
-            "documents": self._documents,
-            "metadatas": self._metadatas,
-        }
-        tmp = os.path.join(directory, _SIDECAR + ".tmp")
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(sidecar, f, ensure_ascii=False)
-        os.replace(tmp, os.path.join(directory, _SIDECAR))
+        self._write_sidecar(
+            directory, self._ids, self._documents, self._metadatas
+        )
+        # consolidated: the in-memory state now fully covers the shards
+        for stem in self._shard_stems(directory):
+            for suffix in (".npz", ".json"):
+                try:
+                    os.remove(stem + suffix)
+                except OSError:
+                    pass
 
     @classmethod
     def load(
@@ -193,6 +254,25 @@ class Collection:
         col._ids = list(sidecar["ids"])
         col._documents = list(sidecar["documents"])
         col._metadatas = list(sidecar["metadatas"])
+        # replay append-only shards written after the last consolidation
+        stems = Collection._shard_stems(directory)
+        for stem in stems:
+            with open(stem + ".json", "r", encoding="utf-8") as f:
+                rec = json.load(f)
+            with np.load(stem + ".npz") as z:
+                vectors = np.asarray(z["vectors"], np.float32)
+            if col._index is None:
+                col._dim = vectors.shape[1]
+                col._index = DenseIndex(
+                    col._dim, metric=col.metric, mesh=mesh
+                )
+            col._index.add(vectors)
+            col._ids.extend(rec["ids"])
+            col._documents.extend(rec["documents"])
+            col._metadatas.extend(rec["metadatas"])
+        if stems and persist:
+            # consolidate so the shard list doesn't grow without bound
+            col.save(directory)
         return col
 
 
@@ -222,9 +302,18 @@ class CollectionStore:
         if name not in self._collections:
             d = self._dir(name)
             if d is not None and os.path.exists(os.path.join(d, _SIDECAR)):
-                self._collections[name] = Collection.load(
+                col = Collection.load(
                     d, encoder=self.encoder, mesh=self.mesh, persist=True
                 )
+                if col.metric != metric:
+                    # chromadb raises on a metadata/metric mismatch when
+                    # reopening; silently serving cosine distances to a
+                    # caller who asked for l2 would corrupt results
+                    raise ValueError(
+                        f"collection {name!r} exists with metric "
+                        f"{col.metric!r}; requested {metric!r}"
+                    )
+                self._collections[name] = col
             else:
                 self._collections[name] = Collection(
                     name,

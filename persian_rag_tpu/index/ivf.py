@@ -338,7 +338,13 @@ class IVFIndex:
         # cost (e.g. 8 -> 16 when 12 already clears the target). Two
         # extra measurements bound the overshoot to ~25%. (Each distinct
         # nprobe is a separate compiled probe shape — keep this shallow.)
+        # Skipped entirely when the target was never achieved (nprobe
+        # capped at n_cells): recall is monotone in nprobe, so every
+        # midpoint below the cap is guaranteed to fail too — each would
+        # buy a 30s-5min relay compile for nothing.
         lo = curve[-2][0] if len(curve) >= 2 else 0
+        if achieved < target_recall:
+            lo = nprobe
         for _ in range(2):
             if nprobe - lo <= max(1, nprobe // 8):
                 break

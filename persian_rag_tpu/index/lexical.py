@@ -240,9 +240,10 @@ _fused_bucket_topk = functools.partial(
     jax.jit,
     static_argnames=(
         "kbs", "k", "use_pallas", "use_union", "hash_ok", "two_pass",
-        "want_ok",
+        "want_ok", "qw_exact",
     ),
-)(_fused_bucket_topk_impl)
+)(_fused_bucket_topk_impl)  # n_union stays TRACED (a traced proof-bound
+#   scalar in the packed wrappers; static would crash those callers)
 
 
 # -- packed single-transfer serving wrappers -----------------------------------

@@ -136,11 +136,25 @@ def _sharded_ivf_jit(mesh: Mesh, k: int, nprobe_local: int, metric: str):
     cache."""
 
     def local_search(q, cent, cells, cids, ovf, ovf_ids):
-        s, i = _ivf_search_step(
-            q, cent, cells, cids, ovf, ovf_ids,
-            k=k, nprobe=nprobe_local, metric=metric,
-            has_overflow=ovf.shape[0] > 0,
-        )
+        # lax.map over query chunks bounds the (chunk, nprobe, cap, d)
+        # probe gather, mirroring _ivf_search_packed's query_chunk=16
+        # (the full-batch gather at serving sizes — 512 q x nprobe 8 x
+        # cap ~1k x d 384 — is a multi-GB intermediate per shard).
+        chunk = 16
+        qn = q.shape[0]
+        pad = (-qn) % chunk
+        qp = jnp.pad(q, ((0, pad), (0, 0)))
+
+        def body(qc):
+            return _ivf_search_step(
+                qc, cent, cells, cids, ovf, ovf_ids,
+                k=k, nprobe=nprobe_local, metric=metric,
+                has_overflow=ovf.shape[0] > 0,
+            )
+
+        s_c, i_c = jax.lax.map(body, qp.reshape(-1, chunk, qp.shape[1]))
+        s = s_c.reshape(-1, k)[:qn]
+        i = i_c.reshape(-1, k)[:qn]
         all_s = jax.lax.all_gather(s, CORPUS_AXIS)
         all_i = jax.lax.all_gather(i, CORPUS_AXIS)
         qn = q.shape[0]

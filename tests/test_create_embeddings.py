@@ -19,6 +19,7 @@ def config(tmp_path, monkeypatch):
     return cfg
 
 
+@pytest.mark.slow
 def test_build_skip_and_verify(config):
     phase3.main(config, tiny=True)  # produce chunk CSVs
     results = create_embeddings.main(config, tiny=True)
@@ -133,3 +134,70 @@ def test_persistent_store_survives_restart(rng, tmp_path):
     # delete removes the on-disk copy
     store3.delete_collection("drugs")
     assert CollectionStore(path=root).list_collections() == []
+
+
+def test_persisted_metric_mismatch_raises(rng, tmp_path):
+    """chromadb raises when reopening a collection with mismatched
+    metadata; silently serving cosine distances to an l2 caller would
+    corrupt results (ADVICE r4)."""
+    root = str(tmp_path / "chroma_db")
+    store = CollectionStore(path=root)
+    col = store.get_or_create_collection("drugs", metric="cosine")
+    col.add(ids=["a"], documents=["d"],
+            embeddings=rng.standard_normal((1, 8)).astype(np.float32))
+    store2 = CollectionStore(path=root)
+    with pytest.raises(ValueError, match="metric"):
+        store2.get_or_create_collection("drugs", metric="l2")
+    # matching metric reopens fine
+    assert store2.get_or_create_collection(
+        "drugs", metric="cosine"
+    ).count() == 1
+
+
+def test_incremental_adds_append_shards_not_full_rewrites(rng, tmp_path):
+    """ADVICE r4: add() used to rewrite the ENTIRE npz + full-document
+    sidecar per batch (O(m^2) across m adds). Now each add appends one
+    shard pair; the base sidecar stays small until consolidation, and a
+    reopening store replays shards in order."""
+    import os
+
+    root = str(tmp_path / "chroma_db")
+    store = CollectionStore(path=root)
+    col = store.get_or_create_collection("inc", metric="cosine")
+    embs = [rng.standard_normal((3, 8)).astype(np.float32)
+            for _ in range(4)]
+    for b, emb in enumerate(embs):
+        col.add(
+            ids=[f"b{b}-{i}" for i in range(3)],
+            documents=[f"doc {b}-{i}" for i in range(3)],
+            embeddings=emb,
+            metadatas=[{"b": b, "i": i} for i in range(3)],
+        )
+    d = os.path.join(root, "inc")
+    shard_json = [f for f in os.listdir(d)
+                  if f.startswith("shard-") and f.endswith(".json")]
+    assert len(shard_json) == 4
+    # base sidecar holds no documents yet (adds did not rewrite it)
+    import json as _json
+    with open(os.path.join(d, "collection.json"), encoding="utf-8") as f:
+        side = _json.load(f)
+    assert side["ids"] == []
+
+    ref = col.query(
+        query_embeddings=embs[2][[1]], n_results=4
+    )
+    # restart: shards replay in order and consolidate
+    col2 = CollectionStore(path=root).get_or_create_collection("inc")
+    assert col2.count() == 12
+    out = col2.query(query_embeddings=embs[2][[1]], n_results=4)
+    assert out["ids"] == ref["ids"]
+    assert out["metadatas"] == ref["metadatas"]
+    # consolidation on reopen cleared the shard backlog
+    assert not [f for f in os.listdir(d) if f.startswith("shard-")]
+    with open(os.path.join(d, "collection.json"), encoding="utf-8") as f:
+        assert len(_json.load(f)["ids"]) == 12
+    # and a third open still agrees
+    col3 = CollectionStore(path=root).get_or_create_collection("inc")
+    assert col3.query(
+        query_embeddings=embs[2][[1]], n_results=4
+    )["ids"] == ref["ids"]
