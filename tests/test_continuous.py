@@ -48,6 +48,7 @@ def test_mid_flight_admission_does_not_perturb_running_rows(gen):
     assert results[b].tokens == _ref(gen, "متن دوم", 24)
 
 
+@pytest.mark.slow
 def test_row_reuse_across_many_requests(gen):
     """More requests than rows: finished rows must be reclaimed and the
     overwritten cache must not leak into the next occupant."""
@@ -122,6 +123,7 @@ def test_local_server_continuous_mode(gen):
         assert results[i]["content"] == expect
 
 
+@pytest.mark.slow
 def test_speculative_continuous_greedy_token_identical(gen):
     """Speculative segments must reproduce plain greedy token-for-token:
     greedy verification only ever commits argmax continuations. A

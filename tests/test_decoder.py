@@ -17,6 +17,7 @@ from persian_rag_tpu.models.decoder import (
 TINY = DecoderConfig.tiny()
 
 
+@pytest.mark.slow
 def test_llama_parity_vs_torch(rng):
     from transformers import LlamaConfig, LlamaForCausalLM
 

@@ -327,6 +327,7 @@ def test_hash_work_model_crossover():
     assert not lex._EllIndex._hash_work_ok(large, l_pad, None)
 
 
+@pytest.mark.slow
 def test_union_qw_exact_three_pass_parity(rng):
     """Integer query weights route the union kernels through the 3-pass
     exact-split contraction (qw bf16-exact, D split into three bf16

@@ -1,4 +1,5 @@
 """Golden tests for the metric suite (reference formulas, hand-computed)."""
+import pytest
 import math
 
 import numpy as np
@@ -84,6 +85,7 @@ def test_is_similar_context_jaccard_threshold():
     assert not m.is_similar_context("aa bb cc", "aa bb dd ee")
 
 
+@pytest.mark.slow
 def test_semantic_similarity_batch_matches_pairwise():
     from persian_rag_tpu.models.encoder import EncoderConfig
     from persian_rag_tpu.models.sentence_encoder import SentenceEncoder

@@ -91,6 +91,7 @@ def test_repeat_penalty_breaks_greedy_loop(gen):
     assert len(set(nodup)) == len(nodup)
 
 
+@pytest.mark.slow
 def test_unbucketed_loop_matches_bucketed(gen):
     a = gen.generate_ids_device(
         PROMPT, max_tokens=10, temperature=0.0, repeat_penalty=2.0,
@@ -103,6 +104,7 @@ def test_unbucketed_loop_matches_bucketed(gen):
     assert a == b
 
 
+@pytest.mark.slow
 def test_continuous_penalized_matches_device_loop(gen):
     # greedy + penalties is key-independent (penalized argmax), so the
     # batcher must reproduce the device-loop output exactly — while a

@@ -31,6 +31,7 @@ def config(tmp_path, monkeypatch):
     return cfg
 
 
+@pytest.mark.slow
 def test_phase1_trains_and_persists(config):
     results = phase1.main(config, tiny=True)
     assert results["train_size"] > 0 and results["test_size"] > 0
@@ -250,6 +251,7 @@ def test_real_context_metrics_when_gold_context_present(config):
     assert 0.0 <= results["m_context_recall"] <= 1.0
 
 
+@pytest.mark.slow
 def test_run_all_orchestrates_all_phases(config):
     from persian_rag_tpu.pipelines import run_all
 

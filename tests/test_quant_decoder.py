@@ -134,6 +134,7 @@ def test_quantized_speculative_route(tiny_pair):
     assert len(out) <= 8
 
 
+@pytest.mark.slow
 def test_int4_param_tree_and_generation(tiny_pair):
     gen_f, _ = tiny_pair
     gen4 = TextGenerator(
@@ -321,6 +322,7 @@ def test_int8_kv_decode_logits_close(kv_pair):
     assert rel < 0.05
 
 
+@pytest.mark.slow
 def test_int8_kv_generation_routes(kv_pair):
     gen_f, gen_kv = kv_pair
     ids = [5, 9, 200, 31, 7, 88]

@@ -368,3 +368,67 @@ def test_quality_gate_keep_mode_warns_only(rng, caplog):
     assert idx.storage_dtype == jnp.bfloat16
     assert idx.tier_probe["demoted_to"] is None
     assert any("keep" in r.message for r in caplog.records)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", FAMILIES)
+def test_bootstrapped_tiers_and_gate_per_family(rng, name):
+    """VERDICT r4 #2: the blended-bootstrap tier validation for ALL
+    THREE shipped model families (MiniLM 384-d, distiluse 512-d,
+    e5-base 768-d — different cone tightness and clone structure), with
+    the commit-time quality gate's decision asserted per family. The
+    user-facing guarantee under the DEFAULT gate (floor 0.95, fallback
+    'exact'): either the approximate tier's probe clears the floor, or
+    the index demotes and serves exact — so served recall never falls
+    silently below the floor's neighborhood."""
+    vectors = _load(name)
+    corpus = _blended_bootstrap(vectors, 20_000, rng)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = _queries_for(vectors, rng)[:128]
+    queries = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    k = 10
+
+    exact = DenseIndex(corpus.shape[1], metric="cosine")
+    exact.add(corpus)
+    exact.commit()
+    _, want = exact.search(queries, k)
+
+    # raw (ungated) bf16 tier recall — the tier's own number
+    raw16 = DenseIndex(corpus.shape[1], metric="cosine",
+                       storage_dtype=jnp.bfloat16, quality_floor=None)
+    raw16.add(corpus)
+    raw16.commit()
+    _, got_raw = raw16.search(queries, k)
+    r_raw16 = _recall_at(got_raw, want, k)
+
+    # default-gated bf16 index: probe decides keep-vs-demote
+    gated = DenseIndex(corpus.shape[1], metric="cosine",
+                       storage_dtype=jnp.bfloat16)
+    gated.add(corpus)
+    gated.commit()
+    probe = gated.tier_probe
+    assert probe is not None and probe["floor"] == 0.95
+    _, got_gated = gated.search(queries, k)
+    served = _recall_at(got_gated, want, k)
+    demoted = probe["estimated_recall"] < probe["floor"]
+    print(f"{name.split('_')[0]}: raw bf16 R@10={r_raw16:.4f}, probe "
+          f"est={probe['estimated_recall']:.4f}, demoted={demoted}, "
+          f"served R@10={served:.4f}")
+    if demoted:
+        assert probe.get("demoted_to") is not None
+        # fell back to exact storage: reference-identical results
+        np.testing.assert_array_equal(got_gated, want)
+    else:
+        # probe cleared the floor; the sampled estimate and our
+        # near-tie-stressing query mix differ, so allow slack below
+        # the floor but not a silent collapse
+        assert served >= 0.90, (name, served, probe)
+
+    # int8(centered)+refine tier holds on every family's geometry
+    int8 = DenseIndex(corpus.shape[1], metric="cosine",
+                      storage_dtype=jnp.int8)
+    int8.add(corpus)
+    int8.commit()
+    _, got8 = int8.search(queries, k)
+    r8 = _recall_at(got8, want, k)
+    assert r8 >= 0.95, (name, r8)

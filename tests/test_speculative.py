@@ -100,6 +100,7 @@ def test_spec_eos_handling_matches_plain():
     assert len(spec) < 16  # EOS actually fired
 
 
+@pytest.mark.slow
 def test_spec_respects_max_tokens_budget_mid_block():
     # budget that is NOT a multiple of the (draft+1) block size, on the
     # high-acceptance model: the final block must truncate exactly

@@ -6,6 +6,7 @@ match the single-device path. Reference scope note: the reference
 serves Llama-3.2-1B on one GPU via llama.cpp (src/llama_client.py:10);
 TP is the beyond-reference scaling path for larger decoder families.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -125,6 +126,7 @@ def test_tp_indivisible_dims_replicate():
     np.testing.assert_allclose(want, got, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_tp_quantized_generation_matches_single_chip_quantized():
     # int8 weight serving on the TP mesh: same quantized params, the
     # XLA dequant backend under GSPMD must produce the same greedy

@@ -1,4 +1,5 @@
 """Fine-tuning loop: example policy, loss descent, DP equality, save/load."""
+import pytest
 import numpy as np
 
 from persian_rag_tpu.core.mesh import build_mesh
@@ -65,6 +66,7 @@ def test_fine_tune_reduces_loss():
     assert summary["samples_per_second"] > 0
 
 
+@pytest.mark.slow
 def test_dp_train_step_matches_single_device():
     qa = synthetic_persian_qa(16, seed=2)
     t_single = make_trainer(seed=5)
