@@ -343,7 +343,7 @@ def flat_topk_exact2(
     jax.jit,
     static_argnames=(
         "k", "metric", "k_scan", "tile_n", "tile_q", "n_easy", "interpret",
-        "bf16_transposed", "return_ok", "group",
+        "bf16_transposed", "return_ok", "group", "lane_slots",
     ),
 )
 def flat_topk_exact2_stream(
@@ -361,6 +361,7 @@ def flat_topk_exact2_stream(
     bf16_transposed: bool = False,
     return_ok: bool = False,
     group: int = 0,
+    lane_slots: int = 0,
     corpus_center: Optional[jnp.ndarray] = None,
     center_sqmax: Optional[jnp.ndarray] = None,
     corpus_bf16_lo: Optional[jnp.ndarray] = None,
@@ -483,6 +484,7 @@ def flat_topk_exact2_stream(
         interpret=interpret,
         corpus_transposed=bf16_transposed,
         group=group,
+        lane_slots=lane_slots,
         corpus_lo=corpus_bf16_lo,
         queries_lo=q_lo,
     )
@@ -1203,6 +1205,7 @@ def _extract_candidates_kernel(
     out_w: int,
     row_scaled: bool = False,
     transposed: bool = False,
+    lane_slots: int = 0,
 ):
     """Merge-free candidate extraction: each tile writes its own top-n_easy
     packed keys plus a remaining-max bound to a PRIVATE output block.
@@ -1233,6 +1236,46 @@ def _extract_candidates_kernel(
     if n_actual % tile_n != 0:
         valid = (col + j * tile_n) < n_actual
         key = jnp.where(valid, key, _INT_MIN)
+
+    if lane_slots:
+        # LANE-SLICED two-level extraction: reduce the (qt, tile_n) key
+        # tile to per-offset best/second-best over G contiguous lane
+        # chunks using STATIC 128-aligned slices + elementwise maximum —
+        # the round-3 grouped kernel computed the same reduction via a
+        # (qt, G, C) reshape, whose Mosaic relayout cost MORE than the
+        # extraction passes it saved (DESIGN.md dead-ends). Rank
+        # extraction then walks the (qt, 2C) reduced array instead of
+        # the full tile: ~(2*n_easy+1) passes shrink by tile_n/(2C).
+        # Packed keys are globally unique (column bits), so the
+        # mask-one-winner step removes exactly one element per rank.
+        # The per-tile bound weakens to max(remaining, max r2) — an
+        # element hidden behind its chunk-offset's top-2 is only
+        # bounded by that offset's r2 — which the two-stage residual
+        # proof absorbs (or pays fallbacks for: measured per-regime,
+        # see DESIGN.md round-5).
+        C = tile_n // lane_slots
+        parts = [key[:, g * C:(g + 1) * C] for g in range(lane_slots)]
+        r1 = parts[0]
+        for p in parts[1:]:
+            r1 = jnp.maximum(r1, p)
+        r2 = None
+        for p in parts:
+            m = jnp.where(p == r1, _INT_MIN, p)
+            r2 = m if r2 is None else jnp.maximum(r2, m)
+        keys = jnp.concatenate([r1, r2], axis=1)
+        ranks = []
+        for _ in range(n_easy):
+            m = jnp.max(keys, axis=1, keepdims=True)
+            keys = jnp.where(keys == m, _INT_MIN, keys)
+            ranks.append(m.reshape(1, qt))
+        bound = jnp.maximum(
+            jnp.max(keys, axis=1, keepdims=True),
+            jnp.max(r2, axis=1, keepdims=True),
+        )
+        ranks.append(bound.reshape(1, qt))
+        block = jnp.concatenate(ranks, axis=0)
+        out_ref[:] = _pad_to(block, out_w, 0, value=_INT_MIN)
+        return
 
     keys = key
     ranks = []
@@ -1332,6 +1375,7 @@ def flat_topk_candidates(
     group: int = 0,
     corpus_lo: Optional[jnp.ndarray] = None,
     queries_lo: Optional[jnp.ndarray] = None,
+    lane_slots: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
     """Run the candidate-extraction kernel over the full grid.
 
@@ -1446,6 +1490,10 @@ def flat_topk_candidates(
             transposed=corpus_transposed,
         )
     else:
+        if lane_slots:
+            assert tile_n % lane_slots == 0 and (
+                tile_n // lane_slots
+            ) % 128 == 0, (tile_n, lane_slots)
         kernel = functools.partial(
             _extract_candidates_kernel,
             n_actual=n,
@@ -1456,6 +1504,7 @@ def flat_topk_candidates(
             out_w=out_w,
             row_scaled=corpus_scale is not None,
             transposed=corpus_transposed,
+            lane_slots=lane_slots,
         )
     c_spec = (
         pl.BlockSpec((d_pad, tile_n), lambda i, j: (0, j))

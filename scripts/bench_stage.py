@@ -104,9 +104,12 @@ def main() -> None:
         name, kind, tile_q, tile_n, n_easy = parts[:5]
         flag = parts[5] if len(parts) > 5 else ""
         transposed = flag.startswith("T")
-        group = int(flag.lstrip("T").lstrip("g") or 0) if (
-            "g" in flag
-        ) else 0
+        group = 0
+        lane_slots = 0
+        if "g" in flag:
+            group = int(flag.lstrip("T").lstrip("g") or 0)
+        elif "s" in flag:
+            lane_slots = int(flag.split("s")[1] or 0)
         tile_q, tile_n, n_easy = int(tile_q), int(tile_n), int(n_easy)
 
         if kind == "maxonly":
@@ -132,11 +135,11 @@ def main() -> None:
             cdev = c16t if transposed else c16
 
             def search(q, c, tq=tile_q, tn=tile_n, ne=n_easy, tr=transposed,
-                       g=group):
+                       g=group, ls=lane_slots):
                 keys, bounds, _ = flat_topk_candidates(
                     q, c, metric="dot", tile_n=tn, tile_q=tq,
                     n_easy=ne, interpret=interpret, corpus_transposed=tr,
-                    group=g,
+                    group=g, lane_slots=ls,
                 )
                 return keys[:, :K].astype(jnp.float32), bounds[:, :K]
         elif kind == "e2s":
@@ -146,13 +149,14 @@ def main() -> None:
             # into the outer timing jit as 768MB captured constants and
             # blow the remote-compile body limit (HTTP 413, CLAUDE.md)
             def search(q, c, extra, tq=tile_q, tn=tile_n, ne=n_easy,
-                       tr=transposed, g=group):
+                       tr=transposed, g=group, ls=lane_slots):
                 e_csq, e_c16 = extra
                 return flat_topk_exact2_stream(
                     q, c, K, metric="dot", k_scan=args.k_scan, tile_n=tn,
                     tile_q=tq, n_easy=ne, corpus_sqnorm=e_csq,
                     corpus_bf16=e_c16,
                     interpret=interpret, bf16_transposed=tr, group=g,
+                    lane_slots=ls,
                 )
         elif kind in ("sel", "ref"):
             # glue breakdown: candidates + XLA top_k + id unpack ("sel"),

@@ -78,3 +78,65 @@ def test_fast_modes_exact_set(rng, mode, metric):
             np.sort(np.asarray(g_s), 1), np.sort(np.asarray(w_s), 1),
             rtol=5e-4, atol=5e-4,
         )
+
+
+@pytest.mark.parametrize("tile_n,lane_slots", [(1024, 4), (2048, 8)])
+def test_lane_sliced_extraction_bound_and_parity(rng, tile_n, lane_slots):
+    """Lane-sliced two-level candidate extraction (round 5): per-tile
+    bound must cover every non-extracted element (the two-stage proof
+    consumes it), and the full e2s path must stay set-identical to the
+    reference. The bound is WEAKER than the plain kernel's exact
+    (n_easy+1)-th — elements hidden behind their chunk-offset's top-2
+    are covered by max(r2) — so validity, not tightness, is the
+    contract."""
+    from persian_rag_tpu.ops.flat_topk import (
+        _COL_MASK,
+        _score_to_ikey,
+        flat_topk_candidates,
+        flat_topk_exact2_stream,
+        flat_topk_ref,
+    )
+
+    n, d, nq, n_easy = 5000, 64, 24, 4
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    keys, bounds, tnn = flat_topk_candidates(
+        jnp.asarray(q), jnp.asarray(corpus).astype(jnp.bfloat16),
+        metric="dot", tile_n=tile_n, tile_q=16, n_easy=n_easy,
+        interpret=True, lane_slots=lane_slots,
+    )
+    keys, bounds = np.asarray(keys), np.asarray(bounds)
+    sc = np.asarray(
+        jnp.asarray(q).astype(jnp.bfloat16).astype(jnp.float32)
+        @ jnp.asarray(corpus).astype(jnp.bfloat16).astype(jnp.float32).T
+    )
+    n_tiles = -(-n // tnn)
+    for qi in range(0, nq, 7):
+        for j in range(n_tiles):
+            tile = sc[qi, j * tnn:(j + 1) * tnn]
+            ik = np.asarray(
+                _score_to_ikey(jnp.asarray(tile))
+            ).astype(np.int64)
+            packed = (ik & ~_COL_MASK) | (tnn - 1 - np.arange(len(tile)))
+            extracted = set(
+                keys[qi, j * n_easy:(j + 1) * n_easy].tolist()
+            )
+            over = [
+                int(p) for p in packed
+                if int(p) not in extracted and int(p) > int(bounds[qi, j])
+            ]
+            assert not over, (qi, j, over[:3])
+
+    for metric in ("dot", "l2"):
+        _, got = flat_topk_exact2_stream(
+            jnp.asarray(q), jnp.asarray(corpus), 10, metric=metric,
+            tile_n=tile_n, tile_q=16, n_easy=n_easy, interpret=True,
+            lane_slots=lane_slots,
+        )
+        _, want = flat_topk_ref(
+            jnp.asarray(q), jnp.asarray(corpus), 10, metric=metric
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
