@@ -139,8 +139,13 @@ class LoraTrainer:
         self.lora = init_lora(params, rank=rank, seed=seed)
         self._train_step = None
 
-    def _loss_fn(self, lora, ids, labels, mask):
-        merged = merge_lora(self.base_params, lora, self.alpha, self.rank)
+    def _loss_fn(self, lora, base_params, ids, labels, mask):
+        # base_params rides as a jit ARGUMENT, never a closure: captured
+        # 1B-scale frozen weights become 3.9 GB of lowering constants,
+        # which the relay's remote-compile body limit rejects (HTTP 413
+        # territory — CLAUDE.md) and which waste an executable-embedded
+        # copy even on directly-attached devices.
+        merged = merge_lora(base_params, lora, self.alpha, self.rank)
         logits = self.model.apply(
             {"params": merged}, ids, attention_mask=mask
         )
@@ -174,9 +179,9 @@ class LoraTrainer:
         optimizer = optax.adamw(learning_rate, weight_decay=0.0)
         opt_state = optimizer.init(self.lora)
 
-        def train_step_fn(lora, opt_state, ids, labels, mask):
+        def train_step_fn(lora, base, opt_state, ids, labels, mask):
             loss, grads = jax.value_and_grad(self._loss_fn)(
-                lora, ids, labels, mask
+                lora, base, ids, labels, mask
             )
             updates, opt_state = optimizer.update(grads, opt_state, lora)
             return optax.apply_updates(lora, updates), opt_state, loss
@@ -190,7 +195,7 @@ class LoraTrainer:
             repl = NamedSharding(self.mesh, P())
             train_step = jax.jit(
                 train_step_fn,
-                in_shardings=(repl, repl, data, data, data),
+                in_shardings=(repl, repl, repl, data, data, data),
                 out_shardings=(repl, repl, repl),
             )
         else:
@@ -213,6 +218,7 @@ class LoraTrainer:
                 mask = np.pad(mask, ((0, 0), (0, pad_to - mask.shape[1])))
                 self.lora, opt_state, loss = train_step(
                     self.lora,
+                    self.base_params,
                     opt_state,
                     jnp.asarray(ids),
                     jnp.asarray(labels),

@@ -33,6 +33,7 @@ def test_single_request_matches_device_loop(gen):
     assert done[0].tokens == _ref(gen, "سلام دنیا", 20)
 
 
+@pytest.mark.slow
 def test_mid_flight_admission_does_not_perturb_running_rows(gen):
     """The crux: admit a second prompt while the first is mid-decode.
     Both rows' outputs must equal their standalone greedy generations —
@@ -141,6 +142,7 @@ def test_speculative_continuous_greedy_token_identical(gen):
     assert results[b] == _ref(gen, text_b, 17)
 
 
+@pytest.mark.slow
 def test_speculative_continuous_row_reuse_and_sampled(gen):
     cb = ContinuousBatcher(gen, batch=2, segment=8, speculative=True,
                            seed=5)

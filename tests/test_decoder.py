@@ -51,6 +51,7 @@ def test_llama_parity_vs_torch(rng):
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_kv_cache_matches_full_forward(rng):
     decoder = LlamaDecoder(TINY)
     ids = jnp.asarray(rng.integers(1, 512, size=(1, 9)), jnp.int32)
@@ -113,6 +114,7 @@ def test_generate_sampling_seeded():
     assert a == b  # same seed, same draw
 
 
+@pytest.mark.slow
 def test_lora_sft_reduces_loss():
     from persian_rag_tpu.gen.generator import ByteTokenizer
     from persian_rag_tpu.train.lora import LoraTrainer, init_lora, merge_lora
@@ -146,6 +148,7 @@ def test_lora_sft_reduces_loss():
     assert not np.allclose(np.asarray(k1), np.asarray(k0))
 
 
+@pytest.mark.slow
 def test_local_server_speaks_llamacpp_contract():
     from persian_rag_tpu.gen.client import LlamaClient
     from persian_rag_tpu.gen.generator import ByteTokenizer, TextGenerator
@@ -278,6 +281,7 @@ def test_embed_batch_mask_and_bucket_invariance():
     assert gen.embed_batch([]).shape == (0, gen.config.hidden_size)
 
 
+@pytest.mark.slow
 def test_device_loop_matches_host_loop_greedy():
     from persian_rag_tpu.gen.generator import ByteTokenizer, TextGenerator
 
@@ -296,6 +300,7 @@ def test_device_loop_matches_host_loop_greedy():
     assert host == device == bucketed
 
 
+@pytest.mark.slow
 def test_lora_dp_matches_single_device():
     from persian_rag_tpu.core.mesh import build_mesh
     from persian_rag_tpu.gen.generator import ByteTokenizer
@@ -317,6 +322,7 @@ def test_lora_dp_matches_single_device():
     np.testing.assert_allclose(s1["losses"], s2["losses"], rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_batched_generation_matches_per_prompt_greedy():
     from persian_rag_tpu.gen.generator import ByteTokenizer, TextGenerator
 
@@ -340,6 +346,7 @@ def test_batched_generation_matches_per_prompt_greedy():
         assert got == want, (got, want)
 
 
+@pytest.mark.slow
 def test_local_server_microbatches_concurrent_requests():
     import threading
 
@@ -404,6 +411,7 @@ def test_decoder_config_from_hf_maps_llama_fields():
     assert DecoderConfig.from_hf(hf2).num_kv_heads == 32
 
 
+@pytest.mark.slow
 def test_fused_projections_match_unfused():
     """fuse_params + fused_projections must reproduce the unfused model:
     output-dim concatenation keeps each column's reduction intact, so logits
@@ -443,6 +451,7 @@ def test_fused_projections_match_unfused():
         g0.generate_ids_device(p, max_tokens=12)
 
 
+@pytest.mark.slow
 def test_batch_device_power_of_two_batch_buckets():
     """Variable serving group sizes must not multiply decoder compiles:
     sizes 3 and 4 share one power-of-two batch bucket (pad rows

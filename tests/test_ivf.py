@@ -195,6 +195,7 @@ def test_sharded_ivf_matches_single_on_1_device_mesh(rng):
     )
 
 
+@pytest.mark.slow
 def test_sharded_ivf_recall_superset_on_8_device_mesh(rng):
     """Each shard probes its local top-nprobe cells — a superset of the
     global probe set — so sharded recall >= single-chip at equal

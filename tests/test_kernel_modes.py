@@ -59,6 +59,7 @@ def test_scan_tie_breaking_prefers_lower_ids(rng):
     np.testing.assert_array_equal(np.asarray(g_i), np.asarray(w_i))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["fast", "fastns", "fasti", "fastg"])
 @pytest.mark.parametrize("metric", ["dot", "l2"])
 def test_fast_modes_exact_set(rng, mode, metric):
@@ -80,6 +81,7 @@ def test_fast_modes_exact_set(rng, mode, metric):
         )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("tile_n,lane_slots", [(1024, 4), (2048, 8)])
 def test_lane_sliced_extraction_bound_and_parity(rng, tile_n, lane_slots):
     """Lane-sliced two-level candidate extraction (round 5): per-tile

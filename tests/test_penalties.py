@@ -123,6 +123,7 @@ def test_continuous_penalized_matches_device_loop(gen):
     assert done[r_plain].tokens == want_plain
 
 
+@pytest.mark.slow
 def test_continuous_spec_penalized_row(gen):
     # speculative scheduler: penalized greedy rows disable draft
     # acceptance (one penalized token per verify forward) but must stay
@@ -137,6 +138,7 @@ def test_continuous_spec_penalized_row(gen):
     assert got == want
 
 
+@pytest.mark.slow
 def test_server_penalty_and_n_predict():
     from persian_rag_tpu.gen.local_server import LocalGenerationServer
 

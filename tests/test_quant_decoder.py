@@ -193,6 +193,7 @@ def test_quantize_idempotent_detection(tiny_pair):
     )
 
 
+@pytest.mark.slow
 def test_random_quantized_params_matches_quantize_layout(tiny_pair):
     """random_quantized_params (on-device init for model sizes whose
     float tree cannot exist, e.g. 8B-arch on one 16 GB chip) must emit
@@ -340,6 +341,7 @@ def test_int8_kv_generation_routes(kv_pair):
     assert len(spec) <= 8
 
 
+@pytest.mark.slow
 def test_int8_kv_composes_with_int8_weights_and_continuous():
     import json
     import urllib.request

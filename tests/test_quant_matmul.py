@@ -156,6 +156,7 @@ def test_batch_one_and_odd_batches(wx):
         )
 
 
+@pytest.mark.slow
 def test_w8a16_split_k_decode_shape(rng):
     """The split-K (n, k) accumulating grid serves every K>=8192 decode
     matvec by default (mlp_down of the 1B arch) — pin its parity at the

@@ -170,6 +170,7 @@ def _tier_recalls(corpus, queries, k=10):
     return _recall_at(got16, want), _recall_at(got8, want_c)
 
 
+@pytest.mark.slow
 def test_tiers_on_bootstrapped_real_geometry(rng):
     """Scale the MiniLM real vectors to 20k rows (blended bootstrap)
     and re-measure the tier recalls against the f32 scan. The int8

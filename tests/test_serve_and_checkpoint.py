@@ -1,4 +1,5 @@
 """Batching retrieval server and training checkpoint/resume."""
+import pytest
 import threading
 
 import numpy as np
@@ -80,6 +81,7 @@ TINY = EncoderConfig(
 )
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_matches_uninterrupted(tmp_path):
     qa = synthetic_persian_qa(32, seed=4)
 

@@ -32,6 +32,7 @@ def _init_params(seed=0):
     )["params"]
 
 
+@pytest.mark.slow
 def test_tp_forward_matches_single_device():
     model, params = _init_params()
     ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 512)
@@ -54,6 +55,7 @@ def test_tp_forward_matches_single_device():
     np.testing.assert_allclose(want, got, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_tp_generation_matches_single_device():
     _, params = _init_params()
     single = TextGenerator(CONFIG, params=params, max_len=64)
