@@ -344,6 +344,7 @@ def flat_topk_exact2(
     static_argnames=(
         "k", "metric", "k_scan", "tile_n", "tile_q", "n_easy", "interpret",
         "bf16_transposed", "return_ok", "group", "lane_slots",
+        "lane_depth",
     ),
 )
 def flat_topk_exact2_stream(
@@ -362,6 +363,7 @@ def flat_topk_exact2_stream(
     return_ok: bool = False,
     group: int = 0,
     lane_slots: int = 0,
+    lane_depth: int = 2,
     corpus_center: Optional[jnp.ndarray] = None,
     center_sqmax: Optional[jnp.ndarray] = None,
     corpus_bf16_lo: Optional[jnp.ndarray] = None,
@@ -485,6 +487,7 @@ def flat_topk_exact2_stream(
         corpus_transposed=bf16_transposed,
         group=group,
         lane_slots=lane_slots,
+        lane_depth=lane_depth,
         corpus_lo=corpus_bf16_lo,
         queries_lo=q_lo,
     )
@@ -1206,6 +1209,7 @@ def _extract_candidates_kernel(
     row_scaled: bool = False,
     transposed: bool = False,
     lane_slots: int = 0,
+    lane_depth: int = 2,
 ):
     """Merge-free candidate extraction: each tile writes its own top-n_easy
     packed keys plus a remaining-max bound to a PRIVATE output block.
@@ -1255,22 +1259,28 @@ def _extract_candidates_kernel(
         # see DESIGN.md round-5).
         C = tile_n // lane_slots
         parts = [key[:, g * C:(g + 1) * C] for g in range(lane_slots)]
-        r1 = parts[0]
-        for p in parts[1:]:
-            r1 = jnp.maximum(r1, p)
-        r2 = None
-        for p in parts:
-            m = jnp.where(p == r1, _INT_MIN, p)
-            r2 = m if r2 is None else jnp.maximum(r2, m)
-        keys = jnp.concatenate([r1, r2], axis=1)
+        levels = []
+        cur = parts
+        for depth in range(lane_depth):
+            if depth > 0:
+                cur = [
+                    jnp.where(p == levels[-1], _INT_MIN, p) for p in cur
+                ]
+            r = cur[0]
+            for p in cur[1:]:
+                r = jnp.maximum(r, p)
+            levels.append(r)
+        keys = jnp.concatenate(levels, axis=1)
         ranks = []
         for _ in range(n_easy):
             m = jnp.max(keys, axis=1, keepdims=True)
             keys = jnp.where(keys == m, _INT_MIN, keys)
             ranks.append(m.reshape(1, qt))
+        # elements invisible to the reduced array (rank > lane_depth in
+        # their offset-slot) are bounded by the DEEPEST level's max
         bound = jnp.maximum(
             jnp.max(keys, axis=1, keepdims=True),
-            jnp.max(r2, axis=1, keepdims=True),
+            jnp.max(levels[-1], axis=1, keepdims=True),
         )
         ranks.append(bound.reshape(1, qt))
         block = jnp.concatenate(ranks, axis=0)
@@ -1376,6 +1386,7 @@ def flat_topk_candidates(
     corpus_lo: Optional[jnp.ndarray] = None,
     queries_lo: Optional[jnp.ndarray] = None,
     lane_slots: int = 0,
+    lane_depth: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
     """Run the candidate-extraction kernel over the full grid.
 
@@ -1505,6 +1516,7 @@ def flat_topk_candidates(
             row_scaled=corpus_scale is not None,
             transposed=corpus_transposed,
             lane_slots=lane_slots,
+            lane_depth=lane_depth,
         )
     c_spec = (
         pl.BlockSpec((d_pad, tile_n), lambda i, j: (0, j))

@@ -106,10 +106,17 @@ def main() -> None:
         transposed = flag.startswith("T")
         group = 0
         lane_slots = 0
+        lane_depth = 2
         if "g" in flag:
             group = int(flag.lstrip("T").lstrip("g") or 0)
         elif "s" in flag:
-            lane_slots = int(flag.split("s")[1] or 0)
+            ls_part = flag.split("s")[1]
+            if "d" in ls_part:
+                ls_part, d_part = ls_part.split("d")
+                lane_depth = int(d_part)
+            else:
+                lane_depth = 2
+            lane_slots = int(ls_part or 0)
         tile_q, tile_n, n_easy = int(tile_q), int(tile_n), int(n_easy)
 
         if kind == "maxonly":
@@ -135,11 +142,11 @@ def main() -> None:
             cdev = c16t if transposed else c16
 
             def search(q, c, tq=tile_q, tn=tile_n, ne=n_easy, tr=transposed,
-                       g=group, ls=lane_slots):
+                       g=group, ls=lane_slots, ld=lane_depth):
                 keys, bounds, _ = flat_topk_candidates(
                     q, c, metric="dot", tile_n=tn, tile_q=tq,
                     n_easy=ne, interpret=interpret, corpus_transposed=tr,
-                    group=g, lane_slots=ls,
+                    group=g, lane_slots=ls, lane_depth=ld,
                 )
                 return keys[:, :K].astype(jnp.float32), bounds[:, :K]
         elif kind == "e2s":
@@ -149,14 +156,15 @@ def main() -> None:
             # into the outer timing jit as 768MB captured constants and
             # blow the remote-compile body limit (HTTP 413, CLAUDE.md)
             def search(q, c, extra, tq=tile_q, tn=tile_n, ne=n_easy,
-                       tr=transposed, g=group, ls=lane_slots):
+                       tr=transposed, g=group, ls=lane_slots,
+                       ld=lane_depth):
                 e_csq, e_c16 = extra
                 return flat_topk_exact2_stream(
                     q, c, K, metric="dot", k_scan=args.k_scan, tile_n=tn,
                     tile_q=tq, n_easy=ne, corpus_sqnorm=e_csq,
                     corpus_bf16=e_c16,
                     interpret=interpret, bf16_transposed=tr, group=g,
-                    lane_slots=ls,
+                    lane_slots=ls, lane_depth=ld,
                 )
         elif kind in ("sel", "ref"):
             # glue breakdown: candidates + XLA top_k + id unpack ("sel"),

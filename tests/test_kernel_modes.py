@@ -82,8 +82,10 @@ def test_fast_modes_exact_set(rng, mode, metric):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("tile_n,lane_slots", [(1024, 4), (2048, 8)])
-def test_lane_sliced_extraction_bound_and_parity(rng, tile_n, lane_slots):
+@pytest.mark.parametrize("tile_n,lane_slots,lane_depth",
+                         [(1024, 4, 2), (2048, 8, 2), (1024, 8, 3)])
+def test_lane_sliced_extraction_bound_and_parity(rng, tile_n, lane_slots,
+                                                 lane_depth):
     """Lane-sliced two-level candidate extraction (round 5): per-tile
     bound must cover every non-extracted element (the two-stage proof
     consumes it), and the full e2s path must stay set-identical to the
@@ -108,7 +110,7 @@ def test_lane_sliced_extraction_bound_and_parity(rng, tile_n, lane_slots):
     keys, bounds, tnn = flat_topk_candidates(
         jnp.asarray(q), jnp.asarray(corpus).astype(jnp.bfloat16),
         metric="dot", tile_n=tile_n, tile_q=16, n_easy=n_easy,
-        interpret=True, lane_slots=lane_slots,
+        interpret=True, lane_slots=lane_slots, lane_depth=lane_depth,
     )
     keys, bounds = np.asarray(keys), np.asarray(bounds)
     sc = np.asarray(
@@ -136,7 +138,7 @@ def test_lane_sliced_extraction_bound_and_parity(rng, tile_n, lane_slots):
         _, got = flat_topk_exact2_stream(
             jnp.asarray(q), jnp.asarray(corpus), 10, metric=metric,
             tile_n=tile_n, tile_q=16, n_easy=n_easy, interpret=True,
-            lane_slots=lane_slots,
+            lane_slots=lane_slots, lane_depth=lane_depth,
         )
         _, want = flat_topk_ref(
             jnp.asarray(q), jnp.asarray(corpus), 10, metric=metric
