@@ -183,8 +183,15 @@ def main() -> None:
     log(f"greedy completion rate on seen prompts: {completion:.2f}")
 
     # ---- 3) continuous scheduler A/B: plain vs speculative --------------
-    def run(speculative: bool, offset: int):
-        b = ContinuousBatcher(
+    def run(speculative: bool, offset: int, warm_with=None):
+        """One full drain of args.requests prompts. An UNWARMED arm
+        pays every admit-bucket + segment compile inside the timed
+        region (measured: cold plain 68 tok/s vs warm 1552 — pure
+        compile time), so each arm first drains a full same-shaped
+        prompt set at a DIFFERENT offset (fresh values: the relay
+        caches identical (computation, inputs) dispatches) with a small
+        token budget, then times the real set."""
+        b = warm_with or ContinuousBatcher(
             gen, batch=args.batch, segment=32, speculative=speculative,
         )
         prompts = [
@@ -193,9 +200,12 @@ def main() -> None:
             ))
             for i in range(args.requests)
         ]
-        for p in prompts[:2]:  # warm compiles
-            b.submit(p, max_tokens=8)
-        b.run_until_drained()
+        if warm_with is None:
+            for p in prompts:  # warm every admit bucket + the segment
+                b.submit(
+                    p[1:] + [p[0]], max_tokens=8  # shifted: fresh values
+                )
+            b.run_until_drained()
         if speculative:
             b.spec_stats = {"tokens": 0, "forwards": 0}
         t0 = time.time()
@@ -208,25 +218,27 @@ def main() -> None:
             b.spec_stats["tokens"] / max(b.spec_stats["forwards"], 1)
             if speculative else 1.0
         )
-        return n_tok / dt, tpf, n_tok
+        return n_tok / dt, tpf, n_tok, b
 
-    plain_tok_s, _, n1 = run(False, 0)
-    spec_tok_s, tpf, n2 = run(True, 7)
-    # re-run plain to bracket relay drift (same-session control)
-    plain2_tok_s, _, _ = run(False, 3)
+    plain_tok_s, _, n1, bp = run(False, 0)
+    plain2_tok_s, _, _, _ = run(False, 3, warm_with=bp)
+    spec_tok_s0, tpf0, n2, bs = run(True, 7)
+    spec_tok_s, tpf, n2b, _ = run(True, 11, warm_with=bs)
     plain_best = max(plain_tok_s, plain2_tok_s)
+    spec_best = max(spec_tok_s0, spec_tok_s)
     log(
         f"continuous batch-{args.batch} ({'int8' if quantize else 'bf16'}"
         f" weights): plain {plain_tok_s:.0f}/{plain2_tok_s:.0f} tok/s, "
-        f"speculative {spec_tok_s:.0f} tok/s = {spec_tok_s/plain_best:.2f}x"
-        f" (accepted tokens/forward {tpf:.2f}; {n1}/{n2} tokens)"
+        f"speculative {spec_tok_s0:.0f}/{spec_tok_s:.0f} tok/s = "
+        f"{spec_best/plain_best:.2f}x (accepted tokens/forward "
+        f"{tpf0:.2f}/{tpf:.2f}; {n1}/{n2b} tokens)"
     )
     print({
         "completion_rate": round(completion, 3),
         "tpf": round(tpf, 3),
-        "spec_tok_s": round(spec_tok_s, 1),
+        "spec_tok_s": round(spec_best, 1),
         "plain_tok_s": round(plain_best, 1),
-        "speedup": round(spec_tok_s / plain_best, 3),
+        "speedup": round(spec_best / plain_best, 3),
         "quantize": quantize,
         "n_params_b": round(n_params / 1e9, 3),
     }, flush=True)
