@@ -1898,6 +1898,16 @@ def flat_topk(
         tq, tn = two_stage_tiles(
             corpus.shape[0], queries.shape[0], tile_q, tile_n
         )
+        # Lane-sliced extraction (slots=16, depth=3) serves ONLY the
+        # compute-bound big-batch regime (tn=2048 with the tq=512
+        # batch>=2048 policy): chip A/B round 5 measured e2s 24.02 ->
+        # 22.48 ms at 1M b2048 (+6.8%) with the proof holding (depth 2
+        # stormed it: ~0.8%/query failures -> every 256-query slice
+        # rescanned), while b512/tq256 is HBM-stream-bound and measured
+        # a wash (8.21 vs 8.25 ms), as did tn=1024 at 100k b2048 (3.68
+        # vs 3.62). The bf16x2 stage-1 ignores lane_slots (separate
+        # kernel). See DESIGN.md round-5.
+        ls, ld = (16, 3) if (tn == 2048 and tq == 512) else (0, 2)
         return flat_topk_exact2_stream(
             queries,
             corpus,
@@ -1910,6 +1920,8 @@ def flat_topk(
             corpus_bf16=corpus_bf16,
             n_easy=4,
             interpret=not on_tpu,
+            lane_slots=ls,
+            lane_depth=ld,
             corpus_center=corpus_center,
             center_sqmax=center_sqmax,
             corpus_bf16_lo=corpus_bf16_lo,

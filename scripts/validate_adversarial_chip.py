@@ -27,7 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# --n overrides N (round 5: N >= 150k engages tn=2048, where batch-2048
+# also engages the lane-sliced extraction — every regime change must
+# re-run this at BOTH scales)
 N, D, K = 100_000, 384, 10
+if "--n" in sys.argv:
+    N = int(sys.argv[sys.argv.index("--n") + 1])
 DUP_IDS = [777, 31_337, 54_321, 60_000, 88_888, 99_999]
 FAN_BASE = 1234  # near-tie fan occupies ids 1234..1245
 
