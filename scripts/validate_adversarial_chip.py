@@ -112,6 +112,32 @@ def main():
             if metric == "l2":
                 rows = rows[rows != 2]  # zero-norm l2: ulp-tied ids
             ok_ids = np.array_equal(i[rows], want_i[rows])
+            subulp_rows = 0
+            if not ok_ids:
+                # Natural sub-ulp near-ties: with enough random queries
+                # (~1/512 at 2048 x 200k, round-3 notes) two finalists'
+                # true f32-HIGHEST scores land within ~1-2 ulp and the
+                # refine einsum's reduction order can rank them
+                # opposite the BLAS reference — the documented
+                # empirical caveat (flat_topk_exact2_stream docstring).
+                # Accept a mismatching UNPLANTED row iff the id SETS
+                # agree and every disagreeing position sits in a
+                # reference score gap <= 8 ulp; planted rows (0-3) keep
+                # strict ordering checks.
+                still_bad = []
+                for r in rows[(i[rows] != want_i[rows]).any(axis=1)]:
+                    if r <= 3 or set(i[r]) != set(want_i[r]):
+                        still_bad.append(r)
+                        continue
+                    diff = np.where(i[r] != want_i[r])[0]
+                    gaps = np.abs(
+                        want_s[r][diff] - s[r][diff]
+                    ) / np.maximum(np.spacing(np.abs(want_s[r][diff])), 1e-30)
+                    if np.all(gaps <= 8):
+                        subulp_rows += 1
+                    else:
+                        still_bad.append(r)
+                ok_ids = not still_bad
             bitwise = np.array_equal(s, want_s)
             ok_scores = np.allclose(s, want_s, rtol=1e-6, atol=1e-6)
             # targeted asserts
@@ -132,6 +158,7 @@ def main():
                     print(f"    want {want_i[b].tolist()} {want_s[b].tolist()}")
             print(
                 f"batch={batch} metric={metric}: ids_equal={ok_ids} "
+                f"(sub-ulp tie rows {subulp_rows}) "
                 f"scores bitwise={bitwise}/close={ok_scores} "
                 f"dup_lowest_first={dup_ok} "
                 f"zero_norm_ids_0..k={zero_ok} -> {status}",
