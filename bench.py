@@ -679,6 +679,12 @@ def bench_generation(jax, jnp, extras: dict) -> None:
     from persian_rag_tpu.models.decoder import DecoderConfig
 
     gen_tokens = int(os.environ.get("BENCH_GEN_TOKENS", 64))
+    # batch-1 measures a REAL 128-token answer (the reference's own
+    # answer budget, src/llama_client.py:204): the ~30-60 ms fixed
+    # dispatch + prefill cost amortizes over 128 tokens instead of
+    # inflating a 64-token quotient, and gen_answer_s_128tok becomes a
+    # direct wall measurement rather than an extrapolation.
+    b1_tokens = int(os.environ.get("BENCH_GEN_TOKENS_B1", 128))
     config = DecoderConfig.llama32_1b(compute_dtype=jnp.bfloat16)
     t0 = time.time()
     gen = TextGenerator(config, max_len=512)
@@ -686,11 +692,11 @@ def bench_generation(jax, jnp, extras: dict) -> None:
 
     prompt = list(np.random.default_rng(5).integers(1, 255, 64))
     t0 = time.time()
-    out = gen.generate_ids_device(prompt, max_tokens=gen_tokens,
+    out = gen.generate_ids_device(prompt, max_tokens=b1_tokens,
                                   temperature=0.7, seed=1)
     warm_s = time.time() - t0  # includes the big compile
     t0 = time.time()
-    out = gen.generate_ids_device(prompt[1:] + [7], max_tokens=gen_tokens,
+    out = gen.generate_ids_device(prompt[1:] + [7], max_tokens=b1_tokens,
                                   temperature=0.7, seed=2)
     b1_s = time.time() - t0
     b1_tok_s = max(len(out), 1) / b1_s
@@ -777,12 +783,12 @@ def bench_generation(jax, jnp, extras: dict) -> None:
     genq = TextGenerator(config, max_len=512, quantize=True)
     initq_s = time.time() - t0
     t0 = time.time()
-    genq.generate_ids_device(prompt, max_tokens=gen_tokens,
+    genq.generate_ids_device(prompt, max_tokens=b1_tokens,
                              temperature=0.7, seed=1)
     warmq_s = time.time() - t0
     t0 = time.time()
     out = genq.generate_ids_device(prompt[2:] + [3, 5],
-                                   max_tokens=gen_tokens,
+                                   max_tokens=b1_tokens,
                                    temperature=0.7, seed=2)
     q1_tok_s = max(len(out), 1) / (time.time() - t0)
     t0 = time.time()
