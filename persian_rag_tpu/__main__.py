@@ -91,11 +91,17 @@ def main(argv=None) -> int:
                         help="gguf-export: tensor storage in the written "
                              "file (q8_0 matches the reference's own "
                              "serving precision)")
-    parser.add_argument("--speculative", action="store_true",
+    parser.add_argument("--speculative", nargs="?", const=True,
+                        default=False, choices=[True, "auto"],
+                        metavar="auto",
                         help="gen-serve --continuous: prompt-lookup "
                              "speculative verification per row (greedy "
                              "rows emit several token-identical tokens "
-                             "per forward; sampled rows ride along)")
+                             "per forward; sampled rows ride along). "
+                             "'--speculative auto' starts speculative "
+                             "and stickily demotes to the plain "
+                             "scheduler if measured acceptance shows "
+                             "drafting is a net loss on the workload")
     args = parser.parse_args(argv)
 
     from persian_rag_tpu.core.config import load_config

@@ -114,7 +114,21 @@ class ContinuousBatcher:
         self.eos = getattr(generator.tokenizer, "eos_id", -1)
         self.pad_id = getattr(generator.tokenizer, "pad_id", 0)
 
-        self.speculative = speculative
+        # speculative: False | True | "auto". "auto" starts on the
+        # speculative graphs and DEMOTES to the plain scheduler — at an
+        # empty-batch boundary only, where every per-row state resets at
+        # admit, so the switch cannot corrupt in-flight token streams —
+        # once measured acceptance shows drafting is a net loss
+        # (aggregate tokens/forward below SPEC_AUTO_TPF_FLOOR after
+        # SPEC_AUTO_MIN_FORWARDS verify forwards). Rationale: at high
+        # acceptance the batched verify forward commits ~24 tokens
+        # (measured 1.78x on a trained 1B stack), but at acceptance ~0
+        # the (G+1)-wide forward commits ~1 — a measured 0.81-0.91x —
+        # and the forward width is batch-uniform, so no per-row gate can
+        # save it. Sticky, like DenseIndex's stage-1 demotion.
+        self._spec_auto = speculative == "auto"
+        self.speculative = bool(speculative)
+        self.spec_demoted = False
         self.draft_len = draft_len
         self.ngram = ngram
         self._next_id = 0
@@ -131,15 +145,20 @@ class ContinuousBatcher:
             generator._continuous_jit_cache = {}
         self._jit_cache: Dict = generator._continuous_jit_cache
         self._key_base = (
-            batch, segment, top_k, self.max_len, speculative,
+            batch, segment, top_k, self.max_len, self.speculative,
             draft_len, ngram, self.eos,
         )
         # per-row count of tokens already handed to the request (host
         # knowledge; the speculative readout window starts here)
         self._flushed = np.zeros((batch,), np.int32)
         # aggregate speculative telemetry: emitted tokens vs verify
-        # forwards (tokens/forward ~ draft acceptance + 1)
-        self.spec_stats = {"tokens": 0, "forwards": 0}
+        # forwards (tokens/forward ~ draft acceptance + 1).
+        # row_forwards = forwards x active rows at segment start — the
+        # per-ROW normalizer the auto policy compares against (a plain
+        # step commits exactly 1 token per active row, so aggregate
+        # tokens/forward ~ occupancy at acceptance 0 regardless of how
+        # badly drafting is doing).
+        self.spec_stats = {"tokens": 0, "forwards": 0, "row_forwards": 0}
 
         self.state = {
             "cache": init_cache(self.config, batch, self.max_len),
@@ -195,8 +214,32 @@ class ContinuousBatcher:
     def idle(self) -> bool:
         return not self._pending and all(r is None for r in self._rows)
 
+    # "auto" demotion thresholds: tokens per PER-ROW forward must clear
+    # the floor once enough verify forwards have been observed. A plain
+    # step commits exactly 1 token per active row; the (G+1)-wide
+    # verify costs ~1.1-1.25x a plain step (measured acceptance~0
+    # penalty 0.81-0.91x), so 1.3 tokens/row-forward ~ breakeven. The
+    # measured high-acceptance regime sits far above it (1.78x at
+    # ~3 tokens/row-forward on a trained 1B stack, batch 8).
+    SPEC_AUTO_MIN_FORWARDS = 64
+    SPEC_AUTO_TPF_FLOOR = 1.3
+
     def step(self) -> None:
         """Admit queued requests into free rows, then run one segment."""
+        if (
+            self._spec_auto
+            and self.speculative
+            and all(r is None for r in self._rows)  # empty-batch boundary
+            and self.spec_stats["forwards"] >= self.SPEC_AUTO_MIN_FORWARDS
+            and self.spec_stats["tokens"]
+            < self.SPEC_AUTO_TPF_FLOOR * self.spec_stats["row_forwards"]
+        ):
+            # sticky demotion to the plain scheduler; per-row state is
+            # empty here, so only the compiled-graph family changes
+            self.speculative = False
+            self.spec_demoted = True
+            self._key_base = self._key_base[:4] + (False,) \
+                + self._key_base[5:]
         for row in range(self.batch):
             if self._rows[row] is None and self._pending:
                 self._admit(row, self._pending.pop(0))
@@ -652,6 +695,7 @@ class ContinuousBatcher:
 
     def _run_segment(self) -> None:
         if self.speculative:
+            active = sum(r is not None for r in self._rows)
             self.state, packed = self._spec_segment_jit()(
                 self.params, self.state, jnp.asarray(self._flushed)
             )
@@ -659,6 +703,7 @@ class ContinuousBatcher:
             window, ngen = packed[:, :-3], packed[:, -3]
             done = packed[:, -2].astype(bool)
             self.spec_stats["forwards"] += int(packed[0, -1])
+            self.spec_stats["row_forwards"] += int(packed[0, -1]) * active
             self.spec_stats["tokens"] += int(
                 sum(
                     int(ngen[r]) - int(self._flushed[r])

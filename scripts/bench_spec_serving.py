@@ -207,7 +207,7 @@ def main() -> None:
                 )
             b.run_until_drained()
         if speculative:
-            b.spec_stats = {"tokens": 0, "forwards": 0}
+            b.spec_stats = {"tokens": 0, "forwards": 0, "row_forwards": 0}
         t0 = time.time()
         for p in prompts:
             b.submit(p, max_tokens=args.max_tokens)

@@ -176,7 +176,7 @@ def train_and_measure(
             b.submit(p, max_tokens=8)
         b.run_until_drained()
         if speculative:
-            b.spec_stats = {"tokens": 0, "forwards": 0}
+            b.spec_stats = {"tokens": 0, "forwards": 0, "row_forwards": 0}
         t0 = time.time()
         for p in prompts:
             b.submit(p, max_tokens=max_tokens)

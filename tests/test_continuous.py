@@ -159,3 +159,71 @@ def test_speculative_continuous_row_reuse_and_sampled(gen):
         assert results[rid] == _ref(gen, p, m), p
     assert 0 < len(results[s]) <= 12
     assert all(0 <= t < ByteTokenizer.vocab_size for t in results[s])
+
+
+def test_speculative_auto_demotes_on_poor_acceptance(gen, monkeypatch):
+    """speculative='auto' starts on the speculative graphs and stickily
+    demotes to the plain scheduler at an empty-batch boundary once
+    measured acceptance shows drafting is a net loss. Repeat-free
+    prompts (distinct bytes) starve the n-gram lookup, so almost every
+    verify forward commits ~1 token per row. Token streams must stay
+    identical to plain greedy throughout — before AND after the switch.
+    (Byte-level PERSIAN prompts are a bad fixture for this: UTF-8 lead
+    bytes repeat every other byte, and even a random tiny model
+    measured 1.78 accepted tokens/row-forward — drafting legitimately
+    wins there.)"""
+    monkeypatch.setattr(ContinuousBatcher, "SPEC_AUTO_MIN_FORWARDS", 4)
+    cb = ContinuousBatcher(gen, batch=2, segment=8, speculative="auto")
+    assert cb.speculative and not cb.spec_demoted
+
+    prompts = [
+        list(range(40, 72)),          # 32 distinct bytes, no 3-gram twice
+        list(range(80, 112)),
+        list(range(120, 152)),
+    ]
+    for p in prompts[:2]:
+        cb.submit(p, max_tokens=16)
+    done = {r.req_id: r for r in cb.run_until_drained()}
+    # batch drained -> next step crosses the empty boundary and demotes
+    rid3 = cb.submit(prompts[2], max_tokens=16)
+    done.update({r.req_id: r for r in cb.run_until_drained()})
+    assert cb.spec_demoted and not cb.speculative, cb.spec_stats
+    for rid, p in zip(sorted(done), prompts):
+        want = gen.generate_ids_device(p, max_tokens=16,
+                                       speculative=False)
+        assert done[rid].tokens == want, p[:4]
+    assert rid3 in done
+
+
+def test_speculative_auto_keeps_drafting_on_high_acceptance(monkeypatch):
+    """Zeroed layer projections make greedy repeat the last token
+    forever — the lookup drafter's best case. Acceptance stays high, so
+    'auto' must NOT demote."""
+    import jax
+    import jax.numpy as jnp
+
+    g = TextGenerator(
+        DecoderConfig.tiny(vocab_size=ByteTokenizer.vocab_size),
+        tokenizer=ByteTokenizer(),
+        max_len=128,
+        seed=3,
+    )
+    p = jax.tree.map(lambda x: x, g.params)
+    for name, layer in p.items():
+        if not name.startswith("layer_"):
+            continue
+        for path in (("attention", "o_proj"), ("mlp", "down_proj")):
+            node = layer
+            for k in path:
+                node = node[k]
+            node["kernel"] = jnp.zeros_like(node["kernel"])
+    g.params = p
+    monkeypatch.setattr(ContinuousBatcher, "SPEC_AUTO_MIN_FORWARDS", 2)
+    cb = ContinuousBatcher(g, batch=2, segment=8, speculative="auto")
+    for rep in range(2):
+        cb.submit(g.tokenizer.encode("تکرار تکرار"), max_tokens=24)
+        cb.run_until_drained()
+        cb.step()  # crosses an empty boundary; must NOT demote
+    assert cb.speculative and not cb.spec_demoted
+    assert (cb.spec_stats["tokens"]
+            > 2 * cb.spec_stats["row_forwards"])
